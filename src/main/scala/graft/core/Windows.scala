@@ -1,0 +1,95 @@
+package graft.core
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Ordering-dependent computation (SURVEY.md O1-O5) at scale.
+  *
+  * The reference's risk-set suffix-cumsums (`rev(cumsum(rev(...)))`,
+  * taylor_deviate.R:616-617,1027) and hazard prefix-cumsums (`cumsum`,
+  * taylor_deviate.R:890) are GLOBAL ordered scans. The naive Spark
+  * translation — `Window.orderBy(t)` with no partitionBy — funnels the
+  * whole dataset through ONE task, which is the canonical 100-TB
+  * bottleneck. `scan` instead does the classic two-phase distributed
+  * prefix sum: range-repartition on the order key, local per-partition
+  * running sums, a tiny driver-side exclusive-offset pass over the
+  * per-partition totals (one row per partition), and a broadcast join
+  * of the offsets back. Wall-clock is O(n/partitions), not O(n).
+  */
+object Windows {
+
+  private val PID = "__graft_pid"
+  private val LOCAL = "__graft_local_"
+
+  /** Running (cumulative-inclusive) sums of each `(value, alias)` in the
+    * order given by `orderCols` (use `desc(c)` entries for suffix sums).
+    * Output = input columns + one `alias` column per pair.
+    *
+    * `numParts <= 0` keeps the session's shuffle parallelism.
+    */
+  def scan(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      sums: Seq[(Column, String)],
+      numParts: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numParts > 0) numParts
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .withColumn(PID, spark_partition_id())
+    val w = Window.partitionBy(col(PID)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var local = ranged
+    sums.zipWithIndex.foreach { case ((c, _), i) =>
+      local = local.withColumn(LOCAL + i, sum(c.cast("double")).over(w))
+    }
+    local = local.persist()
+
+    // Per-partition totals: one row per partition — the collect is tiny
+    // (numParts rows), independent of data size.
+    val aggs = sums.zipWithIndex.map { case ((c, _), i) =>
+      sum(c.cast("double")).as(s"t$i")
+    }
+    val totals = local.groupBy(col(PID)).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val pid = r.getInt(0)
+        val t = sums.indices.map(i =>
+          if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1)).toArray
+        (pid, t)
+      }
+      .sortBy(_._1)
+
+    // Exclusive prefix offsets by partition id → broadcast-joined back.
+    val acc = new Array[Double](sums.length)
+    val offRows = totals.map { case (pid, tot) =>
+      val row = pid +: acc.clone().toSeq
+      var i = 0; while (i < acc.length) { acc(i) += tot(i); i += 1 }
+      row
+    }
+    import spark.implicits._
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows.toSeq.map(org.apache.spark.sql.Row.fromSeq), 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(PID, org.apache.spark.sql.types.IntegerType) +:
+          sums.indices.map(i => org.apache.spark.sql.types.StructField(
+            s"__graft_off_$i", org.apache.spark.sql.types.DoubleType))))
+    var out = local.join(broadcast(offDf), Seq(PID), "left")
+    sums.zipWithIndex.foreach { case ((_, alias), i) =>
+      out = out.withColumn(alias,
+        col(LOCAL + i) + coalesce(col(s"__graft_off_$i"), lit(0.0)))
+    }
+    val tmpCols = Seq(PID) ++ sums.indices.map(LOCAL + _) ++
+      sums.indices.map(i => s"__graft_off_$i")
+    out.drop(tmpCols: _*)
+  }
+
+  /** Convenience: single-column global cumulative sum. */
+  def cumSum(df: DataFrame, order: Column, value: Column, alias: String): DataFrame =
+    scan(df, Seq(order), Seq(value -> alias))
+
+  /** Suffix (reverse) cumulative sums — risk-set totals O3. */
+  def suffixSum(df: DataFrame, order: Column, sums: Seq[(Column, String)]): DataFrame =
+    scan(df, Seq(order.desc), sums)
+}

@@ -1,0 +1,142 @@
+package graft.weights
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Kernel-smoothed pseudo-weights, "KW" (SURVEY.md M5, J2, A7, A8) —
+  * the reference's `krnwt` (simu_fun.R:127-211).
+  *
+  * For survey units s (design weight wt_s, propensity score q_s) and
+  * cohort units c (score q_c):
+  *
+  *   k_sc   = K((q_s − q_c)/h)
+  *   kw_c   = Σ_s wt_s · k_sc / Σ_{c'} k_sc'
+  *
+  * The reference materializes the n_s×n_c kernel matrix and manually
+  * chunks it into 100 blocks when it doesn't fit (`Large=T`,
+  * simu_fun.R:143-165). Spark-first this is a broadcast cross join —
+  * the score+weight projection of ONE side is KB-sized — followed by a
+  * two-stage aggregation (row-normalize per survey unit, then sum per
+  * cohort unit). The quadratic pair stream is never materialized; it
+  * flows straight into partial aggregation inside one stage, and it
+  * partitions linearly in the non-broadcast side, which is exactly the
+  * 100-TB-safe shape.
+  *
+  * For compact-support kernels (triangular/Epanechnikov) use
+  * `bandJoin = true`: pairs with |q_s − q_c| > h contribute exactly 0,
+  * so the cross join is replaced by a bucketed band join — each side is
+  * bucketed by floor(q/h) and joined on neighbor buckets (±1), turning
+  * O(n_s·n_c) into O(matching pairs). This is the pure-DataFrame
+  * rewrite anticipated in SURVEY.md §4 (no custom strategy needed).
+  */
+object KernelWeights {
+
+  /** Zero-row rescue (simu_fun.R:175-183): survey rows whose kernel row
+    * sums to 0 (bandwidth too small) get a flat kernel 1/m over all m
+    * cohort units. */
+  final case class Result(weights: DataFrame, zeroRows: Long)
+
+  /** @param survey  (sId, score, wt) projection
+    * @param cohort  (cId, score) projection
+    * @param h       bandwidth
+    * @param kernel  kernel function (Kernels.gaussian, ...)
+    * @return cohort-keyed DataFrame (cId, kw)
+    */
+  def compute(
+      survey: DataFrame,
+      sId: Column, sScore: Column, sWt: Column,
+      cohort: DataFrame,
+      cId: Column, cScore: Column,
+      h: Double,
+      kernel: Column => Column,
+      bandJoin: Boolean = false): DataFrame = {
+    val s = survey.select(sId.as("s_id"), sScore.cast("double").as("q_s"),
+      sWt.cast("double").as("wt_s"))
+    val c = cohort.select(cId.as("c_id"), cScore.cast("double").as("q_c"))
+
+    val pairs =
+      if (bandJoin) bandPairs(s, c, h)
+      else s.crossJoin(broadcast(c))
+
+    val withK = pairs.withColumn("k", kernel((col("q_s") - col("q_c")) / lit(h)))
+
+    // stage 1: row sums per survey unit (+ cohort count for the rescue)
+    val m = c.count()
+    val rowSums = withK.groupBy(col("s_id"), col("wt_s"))
+      .agg(sum(col("k")).as("row_k"))
+
+    // stage 2: join row sums back, normalize, sum per cohort unit.
+    // Zero-sum survey rows spread wt_s/m to every cohort unit — for the
+    // cross-join path that equals adding Σ_{zero s} wt_s / m to every
+    // cohort weight, which we add as a scalar (never re-densifying).
+    val zeroAgg = rowSums.filter(col("row_k") === 0.0)
+      .agg(coalesce(sum(col("wt_s")), lit(0.0)).cast("double")).head().getDouble(0)
+    val flat = zeroAgg / m.toDouble
+
+    val contrib = withK
+      .join(rowSums.filter(col("row_k") > 0.0).select(col("s_id"), col("row_k")),
+        Seq("s_id"))
+      .groupBy(col("c_id"))
+      .agg(sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw"))
+
+    // band-join path may drop cohort units with no nearby survey unit;
+    // restore them with weight 0 (+flat) via a right join on cohort ids.
+    contrib.join(c.select(col("c_id")), Seq("c_id"), "right")
+      .select(col("c_id"), (coalesce(col("kw_raw"), lit(0.0)) + lit(flat)).as("kw"))
+  }
+
+  /** Bucketed band join: only pairs with |q_s − q_c| <= h survive.
+    * Buckets floor(q/h); a pair within h is always in the same or an
+    * adjacent bucket, so explode survey rows to 3 candidate buckets and
+    * hash-join on the bucket id, then filter the exact band. */
+  private def bandPairs(s: DataFrame, c: DataFrame, h: Double): DataFrame = {
+    val cb = c.withColumn("b", floor(col("q_c") / lit(h)).cast("long"))
+    val sb = s.withColumn("b0", floor(col("q_s") / lit(h)).cast("long"))
+      .withColumn("b", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      .drop("b0")
+    sb.join(cb, Seq("b"))
+      .filter(abs(col("q_s") - col("q_c")) <= lit(h))
+      .drop("b")
+  }
+
+  /** Kernel Jacobian ∂kw_c/∂γ_j (A8, simu_fun.R:192-205): same pair
+    * stream, extra measure columns per coefficient. `xDiff(j)` is the
+    * pair-level Δx_j = x_sj − x_cj expression supplied by the caller on
+    * the joined frame. Returns (c_id, d_kw_0..d_kw_{p-1}). */
+  def jacobian(
+      survey: DataFrame, sId: Column, sScore: Column, sWt: Column,
+      cohort: DataFrame, cId: Column, cScore: Column,
+      h: Double,
+      sFeatures: Seq[Column], cFeatures: Seq[Column]): DataFrame = {
+    val p = sFeatures.length
+    val s = survey.select((sId.as("s_id") +: sScore.cast("double").as("q_s") +:
+      sWt.cast("double").as("wt_s") +:
+      sFeatures.zipWithIndex.map { case (f, j) => f.cast("double").as(s"xs$j") }): _*)
+    val c = cohort.select((cId.as("c_id") +: cScore.cast("double").as("q_c") +:
+      cFeatures.zipWithIndex.map { case (f, j) => f.cast("double").as(s"xc$j") }): _*)
+    val pairs = s.crossJoin(broadcast(c))
+    val u = (col("q_s") - col("q_c")) / lit(h)
+    // Gaussian kernel: dK/du = -u·K(u); d u/dγ_j = (x_sj − x_cj)·(dq/dγ)/h
+    // with logistic scores dq/dγ_j folded into xDiff by the caller.
+    val k = exp(-u * u / lit(2.0)) / lit(math.sqrt(2.0 * math.Pi))
+    val withK = pairs.withColumn("k", k)
+      .withColumn("u", u)
+    val dCols = (0 until p).map { j =>
+      (-col("u") * col("k") * (col(s"xs$j") - col(s"xc$j")) / lit(h)).as(s"dk$j")
+    }
+    val wk = withK.select((col("s_id") +: col("c_id") +: col("wt_s") +: col("k") +: dCols): _*)
+
+    val rowAgg = wk.groupBy(col("s_id"), col("wt_s"))
+      .agg(sum(col("k")).as("row_k"),
+        (0 until p).map(j => sum(col(s"dk$j")).as(s"row_dk$j")): _*)
+    wk.join(rowAgg.drop("wt_s"), Seq("s_id"))
+      .filter(col("row_k") > 0.0)
+      .groupBy(col("c_id"))
+      .agg(
+        sum(col("wt_s") * col("k") / col("row_k")).as("kw"),
+        (0 until p).map { j =>
+          sum(col("wt_s") * (col(s"dk$j") * col("row_k") - col("k") * col(s"row_dk$j"))
+            / (col("row_k") * col("row_k"))).as(s"d_kw_$j")
+        }: _*)
+  }
+}
