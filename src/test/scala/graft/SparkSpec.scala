@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session; suites
+  * run sequentially under sbt's forked test JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  def assertNear(got: Double, want: Double, tol: Double = 1e-6): Unit =
+    assert(math.abs(got - want) <= tol * math.max(1.0, math.abs(want)),
+      s"got $got, want $want (tol $tol)")
+
+  def assertSeqNear(got: Seq[Double], want: Seq[Double], tol: Double = 1e-6): Unit = {
+    assert(got.length == want.length, s"length ${got.length} != ${want.length}")
+    got.zip(want).foreach { case (g, w) => assertNear(g, w, tol) }
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import graft.core.FeatureArray
+import graft.stats.{CoxPH, Kernels, WeightedGLM}
+import graft.weights.{Greg, KernelWeights}
+import org.apache.spark.sql.functions._
+
+/** Fixture expectations computed independently with numpy IRLS/NR
+  * implementations (see SURVEY.md §5 test plan; GREG 5-row example from
+  * the reference's own comments, taylor_deviate.R:985-987).
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("M1 weighted logistic IRLS matches independent fit") {
+    val df = Seq(
+      (0.5, 0.0, 1.0), (1.5, 1.0, 2.0), (-0.3, 1.0, 1.0), (2.2, 1.0, 1.0),
+      (0.9, 0.0, 3.0), (-1.1, 0.0, 1.0), (0.2, 0.0, 2.0), (1.8, 1.0, 1.0),
+      (-0.6, 0.0, 1.0), (1.0, 1.0, 2.0)
+    ).toDF("x", "y", "w")
+    val fit = WeightedGLM.logistic(df,
+      FeatureArray.withIntercept(Seq(col("x"))), col("y"), col("w"), p = 2)
+    assert(fit.converged)
+    assertSeqNear(fit.coefficients.toSeq, Seq(-1.7102412411114054, 1.9997549573042483))
+  }
+
+  test("M3 weighted least squares matches normal equations") {
+    val df = Seq(
+      (0.5, 1.0, 1.0), (1.5, 2.0, 2.0), (-0.3, 1.5, 1.0), (2.2, 3.2, 1.0),
+      (0.9, 2.8, 3.0), (-1.1, 0.5, 1.0), (0.2, 1.1, 2.0), (1.8, 2.9, 1.0),
+      (-0.6, 0.9, 1.0), (1.0, 2.2, 2.0)
+    ).toDF("x", "y", "w")
+    val fit = WeightedGLM.wls(df,
+      FeatureArray.withIntercept(Seq(col("x"))), col("y"), col("w"), p = 2)
+    assertSeqNear(fit.coefficients.toSeq, Seq(1.3729610750695087, 0.7929796107506952))
+  }
+
+  test("M2 weighted Cox (Breslow ties) matches independent NR fit") {
+    val df = Seq(
+      (1.0, 1.0, 1.0, 0.5), (1.0, 1.0, 2.0, -0.2), (2.0, 1.0, 1.0, 1.0),
+      (2.0, 0.0, 1.0, 0.3), (3.0, 1.0, 1.5, -0.5), (4.0, 0.0, 1.0, 0.8),
+      (5.0, 1.0, 1.0, 1.2), (6.0, 0.0, 2.0, -1.0)
+    ).toDF("t", "d", "w", "x")
+    val fit = CoxPH.fit(df, col("t"), col("d"), col("w"), Seq(col("x")))
+    assert(fit.converged)
+    assertNear(fit.coefficients(0), 0.3694441908824084)
+    // reference's own diagnostic: score equation ≈ 0 at the fit
+    // (taylor_deviate.R:1125-1198)
+    val (u, _) = CoxPH.scoreAndInfo(df, col("t"), col("d"), col("w"),
+      Seq(col("x")), fit.coefficients)
+    assert(math.abs(u(0)) < 1e-8)
+  }
+
+  test("M8 Breslow cumulative baseline hazard steps") {
+    val df = Seq(
+      (1.0, 1.0, 1.0, 0.5), (1.0, 1.0, 2.0, -0.2), (2.0, 1.0, 1.0, 1.0),
+      (2.0, 0.0, 1.0, 0.3), (3.0, 1.0, 1.5, -0.5), (4.0, 0.0, 1.0, 0.8),
+      (5.0, 1.0, 1.0, 1.2), (6.0, 0.0, 2.0, -1.0)
+    ).toDF("t", "d", "w", "x")
+    val beta = 0.3694441908824084
+    val steps = graft.hazard.Breslow.cumulativeHazardSteps(df,
+        col("t"), col("d"), col("w"), exp(col("x") * lit(beta)))
+      .orderBy("t").collect().map(r => (r.getDouble(0), r.getDouble(2)))
+    assertSeqNear(steps.map(_._1).toSeq, Seq(1.0, 2.0, 3.0, 5.0))
+    assertSeqNear(steps.map(_._2).toSeq,
+      Seq(0.268923811646, 0.39245469044, 0.663653232829, 1.003774504871), 1e-9)
+  }
+
+  test("M7 GREG calibration reproduces the reference 5-row example") {
+    val df = Seq(
+      (1.0, 5.0, 5.0), (2.0, 2.0, 4.0), (3.0, 7.0, 3.0), (4.0, 3.0, 2.0), (5.0, 1.0, 1.0)
+    ).toDF("x1", "x2", "wt0")
+    val feats = FeatureArray.withIntercept(Seq(col("x1"), col("x2")))
+    val cal = Greg.solve(df, feats, col("wt0"), Array(16.0, 60.0, 69.0))
+    assertSeqNear(cal.lambda.toSeq,
+      Seq(-3.3775362318840587, 1.0656314699792966, 0.2355072463768115))
+    val f = df.withColumn("f", Greg.factor(feats, cal)).orderBy("x1")
+      .select("f").as[Double].collect().toSeq
+    assertSeqNear(f, Seq(-0.1343685300207045, 0.2247412008281575,
+      2.4679089026915113, 2.591511387163562, 3.1861283643892353))
+    // calibration constraint holds exactly: Σ f·w·x = V
+    val cald = Greg.calibrate(df, feats, col("wt0"), Array(16.0, 60.0, 69.0), clip = -1e9)
+    val tot = cald.agg(
+      sum(col("greg_wt")), sum(col("greg_wt") * col("x1")), sum(col("greg_wt") * col("x2"))
+    ).head()
+    assertNear(tot.getDouble(0), 16.0, 1e-9)
+    assertNear(tot.getDouble(1), 60.0, 1e-9)
+    assertNear(tot.getDouble(2), 69.0, 1e-9)
+  }
+
+  test("M5 kernel weights: 2 survey × 3 cohort fixture, Σkw = Σwt") {
+    val survey = Seq((1L, 0.0, 2.0), (2L, 1.0, 3.0)).toDF("id", "q", "wt")
+    val cohort = Seq((10L, 0.0), (11L, 0.5), (12L, 1.0)).toDF("id", "q")
+    val kw = KernelWeights.compute(
+      survey, col("id"), col("q"), col("wt"),
+      cohort, col("id"), col("q"),
+      h = 1.0, kernel = Kernels.gaussian)
+      .orderBy("c_id").collect().map(_.getDouble(1)).toSeq
+    assertSeqNear(kw, Seq(1.5345719898789056, 1.7727744681342572, 1.6926535419868372))
+    assertNear(kw.sum, 5.0, 1e-9)
+  }
+
+  test("M5 band join path matches dense path for compact-support kernel") {
+    val survey = Seq((1L, 0.0, 2.0), (2L, 1.0, 3.0), (3L, 2.5, 1.0)).toDF("id", "q", "wt")
+    val cohort = Seq((10L, 0.0), (11L, 0.5), (12L, 1.0), (13L, 3.1)).toDF("id", "q")
+    def run(band: Boolean) = KernelWeights.compute(
+      survey, col("id"), col("q"), col("wt"),
+      cohort, col("id"), col("q"),
+      h = 1.0, kernel = Kernels.triangular, bandJoin = band)
+      .orderBy("c_id").collect().map(_.getDouble(1)).toSeq
+    assertSeqNear(run(false), run(true), 1e-12)
+  }
+}
