@@ -25,7 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects by
+    * default; read it as a long and truncate to microseconds — exactly
+    * what DuckDB's microsecond TIMESTAMP does on the same file. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000)
+          .cast(org.apache.spark.sql.types.LongType)))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 DuckDB-oracle correctness check.
+
+Usage: python3 tools/verify_local.py <sfDir> <outDir>
+  1. expects `sbt "runMain graft.Verify <sfDir> <outDir>"` to have run
+  2. registers each test table as a DuckDB view over <sfDir>/*.parquet
+  3. runs every SQL in <outDir>/oracle_sql.json
+  4. compares against <outDir>/<name>/ parquet: columns sorted by name,
+     rows sorted, exact value equality (floats compared exactly after
+     both sides' own rounding — the strictest interpretation).
+"""
+import json, sys, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize ints/floats: everything numeric → float64 where possible
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+def compare(name, spark_df, duck_df):
+    a, b = canon(spark_df), canon(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"SCHEMA cols spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWS spark={len(a)} duck={len(b)}"
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype("float64"); bv = bv.astype("float64")
+            bad = ~((av == bv) | (av.isna() & bv.isna()))
+            if bad.any():
+                i = bad.idxmax()
+                # report magnitude of worst mismatch
+                diff = (av - bv).abs().max()
+                return f"VAL col={c} rows={int(bad.sum())} first@{i}: {av[i]!r} vs {bv[i]!r} maxdiff={diff}"
+        else:
+            if not av.equals(bv):
+                bad = av != bv
+                i = bad.idxmax()
+                return f"VAL col={c} rows={int(bad.sum())} first@{i}: {av[i]!r} vs {bv[i]!r}"
+    return None
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    ok, bad, miss = [], [], []
+    for name, sql in sorted(oracle.items()):
+        import glob, os
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            miss.append(name); continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            bad.append((name, f"ORACLE-SQL-ERROR {e}")); continue
+        err = compare(name, spark_df, duck_df)
+        (bad.append((name, err)) if err else ok.append(name))
+    print(f"PASS {len(ok)}/{len(oracle)}")
+    for n, e in bad:
+        print(f"FAIL {n}: {e}")
+    for n in miss:
+        print(f"MISSING {n} (no parquet written)")
+    return 1 if (bad or miss) else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
