@@ -21,17 +21,22 @@ object Rng {
   val C = 12345L
   val M = 2147483648L // 2^31
 
+  val SALT_MIX = 69069L
+
   private def lcg(x: Column): Column = (lit(A) * x + lit(C)) % lit(M)
 
-  /** key must be a non-negative integral column; returns uniform in (0,1). */
+  /** key must be a non-negative integral column; returns uniform in
+    * (0,1). The salt multiplies into the key stream (not just adds) so
+    * streams with different salts never alias shifted ids. All
+    * intermediates stay within exact int64 range. */
   def uniform(key: Column, salt: Long = 0L): Column = {
-    val k = (key.cast("long") + lit(salt)) % lit(M)
+    val k = ((key.cast("long") % lit(M)) * lit(SALT_MIX) + lit(salt)) % lit(M)
     (lcg(lcg(k)).cast("double") + lit(0.5)) / lit(M.toDouble)
   }
 
   /** The identical computation as DuckDB SQL over an integral expression. */
   def uniformSql(expr: String, salt: Long = 0L): String = {
-    val k = s"((($expr) + $salt) % $M)"
+    val k = s"((((($expr) % $M) * $SALT_MIX) + $salt) % $M)"
     val l1 = s"(($A * $k + $C) % $M)"
     val l2 = s"(($A * $l1 + $C) % $M)"
     s"((CAST($l2 AS DOUBLE) + 0.5) / $M)"

@@ -1,9 +1,483 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{AsOf, FeatureArray, Rng, Tables, Windows}
+import graft.stats.{CoxPH, Kernels, WeightedGLM}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Statistical-operator queries (SURVEY.md §2.8 M1-M17) mapped onto the
-  * driver test tables — populated incrementally. */
+  * driver test tables per FIXTURES.md's oracle mapping (weights ↔
+  * quantities/balances, event time ↔ l_quantity, strata ↔ segments).
+  * Model-fitting oracles pin the iteration count so DuckDB can replay
+  * the identical fixed-point arithmetic (unrolled IRLS CTEs); iterative
+  * convergence itself is covered by ScalaTest fixtures.
+  */
 object StatQueries {
-  val all: Seq[QueryDef] = Seq()
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private def rnd(x: Double, k: Int): Double =
+    BigDecimal(x).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The survival frame shared by the Cox/hazard queries:
+    * event time = l_quantity (discrete ⇒ heavy ties, exercising Breslow
+    * tie-collapse), event indicator from l_returnflag, integer-ish
+    * design weight, covariate from l_discount. */
+  private def survFrame(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(
+      col("l_quantity").cast("double").as("t"),
+      when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
+      (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"),
+      (col("l_discount") * 10).cast("double").as("x"))
+
+  private val survSql =
+    """SELECT l_quantity AS t,
+      |  CASE WHEN l_returnflag <> 'A' THEN 1.0 ELSE 0.0 END AS d,
+      |  1.0 + (l_orderkey % 5) AS w,
+      |  l_discount * 10 AS x FROM lineitem""".stripMargin
+
+  /** Unrolled fixed-iteration IRLS as chained DuckDB CTEs (2-parameter
+    * logistic: intercept + x). */
+  private def irlsSql(nIter: Int, baseSql: String, roundTo: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH base AS ($baseSql),\n")
+    sb.append("it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),\n")
+    for (k <- 1 to nIter) {
+      sb.append(
+        s"""it$k AS (
+           |  SELECT b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS b0,
+           |         b1 + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b1
+           |  FROM (
+           |    SELECT MAX(s.b0) AS b0, MAX(s.b1) AS b1,
+           |      SUM(w*mu*(1-mu)) AS h00, SUM(w*mu*(1-mu)*x) AS h01,
+           |      SUM(w*mu*(1-mu)*x*x) AS h11,
+           |      SUM(w*(y-mu)) AS g0, SUM(w*(y-mu)*x) AS g1
+           |    FROM (SELECT base.y, base.x, base.w, p.b0, p.b1,
+           |            1/(1+EXP(-(p.b0 + p.b1*base.x))) AS mu
+           |          FROM base, it${k - 1} p) s))""".stripMargin)
+      sb.append(if (k < nIter) ",\n" else "\n")
+    }
+    sb.append(s"SELECT ROUND(b0, $roundTo) AS b0, ROUND(b1, $roundTo) AS b1 FROM it$nIter")
+    sb.toString
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- M1: weighted logistic IRLS, 6 pinned iterations ----
+    sqlChecked("m1_logistic_irls",
+      irlsSql(6,
+        """SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+          |  o_totalprice / 100000.0 AS x,
+          |  1.0 + (o_orderkey % 3) AS w FROM orders""".stripMargin,
+        roundTo = 6)) { (s, d) =>
+      import s.implicits._
+      val base = t(s, d, "orders").select(
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"),
+        (col("o_totalprice") / 100000.0).as("x"),
+        (lit(1.0) + col("o_orderkey") % 3).cast("double").as("w"))
+      val fit = WeightedGLM.logistic(base,
+        FeatureArray.withIntercept(Seq(col("x"))), col("y"), col("w"),
+        p = 2, maxIter = 6, tol = 0.0)
+      Seq((rnd(fit.coefficients(0), 6), rnd(fit.coefficients(1), 6))).toDF("b0", "b1")
+    },
+
+    // ---- M2: Cox score + information at fixed β (Breslow ties) ----
+    sqlChecked("m2_cox_score",
+      s"""WITH base AS ($survSql),
+         |g AS (
+         |  SELECT t,
+         |    SUM(w * EXP(0.25 * x)) AS s0g,
+         |    SUM(w * EXP(0.25 * x) * x) AS s1g,
+         |    SUM(w * EXP(0.25 * x) * x * x) AS s2g,
+         |    SUM(w * d) AS wd, SUM(w * d * x) AS ux
+         |  FROM base GROUP BY t),
+         |sc AS (
+         |  SELECT t, wd, ux,
+         |    SUM(s0g) OVER rw AS s0, SUM(s1g) OVER rw AS s1, SUM(s2g) OVER rw AS s2
+         |  FROM g WINDOW rw AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT ROUND(SUM(ux - wd * s1 / s0), 4) AS score_u,
+         |  ROUND(SUM(wd * (s2 / s0 - s1 * s1 / (s0 * s0))), 4) AS info_i
+         |FROM sc WHERE wd > 0""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val (u, info) = CoxPH.scoreAndInfo(survFrame(s, d),
+        col("t"), col("d"), col("w"), Seq(col("x")), Array(0.25))
+      Seq((rnd(u(0), 4), rnd(info(0), 4))).toDF("score_u", "info_i")
+    },
+
+    // ---- M2 full NR fit: iterative convergence — ScalaTest-covered,
+    //      rows-only here (plus score-residual self-check ≈ 0) ----
+    rowsOnly("m2_cox_fit") { (s, d) =>
+      import s.implicits._
+      val fit = CoxPH.fit(survFrame(s, d), col("t"), col("d"), col("w"), Seq(col("x")))
+      Seq((fit.coefficients(0), fit.iterations, fit.converged, fit.scoreResidual))
+        .toDF("beta", "iters", "converged", "score_residual")
+    },
+
+    // ---- M3: weighted least squares (closed form) ----
+    sqlChecked("m3_wls",
+      """WITH base AS (
+        |  SELECT o_totalprice / 1000.0 AS y, CAST(o_custkey % 100 AS DOUBLE) AS x,
+        |         1.0 + (o_orderkey % 3) AS w FROM orders),
+        |m AS (SELECT SUM(w) AS sw, SUM(w*x) AS swx, SUM(w*x*x) AS swxx,
+        |             SUM(w*y) AS swy, SUM(w*x*y) AS swxy FROM base)
+        |SELECT ROUND((swxx*swy - swx*swxy)/(sw*swxx - swx*swx), 8) AS b0,
+        |       ROUND((sw*swxy - swx*swy)/(sw*swxx - swx*swx), 8) AS b1
+        |FROM m""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val base = t(s, d, "orders").select(
+        (col("o_totalprice") / 1000.0).as("y"),
+        (col("o_custkey") % 100).cast("double").as("x"),
+        (lit(1.0) + col("o_orderkey") % 3).cast("double").as("w"))
+      val fit = WeightedGLM.wls(base,
+        FeatureArray.withIntercept(Seq(col("x"))), col("y"), col("w"), p = 2)
+      Seq((rnd(fit.coefficients(0), 8), rnd(fit.coefficients(1), 8))).toDF("b0", "b1")
+    },
+
+    // ---- M4: IPSW pseudo-weights at fixed γ ----
+    sqlChecked("m4_ipsw",
+      """SELECT c_custkey,
+        |  ROUND(EXP(-(0.2 + 0.3 * c_acctbal / 1000.0)), 8) AS ipsw
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val feats = FeatureArray.withIntercept(Seq(col("c_acctbal") / 1000.0))
+      t(s, d, "customer").select(col("c_custkey"),
+          round(graft.weights.Ipsw.fromFeatures(feats, Array(0.2, 0.3)), 8).as("ipsw"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- M5: KW pseudo-weights, compact kernel + zero-row rescue ----
+    sqlChecked("m5_kw",
+      """WITH s AS (SELECT s_suppkey AS s_id, s_acctbal / 1000.0 AS q_s,
+        |             (s_suppkey % 5) + 1.0 AS wt_s FROM supplier),
+        |     c AS (SELECT c_custkey AS c_id, c_acctbal / 1000.0 AS q_c FROM customer),
+        |     k AS (SELECT s_id, wt_s, c_id,
+        |             GREATEST(0.0, 1.0 - ABS((q_s - q_c) / 0.05)) AS k
+        |           FROM s CROSS JOIN c),
+        |     rs AS (SELECT s_id, MAX(wt_s) AS wt_s, SUM(k) AS row_k FROM k GROUP BY 1),
+        |     flat AS (SELECT COALESCE(SUM(wt_s), 0.0) / (SELECT COUNT(*) FROM c) AS fl
+        |              FROM rs WHERE row_k = 0)
+        |SELECT c_id, ROUND(SUM(wt_s * kk / row_k) + MAX(fl), 8) AS kw
+        |FROM (SELECT k.c_id, k.wt_s, k.k AS kk, rs.row_k FROM k
+        |      JOIN rs USING (s_id) WHERE rs.row_k > 0), flat
+        |GROUP BY c_id ORDER BY c_id""".stripMargin) { (s, d) =>
+      graft.weights.KernelWeights.compute(
+          t(s, d, "supplier"), col("s_suppkey"), col("s_acctbal") / 1000.0,
+          (col("s_suppkey") % 5 + 1.0).cast("double"),
+          t(s, d, "customer"), col("c_custkey"), col("c_acctbal") / 1000.0,
+          h = 0.05, kernel = Kernels.triangular)
+        .select(col("c_id"), round(col("kw"), 8).as("kw"))
+        .orderBy(col("c_id"))
+    },
+
+    // ---- M6: post-stratification ----
+    sqlChecked("m6_poststrat",
+      """WITH pop AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |               CAST(COUNT(*) AS DOUBLE) AS nh FROM customer GROUP BY 1, 2),
+        |     samp AS (SELECT c_custkey, c_nationkey AS nk, c_mktsegment AS seg,
+        |                3.0 AS w FROM customer WHERE c_custkey % 3 = 0),
+        |     hat AS (SELECT nk, seg, SUM(w) AS nh_hat FROM samp GROUP BY 1, 2)
+        |SELECT c_custkey, ROUND(nh / nh_hat, 8) AS ps_f,
+        |       ROUND(3.0 * nh / nh_hat, 8) AS ps_wt
+        |FROM samp JOIN hat USING (nk, seg) JOIN pop USING (nk, seg)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val pop = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).cast("double").as("N_h"))
+        .select(concat_ws("|", col("c_nationkey"), col("c_mktsegment")).as("cell"),
+          col("N_h"))
+      val samp = t(s, d, "customer").filter(col("c_custkey") % 3 === 0)
+        .withColumn("w", lit(3.0))
+      graft.weights.PostStratify.calibrate(samp,
+          concat_ws("|", col("c_nationkey"), col("c_mktsegment")), col("w"), pop)
+        .select(col("c_custkey"), round(col("ps_f"), 8).as("ps_f"),
+          round(col("ps_wt"), 8).as("ps_wt"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- M7: GREG linear calibration (intercept + x, closed form) ----
+    sqlChecked("m7_greg",
+      """WITH pop AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v0,
+        |               SUM(c_acctbal / 100.0) AS v1 FROM customer),
+        |     samp AS (SELECT c_custkey, c_acctbal / 100.0 AS x, 2.0 AS w
+        |              FROM customer WHERE c_custkey % 2 = 0),
+        |     m AS (SELECT SUM(w) AS a00, SUM(w*x) AS a01, SUM(w*x*x) AS a11,
+        |                  SUM(w) AS vh0, SUM(w*x) AS vh1 FROM samp),
+        |     lam AS (SELECT (a11*(v0-vh0) - a01*(v1-vh1))/(a00*a11 - a01*a01) AS l0,
+        |                    (a00*(v1-vh1) - a01*(v0-vh0))/(a00*a11 - a01*a01) AS l1
+        |             FROM m, pop)
+        |SELECT c_custkey, ROUND(1.0 + l0 + l1 * x, 8) AS greg_f,
+        |       ROUND(GREATEST(w * (1.0 + l0 + l1 * x), 0.00001), 8) AS greg_wt
+        |FROM samp, lam ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val popRow = c.agg(count(lit(1)).cast("double"),
+        sum(col("c_acctbal") / 100.0)).head()
+      val targets = Array(popRow.getDouble(0), popRow.getDouble(1))
+      val samp = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") / 100.0).as("x"), lit(2.0).as("w"))
+      val feats = FeatureArray.withIntercept(Seq(col("x")))
+      graft.weights.Greg.calibrate(samp, feats, col("w"), targets)
+        .select(col("c_custkey"), round(col("greg_f"), 8).as("greg_f"),
+          round(col("greg_wt"), 8).as("greg_wt"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- M8: Breslow cumulative baseline hazard at the t* grid ----
+    sqlChecked("m8_breslow",
+      s"""WITH base AS ($survSql),
+         |g AS (SELECT t, SUM(w) AS s0g, SUM(w * d) AS num FROM base GROUP BY t),
+         |sc AS (SELECT t, num, SUM(s0g) OVER (ORDER BY t DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0 FROM g),
+         |ev AS (SELECT t, num / s0 AS lambda FROM sc WHERE num > 0),
+         |cum AS (SELECT t, SUM(lambda) OVER (ORDER BY t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch FROM ev),
+         |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (10), (20), (30),
+         |  (40), (50)) v(x))
+         |SELECT t_star, ROUND(COALESCE((SELECT ch FROM cum WHERE t <= t_star
+         |  ORDER BY t DESC LIMIT 1), 0.0), 8) AS cum_hzd
+         |FROM probes ORDER BY t_star""".stripMargin) { (s, d) =>
+      graft.hazard.Breslow.cumulativeHazardAt(survFrame(s, d),
+          col("t"), col("d"), col("w"), lit(1.0),
+          tStar = Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+        .select(col("t_star"), round(col("cum_hzd"), 8).as("cum_hzd"))
+        .orderBy(col("t_star"))
+    },
+
+    // ---- M9: discrete hazard λ(u) + attributable risk ar(u) ----
+    sqlChecked("m9_hazard_ar",
+      s"""WITH base AS ($survSql),
+         |g AS (SELECT t, SUM(w * d) AS num, SUM(w * EXP(0.1 * x)) AS zg,
+         |        SUM(w) AS yg FROM base GROUP BY t),
+         |sc AS (SELECT t, num,
+         |  SUM(zg) OVER rw AS z, SUM(yg) OVER rw AS y
+         |  FROM g WINDOW rw AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT t, ROUND(num / z, 8) AS lambda, ROUND(1.0 - y / z, 8) AS ar
+         |FROM sc WHERE num > 0 ORDER BY t""".stripMargin) { (s, d) =>
+      graft.hazard.DiscreteHazard.steps(survFrame(s, d),
+          col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")))
+        .select(col("t"), round(col("lambda"), 8).as("lambda"),
+          round(col("ar"), 8).as("ar"))
+        .orderBy(col("t"))
+    },
+
+    // ---- M10: cumulative hazard Λ(t*) via prefix cumsum + as-of ----
+    sqlChecked("m10_cum_hazard",
+      s"""WITH base AS ($survSql),
+         |g AS (SELECT t, SUM(w * d) AS num, SUM(w * EXP(0.1 * x)) AS zg
+         |      FROM base GROUP BY t),
+         |sc AS (SELECT t, num, SUM(zg) OVER (ORDER BY t DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z FROM g),
+         |cum AS (SELECT t, SUM(num / z) OVER (ORDER BY t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+         |  FROM sc WHERE num > 0),
+         |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (5), (15), (25),
+         |  (35), (45)) v(x))
+         |SELECT t_star, ROUND(COALESCE((SELECT ch FROM cum WHERE t <= t_star
+         |  ORDER BY t DESC LIMIT 1), 0.0), 8) AS cum_hzd
+         |FROM probes ORDER BY t_star""".stripMargin) { (s, d) =>
+      val steps = graft.hazard.DiscreteHazard.steps(survFrame(s, d),
+        col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")))
+      val cum = graft.hazard.DiscreteHazard.cumulative(steps)
+      AsOf.lookup(cum, col("t"), col("cum_hzd"), Seq(5.0, 15.0, 25.0, 35.0, 45.0))
+        .select(col("t_star"), round(col("value"), 8).as("cum_hzd"))
+        .orderBy(col("t_star"))
+    },
+
+    // ---- M11: Gail hazard — population λ* ⋈ sample ar, LOCF, cumsum ----
+    sqlChecked("m11_gail",
+      s"""WITH lstar AS (
+         |  SELECT CAST(CEIL(l_quantity / 5.0) * 5 AS DOUBLE) AS t,
+         |    AVG(l_discount) / 10.0 AS lambda_star
+         |  FROM lineitem GROUP BY 1),
+         |sb AS (SELECT l_quantity AS t,
+         |    CASE WHEN l_returnflag <> 'A' THEN 1.0 ELSE 0.0 END AS d,
+         |    1.0 + (l_orderkey % 5) AS w, l_discount * 10 AS x
+         |  FROM lineitem WHERE l_suppkey % 2 = 0),
+         |g AS (SELECT t, SUM(w * d) AS num, SUM(w * EXP(0.1 * x)) AS zg,
+         |        SUM(w) AS yg FROM sb GROUP BY t),
+         |sc AS (SELECT t, num, SUM(zg) OVER rw AS z, SUM(yg) OVER rw AS y
+         |  FROM g WINDOW rw AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ar AS (SELECT t, 1.0 - y / z AS ar FROM sc WHERE num > 0),
+         |j AS (SELECT COALESCE(lstar.t, ar.t) AS t, lambda_star, ar,
+         |        lstar.t IS NOT NULL AS is_step
+         |      FROM lstar FULL OUTER JOIN ar ON lstar.t = ar.t),
+         |f AS (SELECT t, is_step, lambda_star,
+         |        COALESCE(last_value(ar IGNORE NULLS) OVER (ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS arf
+         |      FROM j),
+         |cum AS (SELECT t, SUM(CASE WHEN is_step THEN lambda_star * (1.0 - arf)
+         |          ELSE 0.0 END) OVER (ORDER BY t
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+         |        FROM f),
+         |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (10), (25),
+         |  (40), (55)) v(x))
+         |SELECT t_star, ROUND(COALESCE((SELECT cg FROM cum WHERE t <= t_star
+         |  ORDER BY t DESC LIMIT 1), 0.0), 8) AS cum_gail
+         |FROM probes ORDER BY t_star""".stripMargin) { (s, d) =>
+      val lstar = t(s, d, "lineitem")
+        .groupBy((ceil(col("l_quantity") / 5.0) * 5).cast("double").as("t"))
+        .agg((avg(col("l_discount")) / 10.0).as("lambda_star"))
+      val sampFiltered = t(s, d, "lineitem").filter(col("l_suppkey") % 2 === 0)
+        .select(col("l_quantity").cast("double").as("t"),
+          when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
+          (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"),
+          (col("l_discount") * 10).cast("double").as("x"))
+      val ar = graft.hazard.DiscreteHazard.steps(sampFiltered,
+          col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")))
+        .select(col("t"), col("ar"))
+      graft.hazard.GailHazard.at(lstar, ar, Seq(10.0, 25.0, 40.0, 55.0))
+        .select(col("t_star"), round(col("cum_gail"), 8).as("cum_gail"))
+        .orderBy(col("t_star"))
+    },
+
+    // ---- M12: absolute risk from cumulative hazard ----
+    sqlChecked("m12_absrisk",
+      s"""WITH base AS ($survSql),
+         |g AS (SELECT t, SUM(w) AS s0g, SUM(w * d) AS num FROM base GROUP BY t),
+         |sc AS (SELECT t, num, SUM(s0g) OVER (ORDER BY t DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0 FROM g),
+         |cum AS (SELECT t, SUM(num / s0) OVER (ORDER BY t
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+         |  FROM sc WHERE num > 0),
+         |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (10), (20), (30),
+         |  (40), (50)) v(x))
+         |SELECT t_star,
+         |  ROUND(1.0 - EXP(-COALESCE((SELECT ch FROM cum WHERE t <= t_star
+         |    ORDER BY t DESC LIMIT 1), 0.0) * EXP(0.3)), 8) AS abs_risk
+         |FROM probes ORDER BY t_star""".stripMargin) { (s, d) =>
+      val cum = graft.hazard.Breslow.cumulativeHazardAt(survFrame(s, d),
+        col("t"), col("d"), col("w"), lit(1.0), Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+      graft.hazard.AbsoluteRisk.at(cum, eta0 = 0.3)
+        .select(col("t_star"), round(col("abs_risk"), 8).as("abs_risk"))
+        .orderBy(col("t_star"))
+    },
+
+    // ---- M13: Poisson-linearization variance of a weighted total ----
+    sqlChecked("m13_poisson_var",
+      """SELECT ROUND(SUM((1.0 - pi) * delta * delta), 4) AS v_poisson
+        |FROM (SELECT (1.0 + (l_orderkey % 5)) * l_extendedprice
+        |        * (1 - l_discount) / 100000.0 AS delta,
+        |        ((l_orderkey % 9) + 1.0) / 10.0 AS pi
+        |      FROM lineitem)""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val base = t(s, d, "lineitem").select(
+        ((lit(1.0) + col("l_orderkey") % 5) * col("l_extendedprice") *
+          (lit(1) - col("l_discount")) / 100000.0).as("delta"),
+        ((col("l_orderkey") % 9 + 1.0) / 10.0).as("pi"))
+      val v = graft.variance.Influence.poissonVarianceOfTotal(base, col("delta"), col("pi"))
+      Seq(rnd(v, 4)).toDF("v_poisson")
+    },
+
+    // ---- M14: delete-a-group jackknife variance (vectorized replicates) ----
+    sqlChecked("m14_jackknife",
+      """WITH r(rep) AS (SELECT CAST(range AS INT) FROM range(10)),
+        |w AS (SELECT rep,
+        |        CASE WHEN l_orderkey % 10 = rep THEN 0.0
+        |             ELSE l_quantity * 10.0 / 9.0 END AS jw,
+        |        l_discount AS y
+        |      FROM lineitem CROSS JOIN r),
+        |est AS (SELECT rep, SUM(jw * y) / SUM(jw) AS theta FROM w GROUP BY rep)
+        |SELECT ROUND(9.0 / 10.0 * SUM((theta - t_bar) * (theta - t_bar)), 12) AS jk_var
+        |FROM est, (SELECT AVG(theta) AS t_bar FROM est)""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      val rep = graft.variance.Jackknife.replicated(
+        li.select(col("l_orderkey"), col("l_quantity"), col("l_discount")),
+        (col("l_orderkey") % 10).cast("int"), col("l_quantity"), m = 10)
+      val est = rep.groupBy(col("jk_r"))
+        .agg((sum(col("jk_wt") * col("l_discount")) / sum(col("jk_wt"))).as("theta"))
+      val v = graft.variance.Jackknife.variance(est, col("theta"), m = 10)
+        .head().getDouble(0)
+      Seq(rnd(v, 12)).toDF("jk_var")
+    },
+
+    // ---- M15: PPS draw via deterministic Efraimidis–Spirakis keys ----
+    sqlChecked("m15_pps",
+      s"""WITH base AS (SELECT c_custkey, ABS(c_acctbal) + 1.0 AS msize FROM customer),
+         |tot AS (SELECT SUM(msize) AS tm FROM base),
+         |keyed AS (SELECT c_custkey, msize,
+         |  -LN(${Rng.uniformSql("c_custkey", 7L)}) / msize AS k
+         |  FROM base)
+         |SELECT c_custkey, ROUND(tm / (20.0 * msize), 8) AS wt
+         |FROM (SELECT * FROM keyed ORDER BY k LIMIT 20), tot
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), (abs(col("c_acctbal")) + 1.0).as("msize"))
+      graft.sampling.Pps.draw(base, col("c_custkey"), col("msize"), n = 20, salt = 7L)
+        .select(col("c_custkey"), round(col("wt"), 8).as("wt"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- M16: deterministic imputation (WLS fit − predict − clip) ----
+    sqlChecked("m16_impute",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice / 1000.0 AS y,
+        |         CAST(o_custkey % 100 AS DOUBLE) AS x,
+        |         1.0 + (o_orderkey % 3) AS w FROM orders),
+        |m AS (SELECT SUM(w) AS sw, SUM(w*x) AS swx, SUM(w*x*x) AS swxx,
+        |             SUM(w*y) AS swy, SUM(w*x*y) AS swxy FROM base),
+        |b AS (SELECT (swxx*swy - swx*swxy)/(sw*swxx - swx*swx) AS b0,
+        |             (sw*swxy - swx*swy)/(sw*swxx - swx*swx) AS b1 FROM m)
+        |SELECT o_orderkey, ROUND(GREATEST(y - (b0 + b1 * x), 0.0), 8) AS t_imp
+        |FROM base, b ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val base = t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_totalprice") / 1000.0).as("y"),
+        (col("o_custkey") % 100).cast("double").as("x"),
+        (lit(1.0) + col("o_orderkey") % 3).cast("double").as("w"))
+      val fit = WeightedGLM.wls(base,
+        FeatureArray.withIntercept(Seq(col("x"))), col("y"), col("w"), p = 2)
+      base.select(col("o_orderkey"),
+          round(greatest(col("y") - (lit(fit.coefficients(0)) +
+            lit(fit.coefficients(1)) * col("x")), lit(0.0)), 8).as("t_imp"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- M17: composite-weight CV allocation ----
+    sqlChecked("m17_composite",
+      """WITH cw AS (SELECT ABS(s_acctbal) / 100.0 + 1.0 AS w FROM supplier),
+        |     sw AS (SELECT ABS(c_acctbal) / 100.0 + 1.0 AS w FROM customer),
+        |     cs AS (SELECT (var_samp(w) / AVG(w * w) + 1.0) / COUNT(*) AS cv,
+        |              SUM(w) AS sumw FROM cw),
+        |     ss AS (SELECT (var_samp(w) / AVG(w * w) + 1.0) / COUNT(*) AS cv,
+        |              SUM(w) AS sumw FROM sw)
+        |SELECT
+        |  ROUND((cs.sumw + ss.sumw) * (1.0 - cs.cv / (cs.cv + ss.cv)) / cs.sumw / 2.0, 10) AS a_cohort,
+        |  ROUND((cs.sumw + ss.sumw) * (1.0 - ss.cv / (cs.cv + ss.cv)) / ss.sumw / 2.0, 10) AS a_survey
+        |FROM cs, ss""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val alloc = graft.weights.Composite.allocation(
+        t(s, d, "supplier"), abs(col("s_acctbal")) / 100.0 + 1.0,
+        t(s, d, "customer"), abs(col("c_acctbal")) / 100.0 + 1.0)
+      Seq((rnd(alloc.aCohort, 10), rnd(alloc.aSurvey, 10))).toDF("a_cohort", "a_survey")
+    },
+
+    // ---- S3: deterministic synthetic population (cross-engine RNG) ----
+    sqlChecked("s3_population", {
+      // salts must match Population.generate: x1 uses (1, 1+1000003), etc.
+      val s3u = (salt: Long) => Rng.uniformSql("id", salt)
+      s"""WITH ids AS (SELECT CAST(range AS BIGINT) + 1 AS id FROM range(2000)),
+         |g AS (SELECT id,
+         |  SQRT(-2.0 * LN(${s3u(1)})) * COS(2.0 * PI() * ${s3u(1000004)}) * 4.0 AS x1,
+         |  SQRT(-2.0 * LN(${s3u(2)})) * COS(2.0 * PI() * ${s3u(1000005)}) * 2.0 AS x2,
+         |  SQRT(-2.0 * LN(${s3u(3)})) * COS(2.0 * PI() * ${s3u(1000006)}) * 2.0 AS x3,
+         |  ${s3u(4)} AS ut, ${s3u(5)} AS uc
+         |  FROM ids),
+         |p AS (SELECT id, x1, x2, x3,
+         |  POW(-LN(1.0 - ut) / EXP(${math.log(-math.log(0.85) / 15.0)} +
+         |    0.2 * x1 + 0.2 * x2 + 0.3 * x3), 1.0) AS t_event,
+         |  uc * 30.0 AS c1
+         |  FROM g)
+         |SELECT id, ROUND(x1, 6) AS x1, ROUND(x2, 6) AS x2, ROUND(x3, 6) AS x3,
+         |  ROUND(LEAST(t_event, c1, 15.0), 6) AS t,
+         |  CASE WHEN t_event <= LEAST(c1, 15.0) THEN 1 ELSE 0 END AS d
+         |FROM p ORDER BY id""".stripMargin
+    }) { (s, d) =>
+      graft.sampling.Population.generate(s, 2000)
+        .select(col("id"), round(col("x1"), 6).as("x1"), round(col("x2"), 6).as("x2"),
+          round(col("x3"), 6).as("x3"), round(col("t"), 6).as("t"), col("d"))
+        .orderBy(col("id"))
+    }
+  )
 }
