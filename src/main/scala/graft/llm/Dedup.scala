@@ -1,0 +1,133 @@
+package graft.llm
+
+import graft.core.Rng
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * All of these are shuffle-shaped for 100 TB: exact dedup is one
+  * hash-groupBy; MinHash-LSH turns the quadratic pair problem into
+  * band-bucket joins (candidates only); SimHash buckets by fingerprint
+  * bands the same way. Nothing ever materializes an n×n similarity
+  * matrix.
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by the fingerprint/dedup ops:
+    * lowercase, collapse whitespace runs, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact dedup: md5 of normalized text; keeps the smallest id per
+    * group. Returns (idCol, hash, dup_count, keep). */
+  def exact(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val h = md5(normalize(text))
+    val w = Window.partitionBy(col("__h")).orderBy(col("__id"))
+    df.select(id.as("__id"), h.as("__h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("__h"))))
+      .select(col("__id").as("id"), col("__h").as("text_hash"),
+        col("dup_count"), (col("rn") === 1).as("keep"))
+  }
+
+  /** Word k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(normalize(text), " ")
+    // sliding k-grams via transform over indices — codegen'd, no UDF
+    val n = size(words)
+    array_distinct(transform(sequence(lit(0), greatest(n - k, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature of a shingle-array column: for each of `numHashes`
+    * seeded permutations, min over shingles of an LCG-mixed 32-bit hash.
+    * Uses Spark's murmur3 `hash` (stable across the cluster) re-keyed per
+    * table via xxhash64 mixing. Returns ArrayType(Long) signature. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val sigs = (0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s =>
+        pmod(xxhash64(s, lit(i)), lit(2147483647L))))
+    }
+    array(sigs: _*)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: signature → bands → bucket join.
+    * @param bands    number of LSH bands (numHashes % bands == 0)
+    * @return (id_a, id_b, jaccard_est) candidate pairs (id_a < id_b) with
+    *         estimated Jaccard = fraction of matching signature slots.
+    */
+  def minhashPairs(df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sig = df.select(id.as("id"),
+      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
+      .persist()
+    // band key = (band index, hash of the band's signature slice)
+    val banded = sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"), xxhash64(concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows))), b).as("bkey")))).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
+      col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
+      col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) / numHashes.toDouble)
+      .filter(col("jaccard_est") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard_est"))
+  }
+
+  /** Exact word-level n-gram Jaccard similarity over candidate pairs
+    * produced by a cheap blocking key — the oracle-checkable exact-math
+    * sibling of minhashPairs. */
+  def ngramJaccard(df: DataFrame, id: Column, text: Column, block: Column,
+      k: Int = 1): DataFrame = {
+    val base = df.select(id.as("id"), block.as("blk"),
+      shingles(text, k).as("sh"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the word multiset: sign-aggregate each bit of the
+    * per-token xxhash64. Near-dups differ in few bits (Hamming). */
+  def simhash(text: Column): Column = {
+    val words = split(normalize(text), " ")
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(words, lit(0L), (acc, w) =>
+        acc + when((shiftright(xxhash64(w), b) % 2 === 0), -1L).otherwise(1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key. */
+  def embeddingNearDup(df: DataFrame, id: Column, vec: Column, block: Column,
+      minCos: Double): DataFrame = {
+    val base = df.select(id.as("id"), block.as("blk"),
+      vec.cast("array<double>").as("v"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

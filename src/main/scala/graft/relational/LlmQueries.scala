@@ -1,9 +1,246 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
-  * multimodal, text analysis) — populated incrementally. */
+  * multimodal plumbing, text analysis) over the documents/embeddings
+  * tables. SQL-expressible ops carry DuckDB oracles; hash-family ops
+  * whose hashes are engine-specific (MinHash/SimHash on xxhash64) are
+  * rows-only here and fixture-tested in ScalaTest.
+  */
 object LlmQueries {
-  val all: Seq[QueryDef] = Seq()
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val normSql =
+    "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup: hash-groupBy, keep-first ----
+    sqlChecked("d1_dedup_exact",
+      s"""WITH h AS (SELECT doc_id, md5($normSql) AS text_hash FROM documents),
+         |g AS (SELECT text_hash, COUNT(*) AS dup_count, MIN(doc_id) AS keeper
+         |      FROM h GROUP BY 1)
+         |SELECT doc_id AS id, h.text_hash, dup_count, doc_id = keeper AS keep
+         |FROM h JOIN g USING (text_hash) ORDER BY id""".stripMargin) { (s, d) =>
+      Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    },
+
+    // ---- exact n-gram Jaccard near-dup within blocking key ----
+    sqlChecked("d2_ngram_jaccard",
+      s"""WITH base AS (
+         |  SELECT doc_id, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk,
+         |    list_distinct(string_split($normSql, ' ')) AS sh
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |    / (len(a.sh) + len(b.sh)
+         |       - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 8) AS jaccard
+         |FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), col("doc_id"), col("text"),
+          concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("string")), k = 1)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 8).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- MinHash-LSH near-dup candidates (engine-hash based) ----
+    rowsOnly("d3_minhash_lsh") { (s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- SimHash fingerprints + nearby-id Hamming pairs ----
+    rowsOnly("d4_simhash") { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+        (col("doc_id") / 20).cast("long").as("blk"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+        (col("doc_id") / 20).cast("long").as("blk"))
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Dedup.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+        .filter(col("hamming") <= 16)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- embedding-cosine near-dup within label block ----
+    sqlChecked("d5_embed_neardup",
+      """WITH base AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_dot_product(a.v, b.v) /
+        |    (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
+        |    6) AS cos
+        |FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.embeddingNearDup(t(s, d, "embeddings"), col("vec_id"),
+          col("embedding"), col("label"), minCos = 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- brute-force cosine top-k against a fixed query vector ----
+    sqlChecked("sim_topk",
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        |           WHERE vec_id = 0),
+        |scored AS (SELECT vec_id,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+        |      (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                             CAST(embedding AS DOUBLE[])))
+        |       * SQRT(list_dot_product(qv, qv))) AS cos
+        |  FROM embeddings, q WHERE vec_id <> 0)
+        |SELECT vec_id AS id, ROUND(cos, 6) AS cos
+        |FROM scored ORDER BY cos DESC, id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+          col("vec_id"), col("embedding"), q, k = 10)
+        .select(col("id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("id"))
+    },
+
+    // ---- LSH-bucketed ANN: sign-plane bucket + in-bucket top-k ----
+    sqlChecked("sim_bucketed_ann",
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings),
+        |bucketed AS (SELECT vec_id, v,
+        |    (CASE WHEN list_sum(list_transform(range(0, len(v)),
+        |       i -> CASE WHEN (i // 1) % 2 = 0 THEN v[i + 1] ELSE -v[i + 1] END)) >= 0
+        |       THEN 1 ELSE 0 END)
+        |  + (CASE WHEN list_sum(list_transform(range(0, len(v)),
+        |       i -> CASE WHEN (i // 2) % 2 = 0 THEN v[i + 1] ELSE -v[i + 1] END)) >= 0
+        |       THEN 2 ELSE 0 END)
+        |  + (CASE WHEN list_sum(list_transform(range(0, len(v)),
+        |       i -> CASE WHEN (i // 3) % 2 = 0 THEN v[i + 1] ELSE -v[i + 1] END)) >= 0
+        |       THEN 4 ELSE 0 END) AS bucket
+        |  FROM base),
+        |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 3),
+        |scored AS (SELECT q_id, c.vec_id AS c_id,
+        |    list_dot_product(c.v, qv) /
+        |      (SQRT(list_dot_product(c.v, c.v)) * SQRT(list_dot_product(qv, qv))) AS cos
+        |  FROM bucketed c JOIN q USING (bucket) WHERE c.vec_id <> q_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, c_id, ROUND(cos, 6) AS cos, rn
+        |FROM ranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val res = Similarity.bucketedTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") < 3), col("vec_id"), col("embedding"),
+        planes = 3, k = 6)  // k=6 then drop self-match below
+      res.filter(col("c_id") =!= col("q_id"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("cos").desc, col("c_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // ---- language-ID heuristic (marker words, deterministic argmax) ----
+    sqlChecked("t_langid",
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |    len(list_filter(string_split($normSql, ' '),
+         |        w -> w IN ('the','and','of','to','in','is'))) AS s_en,
+         |    len(list_filter(string_split($normSql, ' '),
+         |        w -> w IN ('der','die','und','das','ist','ein'))) AS s_de,
+         |    len(list_filter(string_split($normSql, ' '),
+         |        w -> w IN ('le','la','et','les','des','un'))) AS s_fr
+         |  FROM documents)
+         |SELECT doc_id, lang AS lang_declared,
+         |  (SELECT l FROM (VALUES (s_en, 'en'), (s_de, 'de'), (s_fr, 'fr')) t(sc2, l)
+         |   ORDER BY sc2 DESC, l DESC LIMIT 1) AS lang_pred,
+         |  s_en, s_de, s_fr
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val markers = Seq(
+        "en" -> Seq("the", "and", "of", "to", "in", "is"),
+        "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+        "fr" -> Seq("le", "la", "et", "les", "des", "un"))
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"), col("lang").as("lang_declared"),
+          TextAnalysis.languageId(col("text"), markers).as("lang_pred"),
+          TextAnalysis.stopwordCount(col("text"), markers(0)._2).as("s_en"),
+          TextAnalysis.stopwordCount(col("text"), markers(1)._2).as("s_de"),
+          TextAnalysis.stopwordCount(col("text"), markers(2)._2).as("s_fr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- quality scoring: length/punct/stopword signals ----
+    sqlChecked("t_quality",
+      s"""WITH n AS (SELECT doc_id, text, $normSql AS norm FROM documents)
+         |SELECT doc_id,
+         |  LENGTH(text) AS n_chars_m,
+         |  LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 AS n_tokens,
+         |  ROUND(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?'']', '', 'g'))
+         |    AS DOUBLE) / GREATEST(LENGTH(text), 1), 8) AS punct_ratio,
+         |  ROUND(CAST(len(list_filter(string_split(norm, ' '),
+         |    w -> w IN ('the','and','of','to','in','is'))) AS DOUBLE)
+         |    / (LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1), 8) AS stop_ratio
+         |FROM n ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val norm = Dedup.normalize(col("text"))
+      val nTok = length(norm) - length(regexp_replace(norm, " ", "")) + 1
+      t(s, d, "documents").select(col("doc_id"),
+          length(col("text")).as("n_chars_m"),
+          nTok.as("n_tokens"),
+          round((length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?']", ""))).cast("double") /
+            greatest(length(col("text")), lit(1)), 8).as("punct_ratio"),
+          round(TextAnalysis.stopwordCount(col("text"),
+            Seq("the", "and", "of", "to", "in", "is")).cast("double") / nTok, 8)
+            .as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- token counting (whitespace) + corpus rollup ----
+    sqlChecked("t_tokens",
+      s"""WITH n AS (SELECT doc_id, lang, $normSql AS norm FROM documents)
+         |SELECT lang,
+         |  SUM(LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1) AS total_tokens,
+         |  ROUND(AVG(LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1), 6) AS avg_tokens,
+         |  COUNT(*) AS n_docs
+         |FROM n GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("tc"))
+        .groupBy(col("lang"))
+        .agg(sum(col("tc")).as("total_tokens"),
+          round(avg(col("tc")), 6).as("avg_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- document fingerprinting ----
+    sqlChecked("t_fingerprint",
+      s"""SELECT doc_id, SUBSTR(md5($normSql), 1, 16) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- multimodal: binary payload + partition-batched stub decode ----
+    rowsOnly("mm_decode") { (s, d) =>
+      val media = Multimodal.synthesize(t(s, d, "documents"),
+        col("doc_id"), col("text"), col("source"))
+      Multimodal.decode(media).orderBy(col("media_id"))
+    },
+
+    rowsOnly("mm_frames") { (s, d) =>
+      val media = Multimodal.synthesize(t(s, d, "documents"),
+        col("doc_id"), col("text"), col("source"))
+      Multimodal.sampleFrames(media, stride = 4).orderBy(col("media_id"), col("frame_idx"))
+    }
+  )
 }

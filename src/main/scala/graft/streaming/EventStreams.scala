@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming surface (SURVEY.md §2.10 extension — the
+  * reference is batch-only; the `events` table supports streaming
+  * analogues).
+  *
+  * Batch/stream parity: the same transform functions run over either a
+  * batch DataFrame or a readStream DataFrame, so the batch DuckDB
+  * oracles (ev_tumbling / ev_session) double as correctness checks for
+  * the streaming path — the spec replays the events table through a
+  * stream and compares with the batch result.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums with a watermark (append-capable). */
+  def tumbling(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .select(unix_timestamp(col("w.start")).as("win"), col("event_type"),
+        col("n"), col("v"))
+
+  final case class Ev(user_id: Long, tsMicros: Long, value: Double)
+  final case class SessionOut(user_id: Long, n_sessions: Int, n_events: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: counts sessions
+    * per user with a 30-minute inactivity gap. For the bounded test
+    * replay, state finalizes on stream end (batch parity). */
+  def sessionize(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col("user_id").cast("long"),
+      unix_micros(col("ts")).as("tsMicros"), col("value").cast("double"))
+      .as[Ev]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[List[Long]]) =>
+          val times = (state.getOption.getOrElse(Nil) ++ rows.map(_.tsMicros)).sorted
+          val gaps = times.zip(times.drop(1)).count { case (a, b) => b - a > 1800000000L }
+          state.update(times)
+          Iterator(SessionOut(uid, gaps + 1, times.length.toLong))
+      }.toDF()
+  }
+}
