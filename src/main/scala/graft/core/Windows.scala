@@ -32,8 +32,21 @@ object Windows {
       df: DataFrame,
       orderCols: Seq[Column],
       sums: Seq[(Column, String)],
-      numParts: Int = -1): DataFrame = {
+      numParts: Int = -1,
+      smallThreshold: Int = 20000): DataFrame = {
     val spark = df.sparkSession
+    // Small-input fast path: step tables that have already been
+    // tie-collapsed (distinct event times, monthly buckets, ...) are
+    // usually tiny; a single-partition window is then cheaper than the
+    // range-sampling + offset machinery. head(N+1) terminates early, so
+    // the probe costs one lightweight job, not a full count.
+    if (smallThreshold > 0 && df.head(smallThreshold + 1).length <= smallThreshold) {
+      val w = Window.orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return sums.foldLeft(df) { case (acc, (c, alias)) =>
+        acc.withColumn(alias, sum(c.cast("double")).over(w))
+      }
+    }
     val n = if (numParts > 0) numParts
             else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val ranged = df.repartitionByRange(n, orderCols: _*)

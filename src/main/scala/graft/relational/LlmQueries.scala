@@ -59,8 +59,8 @@ object LlmQueries {
 
     // ---- SimHash fingerprints + nearby-id Hamming pairs ----
     rowsOnly("d4_simhash") { (s, d) =>
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      val docs = Dedup.simhashes(t(s, d, "documents"), col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("simhash").as("sh"))
       val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
         (col("doc_id") / 20).cast("long").as("blk"))
       val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),

@@ -277,7 +277,7 @@ object StatQueries {
          |  ORDER BY t DESC LIMIT 1), 0.0), 8) AS cum_hzd
          |FROM probes ORDER BY t_star""".stripMargin) { (s, d) =>
       val steps = graft.hazard.DiscreteHazard.steps(survFrame(s, d),
-        col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")))
+        col("t"), col("d"), col("w"), exp(lit(0.1) * col("x"))).persist()
       val cum = graft.hazard.DiscreteHazard.cumulative(steps)
       AsOf.lookup(cum, col("t"), col("cum_hzd"), Seq(5.0, 15.0, 25.0, 35.0, 45.0))
         .select(col("t_star"), round(col("value"), 8).as("cum_hzd"))
@@ -326,7 +326,7 @@ object StatQueries {
           (col("l_discount") * 10).cast("double").as("x"))
       val ar = graft.hazard.DiscreteHazard.steps(sampFiltered,
           col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")))
-        .select(col("t"), col("ar"))
+        .select(col("t"), col("ar")).persist()
       graft.hazard.GailHazard.at(lstar, ar, Seq(10.0, 25.0, 40.0, 55.0))
         .select(col("t_star"), round(col("cum_gail"), 8).as("cum_gail"))
         .orderBy(col("t_star"))

@@ -40,6 +40,14 @@ object CoxPH {
     def scoreResidual: Double = scoreNorm
   }
 
+  /** Project the iteration-invariant columns once (callers persist). */
+  def prepare(df: DataFrame, time: Column, event: Column, weight: Column,
+      features: Seq[Column]): DataFrame = {
+    val x = features.indices.map(j => features(j).cast("double").as(s"__x$j"))
+    df.select((Seq(time.cast("double").as("__t"),
+      event.cast("double").as("__d"), weight.cast("double").as("__w")) ++ x): _*)
+  }
+
   /** One score/information evaluation at fixed beta.
     * Returns (U: Array[p], I packed upper: Array[p(p+1)/2]). */
   def scoreAndInfo(
@@ -48,11 +56,12 @@ object CoxPH {
       event: Column,
       weight: Column,
       features: Seq[Column],
+      beta: Array[Double]): (Array[Double], Array[Double]) =
+    scoreAndInfoPrepared(prepare(df, time, event, weight, features),
+      features.length, beta)
+
+  def scoreAndInfoPrepared(base: DataFrame, p: Int,
       beta: Array[Double]): (Array[Double], Array[Double]) = {
-    val p = features.length
-    val x = features.indices.map(j => features(j).cast("double").as(s"__x$j"))
-    val base = df.select((Seq(time.cast("double").as("__t"),
-      event.cast("double").as("__d"), weight.cast("double").as("__w")) ++ x): _*)
 
     val eta = beta.zipWithIndex.map { case (b, j) => col(s"__x$j") * lit(b) }
       .foldLeft(lit(0.0): Column)(_ + _)
@@ -99,13 +108,15 @@ object CoxPH {
       maxIter: Int = 25,
       tol: Double = 1e-9): Fit = {
     val p = features.length
+    val base = prepare(df, time, event, weight, features)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val beta = new Array[Double](p)
     var iter = 0
     var converged = false
     var lastInfo = new Array[Double](p * (p + 1) / 2)
     var lastScoreNorm = Double.MaxValue
     while (iter < maxIter && !converged) {
-      val (u, info) = scoreAndInfo(df, time, event, weight, features, beta)
+      val (u, info) = scoreAndInfoPrepared(base, p, beta)
       lastInfo = info
       lastScoreNorm = u.map(math.abs).sum
       val step = LinAlg.solvePacked(p, info, u)
@@ -119,6 +130,7 @@ object CoxPH {
       iter += 1
       converged = maxStep < tol
     }
+    base.unpersist(blocking = false)
     Fit(beta, iter, converged, lastInfo, lastScoreNorm)
   }
 }

@@ -90,6 +90,7 @@ object WeightedGLM {
     import spark.implicits._
     val ds = df.select(features.cast("array<double>"), label.cast("double"), weight.cast("double"))
       .as[(Seq[Double], Double, Double)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     var beta = new Array[Double](p)
     var iter = 0
@@ -111,6 +112,7 @@ object WeightedGLM {
       iter += 1
       converged = maxStep < tol
     }
+    ds.unpersist(blocking = false)
     Fit(beta, iter, converged, lastHessian)
   }
 

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge to the `private[sql]` Column ↔ Expression converters —
+  * the standard pattern for libraries that ship custom Catalyst
+  * expressions against classic Spark (the public sql-api Column carries
+  * a ColumnNode, not an Expression).
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
