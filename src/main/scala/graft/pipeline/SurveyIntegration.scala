@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import graft.core.FeatureArray
+import graft.hazard.{AbsoluteRisk, Breslow, DiscreteHazard, GailHazard}
+import graft.stats.{CoxPH, Kernels, WeightedGLM}
+import graft.weights.{Composite, Greg, Ipsw, KernelWeights, PostStratify}
+import graft.variance.Jackknife
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The reference's end-to-end data-integration workflow (SURVEY.md §3)
+  * as a composable Spark API: stack cohort ∪ survey, fit the propensity
+  * model, construct IPSW/KW pseudo-weights, calibrate, run the
+  * design-weighted estimator battery (Cox β, cumulative hazard Λ(t*),
+  * Gail ΛG(t*), absolute risk), and jackknife the whole battery.
+  *
+  * Mirrors `simu_fun` (simu_fun.R:17-116), `ps.model.fit`
+  * (taylor_deviate.R:3-36), `est_out` (jk_fun.R:1-22) and `jk_fun`
+  * (jk_fun.R:279-387) — re-expressed as DataFrame dataflow: the stacked
+  * sample is persisted once; every model fit is an aggregate loop; the
+  * jackknife uses the vectorized replicate dimension.
+  */
+object SurveyIntegration {
+
+  /** Stack cohort (trt=1, w=1) ∪ survey (trt=0, w=design weight) —
+    * simu_fun.R:22-25. Cohort design weight column is carried if given. */
+  def stack(cohort: DataFrame, survey: DataFrame, surveyWt: Column): DataFrame = {
+    val c = cohort.withColumn("trt", lit(1)).withColumn("w", lit(1.0))
+    val s = survey.withColumn("trt", lit(0)).withColumn("w", surveyWt.cast("double"))
+    c.unionByName(s, allowMissingColumns = true)
+  }
+
+  final case class PsModel(fit: WeightedGLM.Fit, features: Seq[String]) {
+    def score(df: DataFrame): Column =
+      FeatureArray.dot(FeatureArray.withIntercept(features.map(col)), fit.coefficients)
+  }
+
+  /** Weighted logistic propensity model for cohort membership on the
+    * stacked sample (ps.model.fit). */
+  def propensityModel(stacked: DataFrame, featureCols: Seq[String],
+      weight: Column = col("w")): PsModel = {
+    val feats = FeatureArray.withIntercept(featureCols.map(col))
+    val fit = WeightedGLM.logistic(stacked, feats, col("trt"), weight,
+      p = featureCols.length + 1)
+    PsModel(fit, featureCols)
+  }
+
+  /** Cohort frame + `ipsw` column (M4): exp(−x'γ)/a. */
+  def withIpsw(cohort: DataFrame, ps: PsModel, a: Double = 1.0): DataFrame =
+    cohort.withColumn("ipsw", Ipsw.fromLinearPredictor(ps.score(cohort), a))
+
+  /** Cohort frame + `kw` column (M5): kernel-smoothed pseudo-weights
+    * with bw.nrd0 bandwidth on the pooled scores. */
+  def withKw(cohort: DataFrame, survey: DataFrame, surveyWt: Column,
+      ps: PsModel, idCol: String, kernel: String = "gaussian"): DataFrame = {
+    val cScored = cohort.withColumn("__q", ps.score(cohort))
+    val sScored = survey.withColumn("__q", ps.score(survey))
+    val h = Kernels.bwNrd0(cScored.select(col("__q").as("q"))
+      .unionByName(sScored.select(col("__q").as("q"))), col("q"))
+    val kw = KernelWeights.compute(
+      sScored, col(idCol), col("__q"), surveyWt,
+      cScored, col(idCol), col("__q"),
+      h = h, kernel = Kernels.byName(kernel))
+    cohort.join(kw.withColumnRenamed("c_id", idCol), Seq(idCol))
+  }
+
+  final case class Battery(
+      beta: Array[Double],
+      converged: Boolean,
+      scoreResidual: Double,
+      lambdaAt: Map[Double, Double],
+      gailAt: Map[Double, Double],
+      absRiskAt: Map[Double, Double])
+
+  /** The per-weight estimator battery (est_out): weighted Cox fit,
+    * Breslow Λ(t*), Gail ΛG(t*) vs a population hazard, absolute risk.
+    */
+  def estimatorBattery(samp: DataFrame, time: Column, event: Column,
+      weight: Column, featureCols: Seq[String], tStar: Seq[Double],
+      popLambda: Option[DataFrame] = None, eta0: Double = 0.0): Battery = {
+    val feats = featureCols.map(col)
+    val fit = CoxPH.fit(samp, time, event, weight, feats)
+    val rel = exp(feats.zip(fit.coefficients).map { case (c, b) => c * lit(b) }
+      .foldLeft(lit(0.0): Column)(_ + _))
+    val cum = Breslow.cumulativeHazardAt(samp, time, event, weight, rel, tStar)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val gail = popLambda match {
+      case Some(ls) =>
+        val ar = DiscreteHazard.steps(samp, time, event, weight, rel)
+          .select(col("t"), col("ar"))
+        GailHazard.at(ls, ar, tStar).collect()
+          .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      case None => Map.empty[Double, Double]
+    }
+    val abs = cum.map { case (t, ch) =>
+      t -> (1.0 - math.exp(-ch * math.exp(eta0)))
+    }
+    Battery(fit.coefficients, fit.converged, fit.scoreResidual, cum, gail, abs)
+  }
+
+  /** GREG-calibrate a combined frame's weight to population auxiliary
+    * totals, then rerun the battery with the calibrated weight
+    * (calib_est, jk_fun.R:24-78 without the influence plumbing). */
+  def calibratedBattery(comDat: DataFrame, time: Column, event: Column,
+      weight: Column, auxCols: Seq[String], auxTotals: Array[Double],
+      featureCols: Seq[String], tStar: Seq[Double]): Battery = {
+    val feats = FeatureArray.withIntercept(auxCols.map(col))
+    val cald = Greg.calibrate(comDat, feats, weight, auxTotals)
+    estimatorBattery(cald, time, event, col("greg_wt"), featureCols, tStar)
+  }
+
+  /** Delete-a-group jackknife of a scalar estimator over the replicate
+    * dimension: ONE shuffle computes all m replicate estimates
+    * (vectorized, not m sequential jobs). The estimator must be
+    * expressible as an aggregation over (value, weight) — covers
+    * weighted means/totals/ratios (jk_var, jk_fun.R:376-385). */
+  def jackknifeMean(df: DataFrame, y: Column, weight: Column, groupKey: Column,
+      m: Int): (Double, Double) = {
+    val rep = Jackknife.replicated(
+      df.select(y.as("__y"), weight.cast("double").as("__w"), groupKey.as("__g")),
+      col("__g"), col("__w"), m)
+    val est = rep.groupBy(col("jk_r"))
+      .agg((sum(col("jk_wt") * col("__y")) /
+        when(sum(col("jk_wt")) =!= 0.0, sum(col("jk_wt")))).as("theta"))
+      .persist()
+    val theta = df.agg(sum(weight.cast("double") * y) / sum(weight.cast("double")))
+      .head().getDouble(0)
+    val v = Jackknife.variance(est, col("theta"), m).head().getDouble(0)
+    est.unpersist(blocking = false)
+    (theta, v)
+  }
+
+  /** Composite-weight blend of cohort pseudo-weights with survey design
+    * weights before joint calibration (jk_fun.R:136-139). */
+  def blendWeights(stacked: DataFrame, cohortWt: Column, surveyWt: Column): DataFrame = {
+    val alloc = Composite.allocation(
+      stacked.filter(col("trt") === 1), cohortWt,
+      stacked.filter(col("trt") === 0), surveyWt)
+    Composite.blend(stacked, col("trt"), cohortWt, surveyWt, alloc)
+  }
+}

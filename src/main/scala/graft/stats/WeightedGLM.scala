@@ -84,7 +84,7 @@ object WeightedGLM {
       label: Column,
       weight: Column,
       p: Int,
-      maxIter: Int = 25,
+      maxIter: Int = 50,
       tol: Double = 1e-9): Fit = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -1,0 +1,81 @@
+package graft.variance
+
+import graft.core.{AsOf, LinAlg, Windows}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Per-unit Cox-score influence deviates (SURVEY.md M13) — the
+  * reference's `beta_pw.cox` (taylor_deviate.R:601-742, no-post path).
+  *
+  * The reference loops over event times accumulating an n×p matrix
+  * (U_w_2). Algebraically the loop collapses to the martingale-residual
+  * form, which is what the engine computes — O(n) distributed, never an
+  * n×|events| intermediate:
+  *
+  *   Ui_j = d_i·(x_ij − S1_j(t_i)/S0(t_i))
+  *        − rh_i·(x_ij·G0(t_i) − G1_j(t_i))
+  *   G0(t)   = Σ_{events u ≤ t} wd_u / S0(u)
+  *   G1_j(t) = Σ_{events u ≤ t} wd_u · S1_j(u) / S0(u)²
+  *
+  * Pipeline: tie-collapse groupBy(t) → suffix scan (S0, S1) → event-time
+  * prefix scan (G0, G1) → join S/G values back to unit rows by t (S at
+  * t_i is exact; G is a step function evaluated at t_i, which for the
+  * risk-set structure equals the value at t_i since every t_i is in the
+  * step table). The β deviates are Δ_i = I⁻¹·Ui — a constant p×p
+  * driver-side matrix applied as codegen'd expressions.
+  */
+object CoxInfluence {
+
+  /** Returns the input frame + per-unit score columns `ui_0..ui_{p-1}`
+    * and β-deviate columns `dbeta_0..dbeta_{p-1}`. */
+  def deviates(
+      df: DataFrame,
+      time: Column, event: Column, weight: Column,
+      features: Seq[Column],
+      beta: Array[Double],
+      infoPacked: Array[Double]): DataFrame = {
+    val p = features.length
+    val x = features.indices.map(j => features(j).cast("double").as(s"__x$j"))
+    val base = df.select((Seq(time.cast("double").as("__t"),
+      event.cast("double").as("__d"), weight.cast("double").as("__w")) ++ x): _*)
+      .withColumn("__rh", exp(
+        beta.zipWithIndex.map { case (b, j) => col(s"__x$j") * lit(b) }
+          .foldLeft(lit(0.0): Column)(_ + _)))
+
+    // tie-collapse + risk-set suffix sums
+    val aggExprs = Seq(
+      sum(col("__w") * col("__rh")).as("s0g"),
+      sum(when(col("__d") === 1.0, col("__w")).otherwise(0.0)).as("wd")) ++
+      (0 until p).map(j => sum(col("__w") * col("__rh") * col(s"__x$j")).as(s"s1g$j"))
+    val grouped = base.groupBy(col("__t")).agg(aggExprs.head, aggExprs.tail: _*)
+    val scanCols = (col("s0g") -> "S0") +:
+      (0 until p).map(j => col(s"s1g$j") -> s"S1$j")
+    val withS = Windows.scan(grouped, Seq(col("__t").desc), scanCols)
+
+    // event-time prefix sums G0, G1_j (zero increment at non-event times
+    // keeps every t in the step table for the back-join)
+    val gCols = (when(col("wd") > 0, col("wd") / col("S0")).otherwise(0.0) -> "G0") +:
+      (0 until p).map(j =>
+        (when(col("wd") > 0, col("wd") * col(s"S1$j") / (col("S0") * col("S0")))
+          .otherwise(0.0)) -> s"G1$j")
+    val steps = Windows.scan(withS, Seq(col("__t")), gCols)
+      .select((col("__t") +: col("S0") +:
+        (0 until p).map(j => col(s"S1$j")) ++:
+        col("G0") +: (0 until p).map(j => col(s"G1$j"))): _*)
+
+    // join S/G back to unit rows by exact t (every t_i is in steps)
+    val joined = base.join(steps, Seq("__t"))
+
+    val ui = (0 until p).map { j =>
+      (col("__d") * (col(s"__x$j") - col(s"S1$j") / col("S0")) -
+        col("__rh") * (col(s"__x$j") * col("G0") - col(s"G1$j"))).as(s"ui_$j")
+    }
+    val withUi = joined.select((joined.columns.map(col).toSeq ++ ui): _*)
+
+    val iinv = LinAlg.inverse(LinAlg.unpack(p, infoPacked))
+    val dbeta = (0 until p).map { r =>
+      (0 until p).map(j => lit(iinv(r, j)) * col(s"ui_$j")).reduce(_ + _).as(s"dbeta_$r")
+    }
+    withUi.select((withUi.columns.map(col).toSeq ++ dbeta): _*)
+  }
+}
