@@ -1,0 +1,126 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (3L, "completely different content about spark query engines and data pipelines"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (5L, "unrelated text mentioning neither foxes nor dogs just numbers one two three")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps smallest id") {
+    val r = Dedup.exact(docs, col("doc_id"), col("text"))
+      .orderBy("id").collect()
+    val byId = r.map(x => x.getLong(0) -> (x.getLong(2), x.getBoolean(3))).toMap
+    assert(byId(1L) == (2L, true))   // doc 1 & 4 identical; 1 kept
+    assert(byId(4L) == (2L, false))
+    assert(byId(2L) == (1L, true))
+    assert(byId(3L) == (1L, true))
+  }
+
+  test("MinHash-LSH finds the near-duplicate pair, not the unrelated ones") {
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), s"exact dup must be found: $pairs")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)),
+      s"near dup (1,2) should be found: $pairs")
+    assert(!pairs.contains((3L, 5L)), "unrelated docs must not pair")
+  }
+
+  test("MinHash Jaccard estimate tracks exact Jaccard") {
+    val exact = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), lit(1), k = 1)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .head().getDouble(2)
+    val est = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        shingleK = 1, numHashes = 64, bands = 32, threshold = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .head().getDouble(2)
+    assert(math.abs(est - exact) < 0.25, s"est=$est exact=$exact")
+  }
+
+  test("SimHash: identical docs distance 0; near-dups close; unrelated far") {
+    val sh = Dedup.simhashes(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(4L)) == 0)
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)),
+      "near-dup should be closer than unrelated")
+  }
+
+  test("brute-force top-k: self-similarity 1, ordering correct") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)), (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      Array(1.0, 0.0, 0.0), k = 3).collect()
+    assert(top(0).getLong(0) == 1L && math.abs(top(0).getDouble(1) - 1.0) < 1e-12)
+    assert(top(1).getLong(0) == 2L)
+    assert(top(2).getLong(0) == 3L)
+  }
+
+  test("bucketed ANN recalls same-bucket exact matches") {
+    val emb = (0 until 100).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.bucketedTopK(emb, col("vec_id"), col("embedding"),
+      emb.filter(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      planes = 2, k = 3)
+    // every query's top hit is itself (cos = 1)
+    val tops = res.filter(col("rn") === 1).collect()
+    tops.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0), "rank-1 should be the query itself")
+      assertNear(r.getDouble(2), 1.0, 1e-9)
+    }
+  }
+
+  test("language-ID picks the language with most marker hits") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "le chat et la maison des amis")
+    ).toDF("doc_id", "text")
+    val markers = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "de" -> Seq("der", "und", "die", "ist", "ein"),
+      "fr" -> Seq("le", "et", "la", "des"))
+    val r = d.select(col("doc_id"),
+        TextAnalysis.languageId(col("text"), markers).as("lang"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr"), r.toString)
+  }
+
+  test("multimodal: synthesize→decode roundtrip is deterministic, schema typed") {
+    val media = Multimodal.synthesize(docs, col("doc_id"), col("text"), lit("src"))
+    assert(media.schema("payload").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+    val dec1 = Multimodal.decode(media).orderBy("media_id").collect()
+    val dec2 = Multimodal.decode(media).orderBy("media_id").collect()
+    assert(dec1.sameElements(dec2), "decode must be deterministic")
+    assert(dec1.length == 5)
+    // kinds cycle by id
+    val kinds = dec1.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set("image", "audio", "video").contains(kinds(1L)))
+    // video rows produce frames
+    val frames = Multimodal.sampleFrames(media, stride = 2)
+    assert(frames.count() > 0)
+  }
+
+  test("token counting and fingerprints are stable") {
+    val r = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getString(2)))
+    assert(r.find(_._1 == 1L).get._2 == 14)
+    assert(r.find(_._1 == 1L).get._3 == r.find(_._1 == 4L).get._3,
+      "identical docs share fingerprints")
+    assert(r.map(_._3).forall(_.length == 16))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.SparkEntry
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the 100-TB design contract
+  * (SURVEY.md §4): filters/projections must reach the parquet scan,
+  * dimension joins must broadcast, the kernel cross join must be a
+  * broadcast nested loop, and hot expressions must stay inside
+  * whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize any AdaptiveSparkPlan before inspecting
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s1_scan: predicate + projection pushed into the parquet scan") {
+    val p = plan("s1_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema") &&
+      !p.contains("l_extendedprice"), "projection not pruned")
+  }
+
+  test("j_multiway: dimension joins broadcast, no shuffle of nation/region") {
+    val p = plan("j_multiway")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+  }
+
+  test("j2_kernel_cross: broadcast nested loop — linear in the big side") {
+    val p = plan("j2_kernel_cross")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+  }
+
+  test("o1_topk plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("o1_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q1_agg runs inside whole-stage codegen with partial aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "codegen missing (no WholeStageCodegen node or *(n) stage marker)")
+    assert(p.contains("HashAggregate"), "hash aggregate missing")
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("sim_topk: custom cosine expression compiles into codegen + TakeOrdered") {
+    val df = SparkEntry.queries("sim_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cosinesim") || p.contains("CosineSim") || p.contains("graft"),
+      s"custom expression not in plan:\n$p")
+    // and it must still evaluate correctly end-to-end
+    assert(df.count() == 10)
+  }
+
+  test("j7_semi_anti: semi/anti join operators selected") {
+    val p = plan("j7_semi_anti")
+    assert(p.contains("LeftSemi"), "semi join missing")
+    assert(p.contains("LeftAnti"), "anti join missing")
+  }
+
+  test("m15_pps: PPS draw plans as per-partition top-n (TakeOrdered)") {
+    val p = plan("m15_pps")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.Tables
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Batch/stream parity (SURVEY.md §2.10): the same transforms run over
+  * a readStream replay of the events table and must agree with the
+  * batch result — which is itself DuckDB-oracle-checked (ev_tumbling).
+  */
+class StreamingSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming tumbling-window aggregation matches the batch result") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = EventStreams.tumbling(batchEvents)
+      .orderBy("win", "event_type").collect()
+
+    // replay the same parquet as a bounded stream
+    val schema = batchEvents.schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val q = EventStreams.tumbling(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_tumbling_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("graft_tumbling_out")
+      .orderBy("win", "event_type").collect()
+    assert(got.length == expected.length,
+      s"stream rows ${got.length} != batch ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
+  test("stateful sessionization counts sessions per user") {
+    val batchEvents = Tables.events(spark, sf)
+    // batch expectation: lag/gap session counting (oracle-checked shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val expected = batchEvents
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id")).agg(sum(col("new_s")).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val schema = batchEvents.schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val q = EventStreams.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessions_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("graft_sessions_out")
+      .groupBy("user_id").agg(max("n_sessions").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(got == expected, s"stream=$got batch=$expected")
+  }
+}
