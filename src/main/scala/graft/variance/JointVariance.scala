@@ -1,0 +1,70 @@
+package graft.variance
+
+import breeze.linalg.DenseMatrix
+import graft.core.LinAlg
+import graft.stats.WeightedGLM
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Joint (β, γ) variance propagation (SURVEY.md M13) — the reference's
+  * `eta_w` block (taylor_deviate.R:471-496): the Cox β was fit with
+  * pseudo-weights that themselves depend on the estimated propensity
+  * coefficients γ, so β's influence function picks up a correction
+  * through ∂w/∂γ:
+  *
+  *   Δβ_i(total) = Δβ_i(direct) + B · Δγ_i,
+  *   B = I_β⁻¹ · ∂U_β/∂γ,   [∂U_β/∂γ]_{jm} = Σ_i (∂U_j/∂w_i)(∂w_i/∂γ_m)
+  *
+  * For IPSW weights ∂w_i/∂γ_m = −w_i·x^{ps}_im (taylor_deviate.R:64).
+  * ∂U_j/∂w_i is exactly the per-unit Cox score influence `ui_j`
+  * (CoxInfluence), so the cross-derivative is ONE distributed aggregate
+  * over the deviate frame — the p×q matrix collects to the driver, the
+  * correction applies as codegen'd expressions. No n×n object anywhere
+  * (the reference's own constraint, taylor_deviate.R:975).
+  */
+object JointVariance {
+
+  /** @param devFrame   output of CoxInfluence.deviates on the COHORT
+    *                   frame (carries ui_j and the pseudo-weight column)
+    * @param psWeight   the pseudo-weight column (w_i)
+    * @param psFeatures the propensity design columns x^{ps}_m (length q)
+    * @param gammaDevs  per-unit γ-deviate columns on the same frame
+    *                   (length q, from Influence.logisticDeviates
+    *                   restricted to this frame's rows)
+    * @param infoPacked Cox information at β̂ (packed upper triangle)
+    * @return devFrame + corrected columns `dbeta_tot_0..p-1`
+    */
+  def ipswCorrectedDeviates(
+      devFrame: DataFrame,
+      p: Int,
+      psWeight: Column,
+      psFeatures: Seq[Column],
+      gammaDevs: Seq[Column],
+      infoPacked: Array[Double]): DataFrame = {
+    val q = psFeatures.length
+    // cross derivative D[j][m] = Σ_i ui_j · (−w_i · x_im)
+    val exprs = for (j <- 0 until p; mIdx <- 0 until q) yield
+      sum(col(s"ui_$j") * (-psWeight.cast("double") * psFeatures(mIdx)))
+        .as(s"d${j}_$mIdx")
+    val row = devFrame.agg(exprs.head, exprs.tail: _*).head()
+    val d = DenseMatrix.tabulate(p, q)((j, mIdx) => row.getDouble(j * q + mIdx))
+    val b = LinAlg.inverse(LinAlg.unpack(p, infoPacked)) * d
+
+    val corrected = (0 until p).map { j =>
+      val corr = (0 until q).map(mIdx => lit(b(j, mIdx)) * gammaDevs(mIdx))
+        .foldLeft(lit(0.0): Column)(_ + _)
+      (col(s"dbeta_$j") + corr).as(s"dbeta_tot_$j")
+    }
+    devFrame.select((devFrame.columns.map(col).toSeq ++ corrected): _*)
+  }
+
+  /** PPS variance of the corrected β deviates: n·cov over units, per
+    * coefficient pair (taylor_deviate.R:490). Returns packed upper p×p. */
+  def ppsVariance(devFrame: DataFrame, p: Int, prefix: String = "dbeta_tot_"): Array[Double] = {
+    val exprs = for (j <- 0 until p; k <- j until p)
+      yield (covar_samp(col(s"$prefix$j"), col(s"$prefix$k")) * count(lit(1)))
+        .as(s"v${j}_$k")
+    val row = devFrame.agg(exprs.head, exprs.tail: _*).head()
+    exprs.indices.map(row.getDouble).toArray
+  }
+}
