@@ -1,0 +1,95 @@
+package graft
+
+import graft.core.FeatureArray
+import graft.stats.Kernels
+import graft.weights.{Greg, KernelWeights}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests from SURVEY.md §5(d): structural invariants the
+  * reference guarantees by construction, checked over generated inputs
+  * (raw ScalaCheck generators with fixed seeds — deterministic). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val rowGen = Gen.listOfN(12,
+    Gen.zip(Gen.choose(-5.0, 5.0), Gen.choose(-5.0, 5.0), Gen.choose(0.5, 10.0)))
+
+  test("Σ kw = Σ survey wt for any scores/weights/bandwidth (simu_fun.R:186-189)") {
+    for ((rows, h) <- samples(Gen.zip(rowGen, Gen.choose(0.1, 3.0)), 5)) {
+      val survey = rows.zipWithIndex
+        .map { case ((q, _, w), i) => (i.toLong, q, w) }.toDF("id", "q", "wt")
+      val cohort = rows.zipWithIndex
+        .map { case ((_, q, _), i) => (i.toLong + 1000, q) }.toDF("id", "q")
+      val kw = KernelWeights.compute(survey, col("id"), col("q"), col("wt"),
+        cohort, col("id"), col("q"), h, Kernels.gaussian)
+      val sumKw = kw.agg(sum("kw")).head().getDouble(0)
+      val sumWt = rows.map(_._3).sum
+      assert(math.abs(sumKw - sumWt) < 1e-8 * math.max(1.0, sumWt),
+        s"h=$h sumKw=$sumKw sumWt=$sumWt")
+    }
+  }
+
+  test("GREG calibration reproduces arbitrary attainable totals exactly") {
+    for (rows <- samples(rowGen, 5) if rows.map(_._1).distinct.length >= 2) {
+      val df = rows.zipWithIndex
+        .map { case ((x, _, w), i) => (i.toLong, x, w) }.toDF("id", "x", "w")
+      val cur = df.agg(sum("w"), sum(col("w") * col("x"))).head()
+      val targets = Array(cur.getDouble(0) * 1.07, cur.getDouble(1) * 0.93 + 0.5)
+      val feats = FeatureArray.withIntercept(Seq(col("x")))
+      val cal = Greg.calibrate(df, feats, col("w"), targets, clip = -1e18)
+      val got = cal.agg(sum("greg_wt"), sum(col("greg_wt") * col("x"))).head()
+      assert(math.abs(got.getDouble(0) - targets(0)) <
+        1e-7 * math.max(1.0, math.abs(targets(0))))
+      assert(math.abs(got.getDouble(1) - targets(1)) <
+        1e-7 * math.max(1.0, math.abs(targets(1))))
+    }
+  }
+
+  test("calibrated weights respect the clip floor") {
+    for (rows <- samples(rowGen, 5) if rows.map(_._1).distinct.length >= 2) {
+      val df = rows.zipWithIndex
+        .map { case ((x, _, w), i) => (i.toLong, x, w) }.toDF("id", "x", "w")
+      val cur = df.agg(sum("w"), sum(col("w") * col("x"))).head()
+      val targets = Array(cur.getDouble(0) * 0.5, cur.getDouble(1) * 1.5)
+      val feats = FeatureArray.withIntercept(Seq(col("x")))
+      val cal = Greg.calibrate(df, feats, col("w"), targets, clip = 1e-5)
+      val minW = cal.agg(min("greg_wt")).head().getDouble(0)
+      assert(minW >= 1e-5 - 1e-15)
+    }
+  }
+
+  test("jackknife variance is non-negative for any grouping") {
+    for ((m, ys) <- samples(
+        Gen.zip(Gen.choose(2, 6), Gen.listOfN(20, Gen.choose(-10.0, 10.0))), 5)) {
+      val df = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }.toDF("id", "y")
+      val rep = graft.variance.Jackknife.replicated(df,
+        (col("id") % m).cast("int"), lit(1.0), m)
+      val est = rep.groupBy(col("jk_r"))
+        .agg((sum(col("jk_wt") * col("y")) /
+          when(sum(col("jk_wt")) =!= 0.0, sum(col("jk_wt")))).as("theta"))
+      val v = graft.variance.Jackknife.variance(est, col("theta"), m)
+        .head().getDouble(0)
+      assert(v >= 0.0)
+    }
+  }
+
+  test("deterministic RNG: uniform in (0,1), reproducible, salt-decorrelated") {
+    val df = spark.range(1, 2001).toDF("id")
+    val r = df.select(
+      min(graft.core.Rng.uniform(col("id"), 1)).as("mn"),
+      max(graft.core.Rng.uniform(col("id"), 1)).as("mx"),
+      avg(graft.core.Rng.uniform(col("id"), 1)).as("m1"),
+      avg(graft.core.Rng.uniform(col("id"), 2)).as("m2"),
+      corr(graft.core.Rng.uniform(col("id"), 1),
+        graft.core.Rng.uniform(col("id"), 2)).as("c")).head()
+    assert(r.getDouble(0) > 0.0 && r.getDouble(1) < 1.0)
+    assert(math.abs(r.getDouble(2) - 0.5) < 0.03)
+    assert(math.abs(r.getDouble(3) - 0.5) < 0.03)
+    assert(math.abs(r.getDouble(4)) < 0.08)
+  }
+}
