@@ -1,0 +1,168 @@
+package graft.relational
+
+import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Second relational batch: the long tail of the extended surface —
+  * cube/grouping sets, navigation windows, regex extraction, correlated
+  * subqueries, TPC-H-style date-filtered join-agg-topk, distinct
+  * aggregates, array operations.
+  */
+object RelationalQueries2 {
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    sqlChecked("agg_cube",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    sqlChecked("w_lead_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS od,
+        |  COALESCE(CAST(epoch(LAG(o_orderdate) OVER w) AS BIGINT), 0) AS prev_od,
+        |  COALESCE(CAST(epoch(LEAD(o_orderdate) OVER w) AS BIGINT), 0) AS next_od,
+        |  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, od, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wq = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("od"),
+          coalesce(unix_timestamp(lag(col("o_orderdate"), 1).over(w)), lit(0L)).as("prev_od"),
+          coalesce(unix_timestamp(lead(col("o_orderdate"), 1).over(w)), lit(0L)).as("next_od"),
+          ntile(4).over(wq).as("quartile"))
+        .orderBy(col("o_custkey"), col("od"), col("o_orderkey"))
+    },
+
+    sqlChecked("f_regexp",
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          size(expr("regexp_extract_all(p_name, '[aeiou]', 0)")).as("n_vowels"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy(col("p_partkey"))
+    },
+
+    sqlChecked("j_exists_subquery",
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      t(s, d, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    sqlChecked("q3_shipping",
+      """SELECT l_orderkey,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS od
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem")
+          .filter(col("l_shipdate") > to_timestamp(lit("1996-06-30"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          unix_timestamp(col("o_orderdate")).as("od"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
+    sqlChecked("a_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_ord
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          countDistinct(col("l_orderkey")).as("n_ord"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    sqlChecked("f_array_ops",
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_el,
+        |  ROUND(list_sum(CAST(embedding AS DOUBLE[])), 5) AS el_sum,
+        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS el_max
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val v = col("embedding").cast("array<double>")
+      t(s, d, "embeddings").select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(v, 1), 6).as("first_el"),
+          round(aggregate(v, lit(0.0), _ + _), 5).as("el_sum"),
+          round(array_max(v), 6).as("el_max"))
+        .orderBy(col("vec_id"))
+    },
+
+    // first/last ordered aggregates (max_by/min_by)
+    sqlChecked("a_argmax",
+      """WITH r AS (SELECT c_nationkey, c_custkey,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |  MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS richest,
+        |  MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest
+        |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").groupBy(col("c_nationkey"))
+        .agg(max_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey")))
+            .as("richest"),
+          min_by(col("c_custkey"), struct(col("c_acctbal"), col("c_custkey")))
+            .as("poorest"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // conditional aggregation with FILTER clause
+    sqlChecked("a_filter_clause",
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS tot_o
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          round(coalesce(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))),
+            lit(0)), 2).as("tot_o"))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.core.{AsOf, Windows}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The two-phase distributed scan must agree exactly with the
+  * single-partition window on any input — exercised explicitly with
+  * smallThreshold=0 so the partitioned branch runs (the sf-test step
+  * tables are small enough that production calls take the fast path).
+  */
+class WindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data = {
+    val rng = new scala.util.Random(7)
+    (1 to 5000).map { i =>
+      (rng.nextDouble() * 100, rng.nextGaussian(), rng.nextDouble() - 0.5)
+    }.toDF("t", "a", "b")
+  }
+
+  test("distributed prefix scan == single-partition window (multi-column)") {
+    val df = data
+    val got = Windows.scan(df, Seq(col("t")),
+        Seq(col("a") -> "ca", col("b") -> "cb"), smallThreshold = 0)
+      .orderBy("t").select("t", "ca", "cb").collect()
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .orderBy("t").select("t", "ca", "cb").collect()
+    got.zip(want).foreach { case (g, e) =>
+      assertNear(g.getDouble(1), e.getDouble(1), 1e-9)
+      assertNear(g.getDouble(2), e.getDouble(2), 1e-9)
+    }
+  }
+
+  test("distributed suffix scan == single-partition window (desc)") {
+    val df = data
+    val got = Windows.scan(df, Seq(col("t").desc),
+        Seq(col("a") -> "ra"), smallThreshold = 0)
+      .orderBy("t").select("t", "ra").collect()
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("ra", sum(col("a")).over(w))
+      .orderBy("t").select("t", "ra").collect()
+    got.zip(want).foreach { case (g, e) =>
+      assertNear(g.getDouble(1), e.getDouble(1), 1e-9)
+    }
+  }
+
+  test("partitioned LOCF == single-partition LOCF") {
+    val rng = new scala.util.Random(13)
+    val df = (1 to 3000).map { i =>
+      (i.toDouble,
+        if (rng.nextDouble() < 0.3) Some(rng.nextGaussian()) else None,
+        if (rng.nextDouble() < 0.1) Some(rng.nextDouble()) else None)
+    }.toDF("t", "u", "v")
+    val got = AsOf.locfPartitioned(df, col("t"), Seq("u", "v"), numParts = 16)
+      .orderBy("t").collect()
+    val want = AsOf.locf(df, col("t"), Seq("u", "v")).orderBy("t").collect()
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.isNullAt(1) == e.isNullAt(1), s"null mismatch at t=${g.getDouble(0)}")
+      if (!g.isNullAt(1)) assertNear(g.getDouble(1), e.getDouble(1), 1e-12)
+      assert(g.isNullAt(2) == e.isNullAt(2))
+      if (!g.isNullAt(2)) assertNear(g.getDouble(2), e.getDouble(2), 1e-12)
+    }
+  }
+
+  test("as-of lookup: exact boundary semantics (value at greatest t <= probe)") {
+    val steps = Seq((1.0, 10.0), (2.0, 20.0), (5.0, 50.0)).toDF("t", "v")
+    val got = AsOf.lookup(steps, col("t"), col("v"), Seq(0.5, 1.0, 3.0, 5.0, 9.0))
+      .orderBy("t_star").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0.5 -> 0.0, 1.0 -> 10.0, 3.0 -> 20.0, 5.0 -> 50.0, 9.0 -> 50.0))
+  }
+}
