@@ -40,11 +40,15 @@ object Windows {
     // usually tiny; a single-partition window is then cheaper than the
     // range-sampling + offset machinery. head(N+1) terminates early, so
     // the probe costs one lightweight job, not a full count.
-    if (smallThreshold > 0 && df.head(smallThreshold + 1).length <= smallThreshold) {
-      val w = Window.orderBy(orderCols: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      return sums.foldLeft(df) { case (acc, (c, alias)) =>
-        acc.withColumn(alias, sum(c.cast("double")).over(w))
+    if (smallThreshold > 0) {
+      // cache before probing so the probe's upstream shuffle is paid once
+      val cached = df.persist()
+      if (cached.head(smallThreshold + 1).length <= smallThreshold) {
+        val w = Window.orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return sums.foldLeft(cached) { case (acc, (c, alias)) =>
+          acc.withColumn(alias, sum(c.cast("double")).over(w))
+        }
       }
     }
     val n = if (numParts > 0) numParts

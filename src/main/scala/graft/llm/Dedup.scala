@@ -35,10 +35,13 @@ object Dedup {
   /** Word k-shingles of the normalized text. */
   def shingles(text: Column, k: Int): Column = {
     val words = split(normalize(text), " ")
-    // sliding k-grams via transform over indices — codegen'd, no UDF
-    val n = size(words)
-    array_distinct(transform(sequence(lit(0), greatest(n - k, lit(0))),
-      i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+    if (k == 1) array_distinct(words)
+    else {
+      // sliding k-grams via transform over indices
+      val n = size(words)
+      array_distinct(transform(sequence(lit(0), greatest(n - k, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+    }
   }
 
   /** MinHash signatures for a whole corpus: explode shingles to long
@@ -57,8 +60,26 @@ object Dedup {
     // permutations h_i = (a_i·h + b_i) mod p — the standard MinHash
     // construction; avoids numHashes string hashes per shingle.
     val P = 2147483647L
-    val exploded = df.select(id.as("id"),
-        explode(shingles(text, shingleK)).as("sh"))
+    // shingling + hashing is CPU-bound: spread input rows across cores
+    // first (a small-file parquet scan otherwise pins it to one task),
+    // then build k-grams with posexplode + lead windows — fully
+    // codegen'd, unlike the transform/slice higher-order formulation
+    val spread = df.select(id.as("id"), text.as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val words = spread.select(col("id"),
+      posexplode(split(normalize(col("__text")), " ")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val grams =
+      if (shingleK == 1) words.select(col("id"), col("w").as("sh"))
+      else {
+        val parts = col("w") +: (1 until shingleK).map(o =>
+          lead(col("w"), o).over(byDoc))
+        words.select(col("id"), concat_ws(" ", parts: _*).as("sh"),
+            lead(col("w"), shingleK - 1).over(byDoc).isNotNull.as("full"))
+          .filter(col("full"))
+      }
+    // no per-doc distinct needed: min() is idempotent over duplicates
+    val exploded = grams
       .select(col("id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
     val mins = (0 until numHashes).map { i =>
       val a = 1103515245L * (i + 1) % P
@@ -85,14 +106,16 @@ object Dedup {
         struct(b.as("band"), xxhash64(concat_ws(",",
           slice(col("sig"), b * rows + 1, lit(rows))), b).as("bkey")))).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"),
-      col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"),
-      col("sig").as("sig_b"))
+    // candidate pairs shuffle only (id_a, id_b) — signatures rejoin after
+    // dedup, keeping the wide arrays out of the pair-dedup exchange
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
     cand.withColumn("jaccard_est",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) / numHashes.toDouble)
@@ -122,8 +145,10 @@ object Dedup {
     * explode-not-HOF rationale as minhashSignatures. Near-dups differ in
     * few bits (Hamming). Returns (id, simhash Long). */
   def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val exploded = df.select(id.as("id"),
-        explode(split(normalize(text), " ")).as("w"))
+    val spread = df.select(id.as("id"), text.as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val exploded = spread.select(col("id"),
+        explode(split(normalize(col("__text")), " ")).as("w"))
       .select(col("id"), xxhash64(col("w")).as("h"))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b) % 2 === 0, -1L).otherwise(1L)).as(s"v$b")
