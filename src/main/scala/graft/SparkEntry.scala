@@ -14,6 +14,7 @@ object SparkEntry {
   private def catalog: Seq[QueryDef] =
     graft.relational.RelationalQueries.all ++
       graft.relational.RelationalQueries2.all ++
+      graft.relational.RelationalQueries3.all ++
       graft.relational.StatQueries.all ++
       graft.relational.LlmQueries.all
 
