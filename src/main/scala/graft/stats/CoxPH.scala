@@ -110,6 +110,9 @@ object CoxPH {
     val p = features.length
     val base = prepare(df, time, event, weight, features)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEvents = base.filter(org.apache.spark.sql.functions.col("__d") === 1.0).count()
+    require(nEvents > 0,
+      "CoxPH.fit: no events (d=1) in input — partial likelihood undefined")
     val beta = new Array[Double](p)
     var iter = 0
     var converged = false
