@@ -33,11 +33,13 @@ object CoxInfluence {
       time: Column, event: Column, weight: Column,
       features: Seq[Column],
       beta: Array[Double],
-      infoPacked: Array[Double]): DataFrame = {
+      infoPacked: Array[Double],
+      passthrough: Seq[Column] = Nil): DataFrame = {
     val p = features.length
     val x = features.indices.map(j => features(j).cast("double").as(s"__x$j"))
     val base = df.select((Seq(time.cast("double").as("__t"),
-      event.cast("double").as("__d"), weight.cast("double").as("__w")) ++ x): _*)
+      event.cast("double").as("__d"), weight.cast("double").as("__w")) ++ x
+      ++ passthrough): _*)
       .withColumn("__rh", exp(
         beta.zipWithIndex.map { case (b, j) => col(s"__x$j") * lit(b) }
           .foldLeft(lit(0.0): Column)(_ + _)))

@@ -58,6 +58,34 @@ object JointVariance {
     devFrame.select((devFrame.columns.map(col).toSeq ++ corrected): _*)
   }
 
+  /** KW-weight variant: the pseudo-weights are kernel-smoothed, so
+    * ∂w_c/∂γ_m comes from the kernel Jacobian (A8,
+    * `KernelWeights.jacobian` → columns d_kw_m keyed by unit id) rather
+    * than the closed IPSW form. Cross derivative
+    * D[j][m] = Σ_c ui_j(c) · d_kw_m(c) via one join + aggregate. */
+  def kwCorrectedDeviates(
+      devFrame: DataFrame,
+      p: Int,
+      idCol: Column,
+      kwJacobian: DataFrame, // (c_id, d_kw_0..d_kw_{q-1})
+      q: Int,
+      gammaDevs: Seq[Column],
+      infoPacked: Array[Double]): DataFrame = {
+    val joined = devFrame.withColumn("__jid", idCol)
+      .join(kwJacobian.withColumnRenamed("c_id", "__jid"), Seq("__jid"))
+    val exprs = for (j <- 0 until p; mIdx <- 0 until q) yield
+      sum(col(s"ui_$j") * col(s"d_kw_$mIdx")).as(s"d${j}_$mIdx")
+    val row = joined.agg(exprs.head, exprs.tail: _*).head()
+    val dm = DenseMatrix.tabulate(p, q)((j, mIdx) => row.getDouble(j * q + mIdx))
+    val b = LinAlg.inverse(LinAlg.unpack(p, infoPacked)) * dm
+    val corrected = (0 until p).map { j =>
+      val corr = (0 until q).map(mIdx => lit(b(j, mIdx)) * gammaDevs(mIdx))
+        .foldLeft(lit(0.0): Column)(_ + _)
+      (col(s"dbeta_$j") + corr).as(s"dbeta_tot_$j")
+    }
+    joined.select((joined.columns.map(col).toSeq ++ corrected): _*)
+  }
+
   /** PPS variance of the corrected β deviates: n·cov over units, per
     * coefficient pair (taylor_deviate.R:490). Returns packed upper p×p. */
   def ppsVariance(devFrame: DataFrame, p: Int, prefix: String = "dbeta_tot_"): Array[Double] = {
