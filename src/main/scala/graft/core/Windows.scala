@@ -19,6 +19,18 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Windows {
 
+  /** Caller knowledge about the scan input's cardinality: `Small` skips
+    * the probe and uses a single-partition window; `Large` goes straight
+    * to the two-phase scan; `Auto` probes with head(threshold+1).
+    * Iterative fitters probe once and pass the answer to every
+    * subsequent iteration. */
+  sealed trait SizeHint
+  object SizeHint {
+    case object Auto extends SizeHint
+    case object Small extends SizeHint
+    case object Large extends SizeHint
+  }
+
   private val PID = "__graft_pid"
   private val LOCAL = "__graft_local_"
 
@@ -33,23 +45,29 @@ object Windows {
       orderCols: Seq[Column],
       sums: Seq[(Column, String)],
       numParts: Int = -1,
-      smallThreshold: Int = 20000): DataFrame = {
+      smallThreshold: Int = 20000,
+      sizeHint: SizeHint = SizeHint.Auto): DataFrame = {
     val spark = df.sparkSession
-    // Small-input fast path: step tables that have already been
-    // tie-collapsed (distinct event times, monthly buckets, ...) are
-    // usually tiny; a single-partition window is then cheaper than the
-    // range-sampling + offset machinery. head(N+1) terminates early, so
-    // the probe costs one lightweight job, not a full count.
-    if (smallThreshold > 0) {
-      // cache before probing so the probe's upstream shuffle is paid once
-      val cached = df.persist()
-      if (cached.head(smallThreshold + 1).length <= smallThreshold) {
-        val w = Window.orderBy(orderCols: _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        return sums.foldLeft(cached) { case (acc, (c, alias)) =>
-          acc.withColumn(alias, sum(c.cast("double")).over(w))
-        }
+    def smallPath(input: DataFrame): DataFrame = {
+      val w = Window.orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sums.foldLeft(input) { case (acc, (c, alias)) =>
+        acc.withColumn(alias, sum(c.cast("double")).over(w))
       }
+    }
+    sizeHint match {
+      case SizeHint.Small => return smallPath(df)
+      case SizeHint.Large => () // fall through to two-phase
+      case SizeHint.Auto if smallThreshold > 0 =>
+        // Small-input fast path: step tables that have already been
+        // tie-collapsed (distinct event times, monthly buckets, ...) are
+        // usually tiny; a single-partition window is then cheaper than
+        // the range-sampling + offset machinery. head(N+1) terminates
+        // early; cache first so the probe's upstream shuffle is paid once.
+        val cached = df.persist()
+        if (cached.head(smallThreshold + 1).length <= smallThreshold)
+          return smallPath(cached)
+      case _ => ()
     }
     val n = if (numParts > 0) numParts
             else spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -61,7 +61,8 @@ object CoxPH {
       features.length, beta)
 
   def scoreAndInfoPrepared(base: DataFrame, p: Int,
-      beta: Array[Double]): (Array[Double], Array[Double]) = {
+      beta: Array[Double],
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): (Array[Double], Array[Double]) = {
 
     val eta = beta.zipWithIndex.map { case (b, j) => col(s"__x$j") * lit(b) }
       .foldLeft(lit(0.0): Column)(_ + _)
@@ -83,7 +84,8 @@ object CoxPH {
     val scanCols = Seq(col("s0g") -> "S0") ++
       (0 until p).map(j => col(s"s1g$j") -> s"S1$j") ++
       s2Names.map { case (j, k) => col(s"s2g${j}_$k") -> s"S2${j}_$k" }
-    val scanned = Windows.scan(grouped, Seq(col("__t").desc), scanCols)
+    val scanned = Windows.scan(grouped, Seq(col("__t").desc), scanCols,
+      sizeHint = sizeHint)
 
     // final contraction: only rows with events contribute
     val uExprs = (0 until p).map { j =>
@@ -110,16 +112,24 @@ object CoxPH {
     val p = features.length
     val base = prepare(df, time, event, weight, features)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEvents = base.filter(org.apache.spark.sql.functions.col("__d") === 1.0).count()
-    require(nEvents > 0,
+    // one up-front cardinality probe shared by every NR iteration:
+    // events must exist, and the distinct-time count decides the scan
+    // strategy (single-partition window vs two-phase distributed scan)
+    val probe = base.agg(
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("__d")),
+      org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("__t"))).head()
+    require(probe.getDouble(0) > 0,
       "CoxPH.fit: no events (d=1) in input — partial likelihood undefined")
+    val sizeHint = if (probe.getLong(1) <= 20000) Windows.SizeHint.Small
+                   else Windows.SizeHint.Large
     val beta = new Array[Double](p)
     var iter = 0
     var converged = false
     var lastInfo = new Array[Double](p * (p + 1) / 2)
     var lastScoreNorm = Double.MaxValue
     while (iter < maxIter && !converged) {
-      val (u, info) = scoreAndInfoPrepared(base, p, beta)
+      val (u, info) = scoreAndInfoPrepared(base, p, beta, sizeHint)
       lastInfo = info
       lastScoreNorm = u.map(math.abs).sum
       val step = LinAlg.solvePacked(p, info, u)
