@@ -130,6 +130,31 @@ object SurveyIntegration {
     (theta, v)
   }
 
+  /** Jackknifed Cox battery: delete-a-group replication of the weighted
+    * Cox fit with ALL replicates advancing through one NR loop
+    * (CoxPHReplicated — jobs O(iterations), not O(m·iterations)).
+    * Returns (full-sample β, per-coefficient jackknife variance). */
+  def jackknifeCox(df: DataFrame, time: Column, event: Column, weight: Column,
+      featureCols: Seq[String], groupKey: Column, m: Int): (Array[Double], Array[Double]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = featureCols.map(col)
+    val full = graft.stats.CoxPH.fit(df, time, event, weight, feats)
+    val rep = Jackknife.replicated(
+      df.select((time.as("__t") +: event.as("__d") +:
+        weight.cast("double").as("__w0") +: groupKey.as("__g") +:
+        featureCols.map(c => col(c))): _*),
+      col("__g"), col("__w0"), m)
+    val joint = graft.stats.CoxPHReplicated.fit(rep, col("jk_r"), col("__t"),
+      col("__d"), col("jk_wt"), feats, m)
+    val p = featureCols.length
+    val vars = (0 until p).map { j =>
+      val est = joint.betas.toSeq.map { case (r, b) => (r, b(j)) }.toDF("r", "beta")
+      Jackknife.variance(est, col("beta"), m).head().getDouble(0)
+    }.toArray
+    (full.coefficients, vars)
+  }
+
   /** Composite-weight blend of cohort pseudo-weights with survey design
     * weights before joint calibration (jk_fun.R:136-139). */
   def blendWeights(stacked: DataFrame, cohortWt: Column, surveyWt: Column): DataFrame = {

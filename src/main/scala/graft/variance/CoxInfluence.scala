@@ -80,4 +80,64 @@ object CoxInfluence {
     }
     withUi.select((withUi.columns.map(col).toSeq ++ dbeta): _*)
   }
+
+  /** Post-stratified variant (the reference's `post` branch,
+    * taylor_deviate.R:670-742, with `post.f`'s factored f_w,
+    * 957-982). The reference accumulates an extra n×p loop term
+    * (U_w_3 − U_w_4) through the block-structured ∂f/∂w Jacobian;
+    * swapping the summation order collapses the whole branch to
+    *
+    *   Ui_post(i) = f_h(i)·Ui_base(i) + v_h(i) · Σ_{j∈h(i)} pw_j·Ui_base(j)
+    *   v_h = −f_h/N̂_h,  f_h = N_h/N̂_h
+    *
+    * where Ui_base is the plain per-unit score influence computed at the
+    * post-stratified weights w = f·pw. So the post path costs exactly
+    * one extra per-cell aggregate + broadcast join — never the n×n
+    * Jacobian the reference refuses to materialize (its `Large` flag).
+    * Verified to machine precision against the reference's literal loop.
+    *
+    * @param popTotals (cell, N_h) population totals, dimension-sized
+    */
+  def deviatesPostStratified(
+      df: DataFrame,
+      time: Column, event: Column, baseWeight: Column, cell: Column,
+      popTotals: DataFrame,
+      features: Seq[Column],
+      beta: Array[Double],
+      infoPacked: Array[Double]): DataFrame = {
+    val p = features.length
+    // post factors per cell
+    val hat = df.groupBy(cell.as("__cell"))
+      .agg(sum(baseWeight.cast("double")).as("__Nh_hat"))
+    val factors = hat.join(
+        popTotals.select(col(popTotals.columns.head).as("__cell"),
+          col(popTotals.columns(1)).cast("double").as("__Nh")), Seq("__cell"))
+      .select(col("__cell"), (col("__Nh") / col("__Nh_hat")).as("__f"),
+        (-col("__Nh") / (col("__Nh_hat") * col("__Nh_hat"))).as("__v"))
+    val withF = df.withColumn("__cell", cell)
+      .join(broadcast(factors), Seq("__cell"))
+      .withColumn("__pw", baseWeight.cast("double"))
+
+    // base influence at the post-stratified weights w = f·pw
+    val dev = deviates(withF, time, event, col("__f") * col("__pw"),
+      features, beta, infoPacked,
+      passthrough = Seq(col("__cell"), col("__f"), col("__v"), col("__pw")))
+
+    // per-cell Σ pw_j · Ui_base(j)
+    val cellAggs = (0 until p).map(j =>
+      sum(col("__pw") * col(s"ui_$j")).as(s"__cs$j"))
+    val cellSums = dev.groupBy(col("__cell")).agg(cellAggs.head, cellAggs.tail: _*)
+    val joined = dev.join(broadcast(cellSums), Seq("__cell"))
+
+    val uiPost = (0 until p).map { j =>
+      (col("__f") * col(s"ui_$j") + col("__v") * col(s"__cs$j")).as(s"ui_post_$j")
+    }
+    val withPost = joined.select((joined.columns.map(col).toSeq ++ uiPost): _*)
+    val iinv = LinAlg.inverse(LinAlg.unpack(p, infoPacked))
+    val dbeta = (0 until p).map { r =>
+      (0 until p).map(j => lit(iinv(r, j)) * col(s"ui_post_$j")).reduce(_ + _)
+        .as(s"dbeta_post_$r")
+    }
+    withPost.select((withPost.columns.map(col).toSeq ++ dbeta): _*)
+  }
 }
