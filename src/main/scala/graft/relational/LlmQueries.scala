@@ -241,6 +241,43 @@ object LlmQueries {
       val media = Multimodal.synthesize(t(s, d, "documents"),
         col("doc_id"), col("text"), col("source"))
       Multimodal.sampleFrames(media, stride = 4).orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // ---- flagship: end-to-end training-data prep (dedup → quality
+    //      filter → per-lang corpus stats), all in one declarative plan ----
+    sqlChecked("d_pipeline",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, n_chars, $normSql AS norm,
+         |    md5($normSql) AS fp FROM documents),
+         |kept AS (
+         |  SELECT *,
+         |    LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1 AS n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM h),
+         |clean AS (
+         |  SELECT * FROM kept
+         |  WHERE rn = 1                 -- exact-dup removal, keep first
+         |    AND n_tok >= 10            -- too-short filter
+         |    AND n_chars <= 2000)       -- too-long filter
+         |SELECT lang,
+         |  COUNT(*) AS n_docs,
+         |  SUM(n_tok) AS total_tokens,
+         |  ROUND(AVG(n_chars), 6) AS avg_chars
+         |FROM clean GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val norm = Dedup.normalize(col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), norm.as("norm"),
+          md5(norm).as("fp"))
+        .withColumn("n_tok",
+          length(col("norm")) - length(regexp_replace(col("norm"), " ", "")) + 1)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("n_tok") >= 10 && col("n_chars") <= 2000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy(col("lang"))
     }
   )
 }
