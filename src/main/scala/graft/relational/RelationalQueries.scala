@@ -524,19 +524,27 @@ object RelationalQueries {
     },
 
     // ---- window moving frame ----
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in the generated
+    // lineitem at larger scale factors; the frame order must be TOTAL or
+    // the engines may tiebreak differently. Full rows are unique, so
+    // ordering by every remaining column pins it.
     sqlChecked("w_moving_avg",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  ROUND(AVG(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        |      l_extendedprice, l_discount, l_tax, l_partkey,
+        |      l_returnflag, l_linestatus
         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg
-        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, mavg""".stripMargin) { (s, d) =>
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_partkey"), col("l_returnflag"), col("l_linestatus"))
         .rowsBetween(-3, 0)
       t(s, d, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           round(avg(col("l_quantity")).over(w), 6).as("mavg"))
-        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mavg"))
     },
 
     // ---- scalar function battery: math ----
