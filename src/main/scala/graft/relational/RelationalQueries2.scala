@@ -152,6 +152,69 @@ object RelationalQueries2 {
         .orderBy(col("c_nationkey"))
     },
 
+    sqlChecked("w_pct_rank",
+      """SELECT o_orderkey,
+        |  ROUND(PERCENT_RANK() OVER w, 8) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 8) AS cd
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders").select(col("o_orderkey"),
+          round(percent_rank().over(w), 8).as("pr"),
+          round(cume_dist().over(w), 8).as("cd"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    sqlChecked("f_null_battery",
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'WAS_BUILDING') AS seg2,
+        |  CASE WHEN c_acctbal IS NULL THEN -1.0
+        |       WHEN c_acctbal < 0 THEN 0.0 ELSE ROUND(c_acctbal, 2) END AS bal3,
+        |  CAST(c_acctbal IS NOT NULL AS INT) AS has_bal,
+        |  IFNULL(NULL, c_nationkey) AS nk
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(col("c_custkey"),
+          coalesce(when(col("c_mktsegment") =!= "BUILDING", col("c_mktsegment")),
+            lit("WAS_BUILDING")).as("seg2"),
+          when(col("c_acctbal").isNull, -1.0)
+            .when(col("c_acctbal") < 0, 0.0)
+            .otherwise(round(col("c_acctbal"), 2)).as("bal3"),
+          col("c_acctbal").isNotNull.cast("int").as("has_bal"),
+          coalesce(lit(null), col("c_nationkey")).as("nk"))
+        .orderBy(col("c_custkey"))
+    },
+
+    sqlChecked("f_datemath",
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+        |  CAST(epoch(o_orderdate + INTERVAL '90 days') AS BIGINT) AS due,
+        |  CAST(dayofweek(o_orderdate) AS INT) AS dow,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").select(col("o_orderkey"),
+          datediff(col("o_orderdate"), to_timestamp(lit("1995-01-01")))
+            .cast("long").as("days_since"),
+          unix_timestamp(col("o_orderdate") + expr("INTERVAL 90 days")).as("due"),
+          (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    sqlChecked("set_union_distinct",
+      """SELECT id FROM (
+        |  SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'O'
+        |  UNION
+        |  SELECT c_custkey AS id FROM customer WHERE c_acctbal < 0)
+        |ORDER BY id""".stripMargin) { (s, d) =>
+      t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("id"))
+        .union(t(s, d, "customer").filter(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("id")))
+        .distinct()
+        .orderBy(col("id"))
+    },
+
     // conditional aggregation with FILTER clause
     sqlChecked("a_filter_clause",
       """SELECT o_orderpriority,
