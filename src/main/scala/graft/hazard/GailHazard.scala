@@ -42,4 +42,41 @@ object GailHazard {
   def at(lambdaStar: DataFrame, ar: DataFrame, tStar: Seq[Double]): DataFrame =
     AsOf.lookup(cumulativeSteps(lambdaStar, ar), col("t"), col("cum_gail"), tStar)
       .withColumnRenamed("value", "cum_gail")
+
+  /** Population reference hazard λ*, optionally interval-binned to a t*
+    * grid — the reference's `lambda_star.pop`
+    * (taylor_deviate.R:1200-1242): per unique event time u,
+    * λ(u) = N(u)/Y(u) with tie-summed event weights and the full risk
+    * set; with a grid, events aggregate per interval (0,t₁],(t₁,t₂],…
+    * and the interval rate is Σ N over the interval divided by the risk
+    * set at the interval's LAST event time (the reference's keep-last
+    * dedup, `!rev(duplicated(rev(t_int)))`).
+    */
+  def lambdaStarPop(pop: DataFrame, time: Column, event: Column, weight: Column,
+      tStarGrid: Seq[Double] = Nil): DataFrame = {
+    val base = pop.select(time.cast("double").as("t"),
+      event.cast("double").as("d"), weight.cast("double").as("w"))
+    val grouped = base.groupBy(col("t")).agg(
+      sum(when(col("d") === 1.0, col("w")).otherwise(0.0)).as("num"),
+      sum(col("w")).as("yg"))
+    val steps = Windows.scan(grouped, Seq(col("t").desc), Seq(col("yg") -> "risk"))
+      .filter(col("num") > 0.0)
+    if (tStarGrid.isEmpty)
+      steps.select(col("t"), (col("num") / col("risk")).as("lambda_star"),
+        col("num").as("event_set"), col("risk").as("risk_set"))
+    else {
+      val grid = tStarGrid.sorted
+      // bin index = number of grid points strictly below t ((t_k, t_k+1])
+      val bin = grid.map(g => when(col("t") > g, 1).otherwise(0))
+        .reduce(_ + _)
+      steps.withColumn("__bin", bin)
+        .groupBy(col("__bin"))
+        .agg(max(col("t")).as("t"),
+          sum(col("num")).as("event_set"),
+          max_by(col("risk"), col("t")).as("risk_set"))
+        .select(col("t"), (col("event_set") / col("risk_set")).as("lambda_star"),
+          col("event_set"), col("risk_set"))
+        .orderBy(col("t"))
+    }
+  }
 }
