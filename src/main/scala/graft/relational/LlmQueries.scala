@@ -208,15 +208,17 @@ object LlmQueries {
     sqlChecked("t_tokens",
       s"""WITH n AS (SELECT doc_id, lang, $normSql AS norm FROM documents)
          |SELECT lang,
-         |  SUM(LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1) AS total_tokens,
-         |  ROUND(AVG(LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1), 6) AS avg_tokens,
+         |  CAST(SUM(LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+         |  ROUND(CAST(SUM(LENGTH(norm) - LENGTH(REPLACE(norm, ' ', '')) + 1) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
          |  COUNT(*) AS n_docs
          |FROM n GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("tc"))
         .groupBy(col("lang"))
         .agg(sum(col("tc")).as("total_tokens"),
-          round(avg(col("tc")), 6).as("avg_tokens"),
+          // exact long sum / count, not avg(): double accumulation order
+          // differs across engines and ROUND(...,6) amplifies the ulp
+          round(sum(col("tc")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
     },
@@ -261,8 +263,8 @@ object LlmQueries {
          |    AND n_chars <= 2000)       -- too-long filter
          |SELECT lang,
          |  COUNT(*) AS n_docs,
-         |  SUM(n_tok) AS total_tokens,
-         |  ROUND(AVG(n_chars), 6) AS avg_chars
+         |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
          |FROM clean GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val norm = Dedup.normalize(col("text"))
       val w = org.apache.spark.sql.expressions.Window
@@ -276,7 +278,7 @@ object LlmQueries {
         .filter(col("rn") === 1 && col("n_tok") >= 10 && col("n_chars") <= 2000)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
-          round(avg(col("n_chars")), 6).as("avg_chars"))
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
         .orderBy(col("lang"))
     }
   )

@@ -114,9 +114,9 @@ object RelationalQueries {
     // ---- P8: one-hot indicators (taylor_deviate.R:967) ----
     sqlChecked("p8_onehot",
       """SELECT c_nationkey,
-        |  SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS seg_building,
-        |  SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS seg_auto,
-        |  SUM(CASE WHEN c_mktsegment NOT IN ('BUILDING','AUTOMOBILE') THEN 1 ELSE 0 END) AS seg_other
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS seg_building,
+        |  CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS seg_auto,
+        |  CAST(SUM(CASE WHEN c_mktsegment NOT IN ('BUILDING','AUTOMOBILE') THEN 1 ELSE 0 END) AS BIGINT) AS seg_other
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, d) =>
       t(s, d, "customer").groupBy(col("c_nationkey"))
         .agg(
@@ -299,22 +299,29 @@ object RelationalQueries {
     },
 
     // ---- A1/A2/A6: grouped aggregates (the flagship q1 shape) ----
+    // Exact-arithmetic formulation: quantities are integral doubles and
+    // prices/discounts carry 2 decimal digits, so summing over BIGINT /
+    // DECIMAL makes every aggregate independent of partition summation
+    // order (bit-identical across engines; plain double SUM/AVG is not).
     sqlChecked("q1_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_base,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 2) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
         |  COUNT(*) AS n,
-        |  SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS n_big
+        |  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(sum(col("l_quantity").cast("bigint")).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_base"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"), 2).as("sum_disc"),
+          round(sum(col("l_quantity").cast("bigint")).cast("double") / count(lit(1)), 6)
+            .as("avg_qty"),
           count(lit(1)).as("n"),
           sum(when(col("l_quantity") > 25, 1).otherwise(0)).as("n_big"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
