@@ -370,6 +370,76 @@ object StatQueries {
       Seq(rnd(v, 4)).toDF("v_poisson")
     },
 
+    // ---- M13 hazard chain: Poisson-linearized variance of Λ(t*) with
+    //      the full influence function (direct + β-chain terms) at a
+    //      pinned β, so DuckDB replays the identical algebra
+    //      (taylor_deviate.R:746-900, 110-111) ----
+    sqlChecked("m13_hazard_var",
+      s"""WITH base AS (SELECT t, d, w, x, ((l_orderkey % 9) + 1.0) / 10.0 AS pi
+         |  FROM (SELECT l_quantity AS t,
+         |    CASE WHEN l_returnflag <> 'A' THEN 1.0 ELSE 0.0 END AS d,
+         |    1.0 + (l_orderkey % 5) AS w,
+         |    l_discount * 10 AS x, l_orderkey FROM lineitem)),
+         |g AS (SELECT t, SUM(w * d) AS ng, SUM(w * EXP(0.25 * x)) AS zg,
+         |    SUM(w * EXP(0.25 * x) * x) AS ag,
+         |    SUM(w * EXP(0.25 * x) * x * x) AS s2g
+         |  FROM base GROUP BY t),
+         |sc AS (SELECT t, ng,
+         |    SUM(zg) OVER rw AS Z, SUM(ag) OVER rw AS A, SUM(s2g) OVER rw AS S2
+         |  FROM g WINDOW rw AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |steps AS (SELECT t, ng, Z, A,
+         |    SUM(CASE WHEN ng > 0 THEN ng / Z ELSE 0 END) OVER pw AS LAM,
+         |    SUM(CASE WHEN ng > 0 THEN ng / (Z * Z) ELSE 0 END) OVER pw AS GL,
+         |    SUM(CASE WHEN ng > 0 THEN ng * A / (Z * Z) ELSE 0 END) OVER pw AS C,
+         |    SUM(CASE WHEN ng > 0 THEN ng / Z ELSE 0 END) OVER pw AS G0
+         |  FROM sc WINDOW pw AS (ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |info AS (SELECT SUM(ng * (S2 / Z - A * A / (Z * Z))) AS i1
+         |  FROM sc WHERE ng > 0),
+         |unit AS (SELECT b.t, b.d, b.w, b.pi, EXP(0.25 * b.x) AS rh,
+         |    s.Z, s.GL, s.G0, s.C,
+         |    (b.d * (b.x - s.A / s.Z)
+         |      - EXP(0.25 * b.x) * (b.x * s.G0 - s.C)) / i.i1 AS dbeta
+         |  FROM base b JOIN steps s ON b.t = s.t CROSS JOIN info i),
+         |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (10), (20),
+         |  (30), (40), (50)) v(x)),
+         |tc AS (SELECT t_star,
+         |    COALESCE((SELECT GL FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0.0) AS GLs,
+         |    COALESCE((SELECT C FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0.0) AS Cs,
+         |    COALESCE((SELECT LAM FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0.0) AS LAMs
+         |  FROM probes),
+         |dev AS (SELECT tc.t_star, tc.LAMs, u.w, u.pi,
+         |    (CASE WHEN u.d = 1 AND u.t <= tc.t_star THEN 1.0 / u.Z ELSE 0 END
+         |      - u.rh * LEAST(u.GL, tc.GLs) - u.dbeta * tc.Cs) AS dl
+         |  FROM unit u CROSS JOIN tc)
+         |SELECT t_star, ROUND(MAX(LAMs), 6) AS cum_hzd,
+         |  ROUND(SUM((1.0 - pi) * w * dl * w * dl), 4) AS var_poisson
+         |FROM dev GROUP BY t_star ORDER BY t_star""".stripMargin) { (s, d) =>
+      val sf = t(s, d, "lineitem").select(
+        col("l_quantity").cast("double").as("t"),
+        when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
+        (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"),
+        (col("l_discount") * 10).cast("double").as("x"),
+        (((col("l_orderkey") % 9) + 1.0) / 10.0).as("pi"))
+      val (_, info) = CoxPH.scoreAndInfo(sf, col("t"), col("d"), col("w"),
+        Seq(col("x")), Array(0.25))
+      val dev = graft.variance.CoxInfluence.deviates(sf, col("t"), col("d"),
+        col("w"), Seq(col("x")), Array(0.25), info,
+        passthrough = Seq(col("pi")))
+      val long = graft.variance.HazardInfluence.cumulativeDeviates(
+        dev, p = 1, tStar = Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+        passthrough = Seq(col("pi")))
+      long.groupBy(col("t_star"))
+        .agg(round(max(col("cum_hzd")), 6).as("cum_hzd"),
+          round(sum((lit(1.0) - col("pi")) * col("__w") * col("d_cum_hzd")
+            * col("__w") * col("d_cum_hzd")), 4).as("var_poisson"))
+        .orderBy(col("t_star"))
+    },
+
     // ---- M14: delete-a-group jackknife variance (vectorized replicates) ----
     sqlChecked("m14_jackknife",
       """WITH r(rep) AS (SELECT CAST(range AS INT) FROM range(10)),
