@@ -207,7 +207,8 @@ object StatQueries {
         |                    (a00*(v1-vh1) - a01*(v0-vh0))/(a00*a11 - a01*a01) AS l1
         |             FROM m, pop)
         |SELECT c_custkey, ROUND(1.0 + l0 + l1 * x, 8) AS greg_f,
-        |       ROUND(GREATEST(w * (1.0 + l0 + l1 * x), 0.00001), 8) AS greg_wt
+        |       ROUND(CASE WHEN w * (1.0 + l0 + l1 * x) < 0 THEN 0.00001
+        |             ELSE w * (1.0 + l0 + l1 * x) END, 8) AS greg_wt
         |FROM samp, lam ORDER BY c_custkey""".stripMargin) { (s, d) =>
       val c = t(s, d, "customer")
       val popRow = c.agg(count(lit(1)).cast("double"),

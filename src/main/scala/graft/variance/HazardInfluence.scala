@@ -72,11 +72,12 @@ object HazardInfluence {
       gamma: Option[GammaChain] = None,
       betaDevPrefix: String = "dbeta_",
       sizeHint: Windows.SizeHint = Windows.SizeHint.Auto,
+      directScale: Column = lit(1.0),
       passthrough: Seq[Column] = Nil): DataFrame = {
     val spark = devFrame.sparkSession
     val q = gamma.map(_.pwGamma.length).getOrElse(0)
     val base = devFrame.select((Seq(col("__t"), col("__d"), col("__w"),
-      col("__rh")) ++
+      col("__rh"), directScale.cast("double").as("__dsc")) ++
       (0 until p).map(j => col(s"__x$j")) ++
       (0 until p).map(j => col(s"$betaDevPrefix$j").as(s"__db$j")) ++
       gamma.toSeq.flatMap(g => g.pwGamma.zipWithIndex.map { case (c, m) =>
@@ -206,17 +207,19 @@ object HazardInfluence {
     val perT = tStar.sorted.map { ts =>
       val r = consts(ts)
       val dLambda =
-        when(col("__d") === 1.0 && col("__t") <= ts, lit(1.0) / col("Z"))
-          .otherwise(0.0) -
-        col("__rh") * least(col("GL"), lit(cst(r, "GL"))) -
+        col("__dsc") * (
+          when(col("__d") === 1.0 && col("__t") <= ts, lit(1.0) / col("Z"))
+            .otherwise(0.0) -
+          col("__rh") * least(col("GL"), lit(cst(r, "GL")))) -
         (0 until p).map(j => col(s"__db$j") * lit(cst(r, s"C$j")))
           .foldLeft(lit(0.0): Column)(_ + _) +
         (0 until q).map(m =>
           col(s"__gd$m") * (lit(cst(r, s"CN$m"))))
           .foldLeft(lit(0.0): Column)(_ + _)
       val dGail =
-        least(col("EA"), lit(cst(r, "GA"))) -
-        col("__rh") * least(col("EB"), lit(cst(r, "GB"))) -
+        col("__dsc") * (
+          least(col("EA"), lit(cst(r, "GA"))) -
+          col("__rh") * least(col("EB"), lit(cst(r, "GB")))) -
         (0 until p).map(j => col(s"__db$j") * lit(cst(r, s"CG$j")))
           .foldLeft(lit(0.0): Column)(_ + _) +
         (0 until q).map(m => col(s"__gd$m") * lit(cst(r, s"CGN$m")))
@@ -243,7 +246,7 @@ object HazardInfluence {
       struct(fields: _*)
     }
     // passthrough column names = base's trailing columns after the fixed block
-    val passNames = base.columns.drop(4 + 2 * p + 2 * q).toSeq
+    val passNames = base.columns.drop(5 + 2 * p + 2 * q).toSeq
     val keep = Seq("__t", "__d", "__w", "__rh") ++
       (0 until p).map(j => s"__x$j") ++
       (0 until p).map(j => s"__db$j") ++ passNames

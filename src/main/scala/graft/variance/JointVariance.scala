@@ -86,6 +86,64 @@ object JointVariance {
     joined.select((joined.columns.map(col).toSeq ++ corrected): _*)
   }
 
+  /** GREG-calibration variance propagation — the reference's factored
+    * calibration Jacobian (`greg.f`'s f_w, taylor_deviate.R:988-1007,
+    * consumed by `calib_est`, jk_fun.R:38-63). The estimator is fit at
+    * calibrated weights w̃ = w·f with f_k = 1 + (V−V̂)'M⁻¹v_k, so the
+    * influence w.r.t. the BASE weight w_i picks up the chain through
+    * every unit's factor:
+    *
+    *   dθ/dw_i = f_i·U_i + Σ_k U_k·w_k·∂f_k/∂w_i,
+    *   ∂f_k/∂w_i = −f_i·v_i'M⁻¹v_k         (rank-p factored, never n×n)
+    *   ⇒ dθ/dw_i = f_i·(U_i − v_i'·M⁻¹·s),  s = Σ_k U_k·w_k·v_k
+    *
+    * — ONE distributed p×p_cal aggregate for s, a driver-side solve,
+    * and a codegen'd per-row correction, mirroring the post-stratified
+    * collapse (post-stratification is the special case v = cell
+    * indicators).
+    *
+    * @param devFrame    CoxInfluence.deviates computed at the CALIBRATED
+    *                    weights (carries ui_0..p-1)
+    * @param calFeatures calibration design v_i as an array column
+    * @param baseWeight  the pre-calibration weight w_i
+    * @param factor      the calibration factor f_i (Greg.factor)
+    * @param cal         the Calibration (for M = Σ w·v·v')
+    * @return devFrame + `ui_greg_j` + `dbeta_greg_j` columns
+    */
+  def gregCorrectedDeviates(
+      devFrame: DataFrame,
+      p: Int,
+      calFeatures: Column,
+      baseWeight: Column,
+      factor: Column,
+      cal: graft.weights.Greg.Calibration,
+      infoPacked: Array[Double]): DataFrame = {
+    val pc = cal.lambda.length
+    // s_j = Σ_k ui_j(k)·w_k·v_k — p × pc, one aggregate
+    val exprs = for (j <- 0 until p; m <- 0 until pc) yield
+      sum(col(s"ui_$j") * baseWeight.cast("double") * calFeatures.getItem(m))
+        .as(s"s${j}_$m")
+    val row = devFrame.agg(exprs.head, exprs.tail: _*).head()
+    // M⁻¹·s_j per coefficient (pc×pc driver solve)
+    val minvS = (0 until p).map { j =>
+      val s = (0 until pc).map(m => row.getDouble(j * pc + m)).toArray
+      graft.core.LinAlg.solvePacked(pc, cal.gramPacked, s)
+    }
+    val withF = devFrame.withColumn("__greg_f", factor)
+    val uiGreg = (0 until p).map { j =>
+      val proj = (0 until pc).map(m => calFeatures.getItem(m) * lit(minvS(j)(m)))
+        .foldLeft(lit(0.0): Column)(_ + _)
+      (col("__greg_f") * (col(s"ui_$j") - proj)).as(s"ui_greg_$j")
+    }
+    val withUi = withF.select((withF.columns.map(col).toSeq ++ uiGreg): _*)
+    val iinv = LinAlg.inverse(LinAlg.unpack(p, infoPacked))
+    val dbeta = (0 until p).map { r =>
+      (0 until p).map(j => lit(iinv(r, j)) * col(s"ui_greg_$j")).reduce(_ + _)
+        .as(s"dbeta_greg_$r")
+    }
+    withUi.select((withUi.columns.map(col).toSeq ++ dbeta): _*)
+  }
+
   /** PPS variance of the corrected β deviates: n·cov over units, per
     * coefficient pair (taylor_deviate.R:490). Returns packed upper p×p. */
   def ppsVariance(devFrame: DataFrame, p: Int, prefix: String = "dbeta_tot_"): Array[Double] = {

@@ -23,7 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Greg {
 
-  final case class Calibration(lambda: Array[Double], totalsHat: Array[Double])
+  /** `gramPacked` is M = Σ w·v·v' (packed upper triangle) — the factored
+    * half of the calibration Jacobian ∂f_k/∂w_i = −f_i·v_i'M⁻¹v_k
+    * consumed by JointVariance.gregCorrectedDeviates. */
+  final case class Calibration(lambda: Array[Double], totalsHat: Array[Double],
+      gramPacked: Array[Double])
 
   /** Solve for the calibration coefficient λ = (X'WX)⁻¹(V − V̂). */
   def solve(df: DataFrame, features: Column, weight: Column, targets: Array[Double]): Calibration = {
@@ -38,7 +42,7 @@ object Greg {
     // include an intercept; compute directly otherwise.
     val vhat = totals(df, features, weight, p)
     val diff = targets.zip(vhat).map { case (v, h) => v - h }
-    Calibration(LinAlg.solvePacked(p, res.gram, diff), vhat)
+    Calibration(LinAlg.solvePacked(p, res.gram, diff), vhat, res.gram)
   }
 
   def totals(df: DataFrame, features: Column, weight: Column, p: Int): Array[Double] = {
@@ -53,10 +57,14 @@ object Greg {
     lit(1.0) + graft.core.FeatureArray.dot(features, cal.lambda)
 
   /** Calibrated weight with the reference's negative-weight clip
-    * (`calib.rr[calib.rr<0]=1e-5`, jk_fun.R:54,64). */
+    * (`calib.rr[calib.rr<0]=1e-5`, jk_fun.R:54,64): only strictly
+    * negative products are replaced — a legitimate weight inside
+    * [0, clip) passes through untouched. */
   def calibratedWeight(features: Column, weight: Column, cal: Calibration,
-      clip: Double = 1e-5): Column =
-    greatest(weight.cast("double") * factor(features, cal), lit(clip))
+      clip: Double = 1e-5): Column = {
+    val w = weight.cast("double") * factor(features, cal)
+    when(w < 0.0, lit(clip)).otherwise(w)
+  }
 
   /** One-shot: df + (greg_f, greg_wt). */
   def calibrate(df: DataFrame, features: Column, weight: Column,

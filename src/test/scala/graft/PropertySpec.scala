@@ -41,7 +41,8 @@ class PropertySpec extends SparkSpec {
       val cur = df.agg(sum("w"), sum(col("w") * col("x"))).head()
       val targets = Array(cur.getDouble(0) * 1.07, cur.getDouble(1) * 0.93 + 0.5)
       val feats = FeatureArray.withIntercept(Seq(col("x")))
-      val cal = Greg.calibrate(df, feats, col("w"), targets, clip = -1e18)
+      val sol = Greg.solve(df, feats, col("w"), targets)
+      val cal = df.withColumn("greg_wt", col("w") * Greg.factor(feats, sol))
       val got = cal.agg(sum("greg_wt"), sum(col("greg_wt") * col("x"))).head()
       assert(math.abs(got.getDouble(0) - targets(0)) <
         1e-7 * math.max(1.0, math.abs(targets(0))))
@@ -50,16 +51,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("calibrated weights respect the clip floor") {
+  test("clip replaces exactly the negative calibrated weights") {
     for (rows <- samples(rowGen, 5) if rows.map(_._1).distinct.length >= 2) {
       val df = rows.zipWithIndex
         .map { case ((x, _, w), i) => (i.toLong, x, w) }.toDF("id", "x", "w")
       val cur = df.agg(sum("w"), sum(col("w") * col("x"))).head()
       val targets = Array(cur.getDouble(0) * 0.5, cur.getDouble(1) * 1.5)
       val feats = FeatureArray.withIntercept(Seq(col("x")))
-      val cal = Greg.calibrate(df, feats, col("w"), targets, clip = 1e-5)
-      val minW = cal.agg(min("greg_wt")).head().getDouble(0)
-      assert(minW >= 1e-5 - 1e-15)
+      val sol = Greg.solve(df, feats, col("w"), targets)
+      val got = df.select(
+        (col("w") * Greg.factor(feats, sol)).as("raw"),
+        Greg.calibratedWeight(feats, col("w"), sol).as("clipped")).collect()
+      got.foreach { r =>
+        val raw = r.getDouble(0); val clipped = r.getDouble(1)
+        if (raw < 0.0) assert(clipped == 1e-5)
+        else assert(clipped == raw,
+          s"non-negative weight $raw altered to $clipped")
+      }
     }
   }
 

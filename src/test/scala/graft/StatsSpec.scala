@@ -78,8 +78,10 @@ class StatsSpec extends SparkSpec {
       .select("f").as[Double].collect().toSeq
     assertSeqNear(f, Seq(-0.1343685300207045, 0.2247412008281575,
       2.4679089026915113, 2.591511387163562, 3.1861283643892353))
-    // calibration constraint holds exactly: Σ f·w·x = V
-    val cald = Greg.calibrate(df, feats, col("wt0"), Array(16.0, 60.0, 69.0), clip = -1e9)
+    // calibration constraint holds exactly on the raw product f·w
+    // (pre-clip: the reference only clips negatives at the consumer)
+    val cald = df.withColumn("greg_wt",
+      col("wt0") * Greg.factor(feats, cal))
     val tot = cald.agg(
       sum(col("greg_wt")), sum(col("greg_wt") * col("x1")), sum(col("greg_wt") * col("x2"))
     ).head()
