@@ -106,13 +106,15 @@ object StatQueries {
       Seq((rnd(u(0), 4), rnd(info(0), 4))).toDF("score_u", "info_i")
     },
 
-    // ---- M2 full NR fit: iterative convergence — ScalaTest-covered,
-    //      rows-only here (plus score-residual self-check ≈ 0) ----
-    rowsOnly("m2_cox_fit") { (s, d) =>
+    // ---- M2 full NR fit: 4 pinned Newton iterations, unrolled into
+    //      DuckDB CTEs (free convergence is ScalaTest-covered) ----
+    sqlChecked("m2_cox_fit",
+      RelationalQueries3.coxNrCtes(4, survSql) +
+        "\nSELECT ROUND(b, 8) AS beta FROM it4") { (s, d) =>
       import s.implicits._
-      val fit = CoxPH.fit(survFrame(s, d), col("t"), col("d"), col("w"), Seq(col("x")))
-      Seq((fit.coefficients(0), fit.iterations, fit.converged, fit.scoreResidual))
-        .toDF("beta", "iters", "converged", "score_residual")
+      val fit = CoxPH.fit(survFrame(s, d), col("t"), col("d"), col("w"),
+        Seq(col("x")), maxIter = 4, tol = 0.0)
+      Seq(rnd(fit.coefficients(0), 8)).toDF("beta")
     },
 
     // ---- M3: weighted least squares (closed form) ----
