@@ -20,6 +20,18 @@ object Dedup {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Default token hash: xxhash64 — cheapest per token, the production
+    * choice. Engine-specific (not reproducible outside Spark). */
+  val xxHash: Column => Column = c => xxhash64(c)
+
+  /** Cross-engine-reproducible 60-bit token hash: first 15 hex digits of
+    * md5 as a BIGINT. DuckDB computes the identical value as
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`, making the whole
+    * MinHash/SimHash signature pipeline oracle-checkable. Nonnegative
+    * (60 bits), so `%` and `>>` agree across engines too. */
+  val md5Hash60: Column => Column = c =>
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup: md5 of normalized text; keeps the smallest id per
     * group. Returns (idCol, hash, dup_count, keep). */
   def exact(df: DataFrame, id: Column, text: Column): DataFrame = {
@@ -55,7 +67,8 @@ object Dedup {
     * 100-TB shape: map-side combine collapses each partition to one row
     * per doc before the shuffle. Returns (id, sig ArrayType(Long)). */
   def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      shingleK: Int, numHashes: Int): DataFrame = {
+      shingleK: Int, numHashes: Int,
+      hasher: Column => Column = xxHash): DataFrame = {
     // One string hash per shingle, then numHashes cheap integer
     // permutations h_i = (a_i·h + b_i) mod p — the standard MinHash
     // construction; avoids numHashes string hashes per shingle.
@@ -80,7 +93,7 @@ object Dedup {
       }
     // no per-doc distinct needed: min() is idempotent over duplicates
     val exploded = grams
-      .select(col("id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+      .select(col("id"), pmod(hasher(col("sh")), lit(P)).as("h"))
     val mins = (0 until numHashes).map { i =>
       val a = 1103515245L * (i + 1) % P
       val b = 12345L + 7919L * i
@@ -97,14 +110,18 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      hasher: Column => Column = xxHash): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, id, text, shingleK, numHashes).persist()
-    // band key = (band index, hash of the band's signature slice)
+    val sig = minhashSignatures(df, id, text, shingleK, numHashes, hasher)
+      .persist()
+    // band key = (band index, the band's signature slice itself) —
+    // collision-free and engine-neutral; a short string key costs no
+    // more than hashing it in the exchange
     val banded = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"), xxhash64(concat_ws(",",
-          slice(col("sig"), b * rows + 1, lit(rows))), b).as("bkey")))).as("bk"))
+        struct(b.as("band"), concat_ws(",",
+          slice(col("sig"), b * rows + 1, lit(rows))).as("bkey")))).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bkey"))
     // candidate pairs shuffle only (id_a, id_b) — signatures rejoin after
     // dedup, keeping the wide arrays out of the pair-dedup exchange
@@ -144,12 +161,13 @@ object Dedup {
     * (64 sum columns), then assemble the fingerprint. Same
     * explode-not-HOF rationale as minhashSignatures. Near-dups differ in
     * few bits (Hamming). Returns (id, simhash Long). */
-  def simhashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simhashes(df: DataFrame, id: Column, text: Column,
+      hasher: Column => Column = xxHash): DataFrame = {
     val spread = df.select(id.as("id"), text.as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val exploded = spread.select(col("id"),
         explode(split(normalize(col("__text")), " ")).as("w"))
-      .select(col("id"), xxhash64(col("w")).as("h"))
+      .select(col("id"), hasher(col("w")).as("h"))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b) % 2 === 0, -1L).otherwise(1L)).as(s"v$b")
     }
@@ -163,6 +181,39 @@ object Dedup {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs via a banded-Hamming candidate join:
+    * split the 64-bit fingerprint into `bands` equal bit-bands; by the
+    * pigeonhole principle any pair within Hamming distance < bands
+    * shares at least one exact band, so candidates come from `bands`
+    * equi-joins on (band, bits) — never an all-pairs product. Pairs at
+    * distance ≥ bands may be missed (standard LSH recall trade-off;
+    * raise `bands` for a larger radius). Returns (id_a, id_b, hamming)
+    * with hamming <= maxHamming. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+      bands: Int = 4, maxHamming: Int = 3,
+      hasher: Column => Column = xxHash): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val fp = simhashes(df, id, text, hasher).persist()
+    val banded = fp.select(col("id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * width)
+            .bitwiseAND(lit(mask)).as("bits"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.bits"))
+    val a = banded.select(col("band"), col("bits"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("bits"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key. */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column, block: Column,

@@ -7,9 +7,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** LLM-training-data pipeline operators (dedup, similarity search,
   * multimodal plumbing, text analysis) over the documents/embeddings
-  * tables. SQL-expressible ops carry DuckDB oracles; hash-family ops
-  * whose hashes are engine-specific (MinHash/SimHash on xxhash64) are
-  * rows-only here and fixture-tested in ScalaTest.
+  * tables. All hash-family ops run here on the md5-derived 60-bit base
+  * hash (Dedup.md5Hash60) so DuckDB replays the identical MinHash /
+  * SimHash signature arithmetic; the xxhash64 default stays the
+  * production path and is fixture-tested in ScalaTest.
   */
 object LlmQueries {
   import QueryDef._
@@ -50,25 +51,76 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // ---- MinHash-LSH near-dup candidates (engine-hash based) ----
-    rowsOnly("d3_minhash_lsh") { (s, d) =>
+    // ---- MinHash-LSH near-dup candidates, full signature pipeline
+    //      replayed by DuckDB on the md5-derived 60-bit base hash ----
+    sqlChecked("d3_minhash_lsh", {
+      val P = 2147483647L
+      val mins = (0 until 32).map { i =>
+        val a = 1103515245L * (i + 1) % P
+        val b = 12345L + 7919L * i
+        s"MIN(($a * h + $b) % $P) AS h$i"
+      }.mkString(",\n    ")
+      val bandSelects = (0 until 8).map { b =>
+        val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ',', ")
+        s"SELECT doc_id, $b AS band, CONCAT($key) AS bkey FROM sig"
+      }.mkString("\n  UNION ALL ")
+      val matches = (0 until 32)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ws AS (SELECT doc_id, string_split($normSql, ' ') AS w
+         |  FROM documents),
+         |grams AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+         |  FROM ws),
+         |h AS (SELECT doc_id,
+         |    ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS h FROM grams),
+         |sig AS (SELECT doc_id,
+         |    $mins
+         |  FROM h GROUP BY doc_id),
+         |banded AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT id_a, id_b, ($matches) / 32.0 AS jaccard_est
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a
+         |            JOIN sig sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard_est FROM pairs
+         |WHERE jaccard_est >= 0.30 ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
-          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30)
+          shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30,
+          hasher = Dedup.md5Hash60)
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // ---- SimHash fingerprints + nearby-id Hamming pairs ----
-    rowsOnly("d4_simhash") { (s, d) =>
-      val docs = Dedup.simhashes(t(s, d, "documents"), col("doc_id"), col("text"))
-        .select(col("id").as("doc_id"), col("simhash").as("sh"))
-      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
-        (col("doc_id") / 20).cast("long").as("blk"))
-      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
-        (col("doc_id") / 20).cast("long").as("blk"))
-      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          Dedup.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
-        .filter(col("hamming") <= 16)
+    // ---- SimHash fingerprints + banded-Hamming near-dup pairs. The
+    //      4×16-bit band join is EXACT for Hamming ≤ 3 (pigeonhole), so
+    //      the oracle can brute-force all pairs and must agree ----
+    sqlChecked("d4_simhash", {
+      val votes = (0 until 60)
+        .map(b => s"SUM(CASE WHEN (h >> $b) % 2 = 0 THEN -1 ELSE 1 END) AS v$b")
+        .mkString(",\n    ")
+      val fp = (0 until 60)
+        .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id,
+         |    unnest(string_split($normSql, ' ')) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM w),
+         |v AS (SELECT doc_id,
+         |    $votes
+         |  FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS sh FROM v)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          bands = 4, maxHamming = 3, hasher = Dedup.md5Hash60)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
