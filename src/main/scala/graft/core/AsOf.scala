@@ -45,8 +45,13 @@ object AsOf {
   /** Scale-safe LOCF: range-partition on the order key, local LOCF, then
     * carry each partition's last non-null value into the next partitions
     * via a tiny driver pass + broadcast join (same two-phase shape as
-    * Windows.scan). */
-  def locfPartitioned(df: DataFrame, order: Column, cols: Seq[String], numParts: Int = -1): DataFrame = {
+    * Windows.scan). Callers that KNOW the frame is step-table-sized pass
+    * `Windows.SizeHint.Small` to get the plain single-window form with
+    * no shuffle, probe, or persist. */
+  def locfPartitioned(df: DataFrame, order: Column, cols: Seq[String],
+      numParts: Int = -1,
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Large): DataFrame = {
+    if (sizeHint == Windows.SizeHint.Small) return locf(df, order, cols)
     val spark = df.sparkSession
     val n = if (numParts > 0) numParts
             else spark.conf.get("spark.sql.shuffle.partitions").toInt

@@ -46,7 +46,8 @@ object Windows {
       sums: Seq[(Column, String)],
       numParts: Int = -1,
       smallThreshold: Int = 20000,
-      sizeHint: SizeHint = SizeHint.Auto): DataFrame = {
+      sizeHint: SizeHint = SizeHint.Auto,
+      release: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
     val spark = df.sparkSession
     def smallPath(input: DataFrame): DataFrame = {
       val w = Window.orderBy(orderCols: _*)
@@ -63,10 +64,11 @@ object Windows {
         // tie-collapsed (distinct event times, monthly buckets, ...) are
         // usually tiny; a single-partition window is then cheaper than
         // the range-sampling + offset machinery. head(N+1) terminates
-        // early; cache first so the probe's upstream shuffle is paid once.
-        val cached = df.persist()
-        if (cached.head(smallThreshold + 1).length <= smallThreshold)
-          return smallPath(cached)
+        // early; the probe's upstream work is paid once more at the
+        // caller's action rather than cached (hot callers pass an
+        // explicit hint and skip the probe entirely).
+        if (df.head(smallThreshold + 1).length <= smallThreshold)
+          return smallPath(df)
       case _ => ()
     }
     val n = if (numParts > 0) numParts
@@ -79,7 +81,13 @@ object Windows {
     sums.zipWithIndex.foreach { case ((c, _), i) =>
       local = local.withColumn(LOCAL + i, sum(c.cast("double")).over(w))
     }
+    // The persist is CORRECTNESS-critical, not a cache: the offsets are
+    // computed against one concrete range partitioning, and
+    // repartitionByRange re-samples boundaries on re-materialization.
+    // Callers that fully consume the result within one action can pass
+    // `release` and unpersist afterwards (CoxPH's NR loop does).
     local = local.persist()
+    release.foreach(_ += local)
 
     // Per-partition totals: one row per partition — the collect is tiny
     // (numParts rows), independent of data size.

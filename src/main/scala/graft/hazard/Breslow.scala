@@ -19,10 +19,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Breslow {
 
   /** Step table of (t, cum_hzd) at event times. `relHzd` is e^{x'β}
-    * (lit(1.0) for the null model). */
+    * (lit(1.0) for the null model). `sizeHint` describes the
+    * TIE-COLLAPSED table (distinct event times) — pass Small when the
+    * time domain is known coarse (discrete grids, binned ages) to
+    * collapse the whole chain into single-window jobs with no probes. */
   def cumulativeHazardSteps(
       df: DataFrame, time: Column, event: Column, weight: Column,
-      relHzd: Column): DataFrame = {
+      relHzd: Column,
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame = {
     val base = df.select(time.cast("double").as("t"),
       event.cast("double").as("d"),
       weight.cast("double").as("w"),
@@ -30,10 +34,12 @@ object Breslow {
     val grouped = base.groupBy(col("t")).agg(
       sum(col("w") * col("rel")).as("s0g"),
       sum(when(col("d") === 1.0, col("w")).otherwise(0.0)).as("num"))
-    val withS0 = Windows.scan(grouped, Seq(col("t").desc), Seq(col("s0g") -> "S0"))
+    val withS0 = Windows.scan(grouped, Seq(col("t").desc),
+      Seq(col("s0g") -> "S0"), sizeHint = sizeHint)
     val events = withS0.filter(col("num") > 0.0)
       .withColumn("lambda", col("num") / col("S0"))
-    Windows.scan(events, Seq(col("t")), Seq(col("lambda") -> "cum_hzd"))
+    Windows.scan(events, Seq(col("t")), Seq(col("lambda") -> "cum_hzd"),
+        sizeHint = sizeHint)
       .select(col("t"), col("lambda"), col("cum_hzd"))
   }
 
@@ -41,8 +47,9 @@ object Breslow {
     * calib_simu_noninf0315.R:122). */
   def cumulativeHazardAt(
       df: DataFrame, time: Column, event: Column, weight: Column,
-      relHzd: Column, tStar: Seq[Double]): DataFrame = {
-    val steps = cumulativeHazardSteps(df, time, event, weight, relHzd)
+      relHzd: Column, tStar: Seq[Double],
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame = {
+    val steps = cumulativeHazardSteps(df, time, event, weight, relHzd, sizeHint)
     AsOf.lookup(steps, col("t"), col("cum_hzd"), tStar)
       .withColumnRenamed("value", "cum_hzd")
   }

@@ -18,9 +18,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object DiscreteHazard {
 
-  /** Step table (t, N, Z, Y, lambda, ar) at event times (N>0). */
+  /** Step table (t, N, Z, Y, lambda, ar) at event times (N>0).
+    * `sizeHint` describes the tie-collapsed table (distinct times). */
   def steps(df: DataFrame, time: Column, event: Column, weight: Column,
-      relHzd: Column): DataFrame = {
+      relHzd: Column,
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame = {
     val base = df.select(time.cast("double").as("t"),
       event.cast("double").as("d"), weight.cast("double").as("w"),
       relHzd.cast("double").as("rh"))
@@ -29,7 +31,7 @@ object DiscreteHazard {
       sum(col("w") * col("rh")).as("zg"),
       sum(col("w")).as("yg"))
     Windows.scan(grouped, Seq(col("t").desc),
-        Seq(col("zg") -> "Z", col("yg") -> "Y"))
+        Seq(col("zg") -> "Z", col("yg") -> "Y"), sizeHint = sizeHint)
       .filter(col("num") > 0.0)
       .select(col("t"), col("num").as("N"), col("Z"), col("Y"),
         (col("num") / col("Z")).as("lambda"),
@@ -38,6 +40,8 @@ object DiscreteHazard {
 
   /** Prefix-cumulated hazard Λ(t) over the step table (M10, `Lambda_w`
     * taylor_deviate.R:885-900). */
-  def cumulative(steps: DataFrame): DataFrame =
-    Windows.scan(steps, Seq(col("t")), Seq(col("lambda") -> "cum_hzd"))
+  def cumulative(steps: DataFrame,
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame =
+    Windows.scan(steps, Seq(col("t")), Seq(col("lambda") -> "cum_hzd"),
+      sizeHint = sizeHint)
 }

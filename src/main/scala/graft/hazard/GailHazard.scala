@@ -21,7 +21,11 @@ object GailHazard {
   /** @param lambdaStar (t, lambda_star) population hazard steps
     * @param ar         (t, ar) sample attributable-risk steps
     */
-  def cumulativeSteps(lambdaStar: DataFrame, ar: DataFrame): DataFrame = {
+  /** Both inputs are step tables (population grid ∪ event times), so
+    * `sizeHint = Small` is almost always right — it turns the LOCF and
+    * the prefix scan into plain single-window jobs with no probes. */
+  def cumulativeSteps(lambdaStar: DataFrame, ar: DataFrame,
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame = {
     val l = lambdaStar.select(col(lambdaStar.columns.head).cast("double").as("t"),
       col(lambdaStar.columns(1)).cast("double").as("lambda_star"))
     val a = ar.select(col(ar.columns.head).cast("double").as("t"),
@@ -30,17 +34,23 @@ object GailHazard {
     // ar-only rows never double-count a carried-forward λ*.
     val joined = l.join(a, Seq("t"), "full_outer")
       .withColumn("is_step", col("lambda_star").isNotNull)
-    val filled = AsOf.locfPartitioned(joined, col("t"), Seq("lambda_star", "ar"))
+    val locfHint = if (sizeHint == Windows.SizeHint.Small)
+      Windows.SizeHint.Small else Windows.SizeHint.Large
+    val filled = AsOf.locfPartitioned(joined, col("t"),
+        Seq("lambda_star", "ar"), sizeHint = locfHint)
       .na.fill(Map("ar" -> 0.0))
     val masses = filled.withColumn("g",
       when(col("is_step"), col("lambda_star") * (lit(1.0) - col("ar")))
         .otherwise(lit(0.0)))
-    Windows.scan(masses, Seq(col("t")), Seq(col("g") -> "cum_gail"))
+    Windows.scan(masses, Seq(col("t")), Seq(col("g") -> "cum_gail"),
+        sizeHint = sizeHint)
       .select(col("t"), col("cum_gail"))
   }
 
-  def at(lambdaStar: DataFrame, ar: DataFrame, tStar: Seq[Double]): DataFrame =
-    AsOf.lookup(cumulativeSteps(lambdaStar, ar), col("t"), col("cum_gail"), tStar)
+  def at(lambdaStar: DataFrame, ar: DataFrame, tStar: Seq[Double],
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame =
+    AsOf.lookup(cumulativeSteps(lambdaStar, ar, sizeHint), col("t"),
+        col("cum_gail"), tStar)
       .withColumnRenamed("value", "cum_gail")
 
   /** Population reference hazard λ*, optionally interval-binned to a t*
@@ -53,13 +63,15 @@ object GailHazard {
     * dedup, `!rev(duplicated(rev(t_int)))`).
     */
   def lambdaStarPop(pop: DataFrame, time: Column, event: Column, weight: Column,
-      tStarGrid: Seq[Double] = Nil): DataFrame = {
+      tStarGrid: Seq[Double] = Nil,
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame = {
     val base = pop.select(time.cast("double").as("t"),
       event.cast("double").as("d"), weight.cast("double").as("w"))
     val grouped = base.groupBy(col("t")).agg(
       sum(when(col("d") === 1.0, col("w")).otherwise(0.0)).as("num"),
       sum(col("w")).as("yg"))
-    val steps = Windows.scan(grouped, Seq(col("t").desc), Seq(col("yg") -> "risk"))
+    val steps = Windows.scan(grouped, Seq(col("t").desc),
+        Seq(col("yg") -> "risk"), sizeHint = sizeHint)
       .filter(col("num") > 0.0)
     if (tStarGrid.isEmpty)
       steps.select(col("t"), (col("num") / col("risk")).as("lambda_star"),

@@ -142,18 +142,38 @@ object Dedup {
 
   /** Exact word-level n-gram Jaccard similarity over candidate pairs
     * produced by a cheap blocking key — the oracle-checkable exact-math
-    * sibling of minhashPairs. */
+    * sibling of minhashPairs.
+    *
+    * Inverted-index formulation: |A∩B| comes from a token-level
+    * self-join + pair count and |A∪B| = |A|+|B|−|A∩B|, so the n²-pair
+    * stream carries only (id, id, counts) — never the shingle arrays.
+    * The array-intersect-per-pair form measured ~10× slower at sf0.1
+    * and ships every document's token array into every pair. */
   def ngramJaccard(df: DataFrame, id: Column, text: Column, block: Column,
       k: Int = 1): DataFrame = {
+    // no persist: the two self-join sides are identical subplans whose
+    // shuffle Spark deduplicates via ReuseExchange
     val base = df.select(id.as("id"), block.as("blk"),
       shingles(text, k).as("sh"))
-    val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
+    val sizes = base.select(col("blk"), col("id"), size(col("sh")).as("n"))
+    // all blocked pairs (zero-overlap pairs included, matching the dense
+    // semantics) — id+count only
+    val pairs = sizes.select(col("blk"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(sizes.select(col("blk"), col("id").as("id_b"), col("n").as("n_b")),
+        Seq("blk"))
       .filter(col("id_a") < col("id_b"))
+    // |A∩B| per pair from the inverted index
+    val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"))
+    val inter = tok.select(col("blk"), col("w"), col("id").as("id_a"))
+      .join(tok.select(col("blk"), col("w"), col("id").as("id_b")),
+        Seq("blk", "w"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    pairs.join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+          .as("jaccard"))
   }
 
   /** 64-bit SimHash per document: explode tokens, hash each ONCE with

@@ -128,7 +128,8 @@ object RelationalQueries3 {
       val fit = CoxPH.fit(base, col("t"), col("d"), col("w"), Seq(col("x")),
         maxIter = 4, tol = 0.0)
       val dev = CoxInfluence.deviates(base, col("t"), col("d"), col("w"),
-        Seq(col("x")), fit.coefficients, fit.infoPacked)
+        Seq(col("x")), fit.coefficients, fit.infoPacked,
+        sizeHint = graft.core.Windows.SizeHint.Small)
       val corrected = JointVariance.ipswCorrectedDeviates(dev, p = 1,
         psWeight = col("__w"), psFeatures = Seq(col("__x0")),
         gammaDevs = Seq(lit(0.0)), infoPacked = fit.infoPacked)

@@ -241,7 +241,8 @@ object StatQueries {
          |FROM probes ORDER BY t_star""".stripMargin) { (s, d) =>
       graft.hazard.Breslow.cumulativeHazardAt(survFrame(s, d),
           col("t"), col("d"), col("w"), lit(1.0),
-          tStar = Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+          tStar = Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+          sizeHint = Windows.SizeHint.Small)
         .select(col("t_star"), round(col("cum_hzd"), 8).as("cum_hzd"))
         .orderBy(col("t_star"))
     },
@@ -258,7 +259,8 @@ object StatQueries {
          |SELECT t, ROUND(num / z, 8) AS lambda, ROUND(1.0 - y / z, 8) AS ar
          |FROM sc WHERE num > 0 ORDER BY t""".stripMargin) { (s, d) =>
       graft.hazard.DiscreteHazard.steps(survFrame(s, d),
-          col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")))
+          col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")),
+          sizeHint = Windows.SizeHint.Small)
         .select(col("t"), round(col("lambda"), 8).as("lambda"),
           round(col("ar"), 8).as("ar"))
         .orderBy(col("t"))
@@ -280,8 +282,10 @@ object StatQueries {
          |  ORDER BY t DESC LIMIT 1), 0.0), 8) AS cum_hzd
          |FROM probes ORDER BY t_star""".stripMargin) { (s, d) =>
       val steps = graft.hazard.DiscreteHazard.steps(survFrame(s, d),
-        col("t"), col("d"), col("w"), exp(lit(0.1) * col("x"))).persist()
-      val cum = graft.hazard.DiscreteHazard.cumulative(steps)
+        col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")),
+        sizeHint = Windows.SizeHint.Small)
+      val cum = graft.hazard.DiscreteHazard.cumulative(steps,
+        sizeHint = Windows.SizeHint.Small)
       AsOf.lookup(cum, col("t"), col("cum_hzd"), Seq(5.0, 15.0, 25.0, 35.0, 45.0))
         .select(col("t_star"), round(col("value"), 8).as("cum_hzd"))
         .orderBy(col("t_star"))
@@ -328,9 +332,11 @@ object StatQueries {
           (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"),
           (col("l_discount") * 10).cast("double").as("x"))
       val ar = graft.hazard.DiscreteHazard.steps(sampFiltered,
-          col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")))
-        .select(col("t"), col("ar")).persist()
-      graft.hazard.GailHazard.at(lstar, ar, Seq(10.0, 25.0, 40.0, 55.0))
+          col("t"), col("d"), col("w"), exp(lit(0.1) * col("x")),
+          sizeHint = Windows.SizeHint.Small)
+        .select(col("t"), col("ar"))
+      graft.hazard.GailHazard.at(lstar, ar, Seq(10.0, 25.0, 40.0, 55.0),
+        sizeHint = Windows.SizeHint.Small)
         .select(col("t_star"), round(col("cum_gail"), 8).as("cum_gail"))
         .orderBy(col("t_star"))
     },
@@ -351,7 +357,8 @@ object StatQueries {
          |    ORDER BY t DESC LIMIT 1), 0.0) * EXP(0.3)), 8) AS abs_risk
          |FROM probes ORDER BY t_star""".stripMargin) { (s, d) =>
       val cum = graft.hazard.Breslow.cumulativeHazardAt(survFrame(s, d),
-        col("t"), col("d"), col("w"), lit(1.0), Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+        col("t"), col("d"), col("w"), lit(1.0), Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+        sizeHint = Windows.SizeHint.Small)
       graft.hazard.AbsoluteRisk.at(cum, eta0 = 0.3)
         .select(col("t_star"), round(col("abs_risk"), 8).as("abs_risk"))
         .orderBy(col("t_star"))
@@ -432,9 +439,10 @@ object StatQueries {
         Seq(col("x")), Array(0.25))
       val dev = graft.variance.CoxInfluence.deviates(sf, col("t"), col("d"),
         col("w"), Seq(col("x")), Array(0.25), info,
-        passthrough = Seq(col("pi")))
+        passthrough = Seq(col("pi")), sizeHint = Windows.SizeHint.Small)
       val long = graft.variance.HazardInfluence.cumulativeDeviates(
         dev, p = 1, tStar = Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+        sizeHint = Windows.SizeHint.Small,
         passthrough = Seq(col("pi")))
       long.groupBy(col("t_star"))
         .agg(round(max(col("cum_hzd")), 6).as("cum_hzd"),

@@ -84,8 +84,12 @@ object CoxPH {
     val scanCols = Seq(col("s0g") -> "S0") ++
       (0 until p).map(j => col(s"s1g$j") -> s"S1$j") ++
       s2Names.map { case (j, k) => col(s"s2g${j}_$k") -> s"S2${j}_$k" }
+    // release the scan's internal cache once the contraction lands: the
+    // result is consumed entirely by the head() below, so the NR loop
+    // does not accumulate one cached dataset per iteration (Large path)
+    val scanCaches = scala.collection.mutable.Buffer.empty[DataFrame]
     val scanned = Windows.scan(grouped, Seq(col("__t").desc), scanCols,
-      sizeHint = sizeHint)
+      sizeHint = sizeHint, release = Some(scanCaches))
 
     // final contraction: only rows with events contribute
     val uExprs = (0 until p).map { j =>
@@ -95,6 +99,7 @@ object CoxPH {
         col(s"S1$j") * col(s"S1$k") / (col("S0") * col("S0")))).as(s"I${j}_$k") }
     val row = scanned.filter(col("wd") > 0)
       .agg((uExprs ++ iExprs).head, (uExprs ++ iExprs).tail: _*).head()
+    scanCaches.foreach(_.unpersist(blocking = false))
 
     val u = (0 until p).map(j => row.getDouble(j)).toArray
     val info = s2Names.indices.map(i => row.getDouble(p + i)).toArray

@@ -34,7 +34,8 @@ object CoxInfluence {
       features: Seq[Column],
       beta: Array[Double],
       infoPacked: Array[Double],
-      passthrough: Seq[Column] = Nil): DataFrame = {
+      passthrough: Seq[Column] = Nil,
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame = {
     val p = features.length
     val x = features.indices.map(j => features(j).cast("double").as(s"__x$j"))
     val base = df.select((Seq(time.cast("double").as("__t"),
@@ -52,7 +53,8 @@ object CoxInfluence {
     val grouped = base.groupBy(col("__t")).agg(aggExprs.head, aggExprs.tail: _*)
     val scanCols = (col("s0g") -> "S0") +:
       (0 until p).map(j => col(s"s1g$j") -> s"S1$j")
-    val withS = Windows.scan(grouped, Seq(col("__t").desc), scanCols)
+    val withS = Windows.scan(grouped, Seq(col("__t").desc), scanCols,
+      sizeHint = sizeHint)
 
     // event-time prefix sums G0, G1_j (zero increment at non-event times
     // keeps every t in the step table for the back-join)
@@ -60,13 +62,16 @@ object CoxInfluence {
       (0 until p).map(j =>
         (when(col("wd") > 0, col("wd") * col(s"S1$j") / (col("S0") * col("S0")))
           .otherwise(0.0)) -> s"G1$j")
-    val steps = Windows.scan(withS, Seq(col("__t")), gCols)
+    val steps = Windows.scan(withS, Seq(col("__t")), gCols, sizeHint = sizeHint)
       .select((col("__t") +: col("S0") +:
         (0 until p).map(j => col(s"S1$j")) ++:
         col("G0") +: (0 until p).map(j => col(s"G1$j"))): _*)
 
-    // join S/G back to unit rows by exact t (every t_i is in steps)
-    val joined = base.join(steps, Seq("__t"))
+    // join S/G back to unit rows by exact t (every t_i is in steps);
+    // a Small step table broadcasts — no shuffle of the unit rows
+    val stepsSide = if (sizeHint == Windows.SizeHint.Small) broadcast(steps)
+                    else steps
+    val joined = base.join(stepsSide, Seq("__t"))
 
     val ui = (0 until p).map { j =>
       (col("__d") * (col(s"__x$j") - col(s"S1$j") / col("S0")) -

@@ -197,8 +197,10 @@ object HazardInfluence {
 
     // ---- unit side: exact join on t (every t_i is in the step table;
     //      the γ-chain terms are t*-constants and need no unit lookup) ----
-    val unitStep = stepTable.select(col("__t"), col("Z"), col("GL"),
+    val unitStep0 = stepTable.select(col("__t"), col("Z"), col("GL"),
       col("EA"), col("EB"))
+    val unitStep = if (sizeHint == Windows.SizeHint.Small) broadcast(unitStep0)
+                   else unitStep0
     val units = base.join(unitStep, Seq("__t"))
 
     // ---- per-t* deviate expressions, exploded long ----
