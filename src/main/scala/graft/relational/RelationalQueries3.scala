@@ -58,6 +58,59 @@ object RelationalQueries3 {
 
   val all: Seq[QueryDef] = Seq(
 
+    // ---- S2: sink roundtrip — parquet write → read → CSV write →
+    //      schema-enforced CSV read must reproduce the source rows ----
+    sqlChecked("s2_sink",
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s2").toString
+      val df = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      df.write.mode("overwrite").parquet(s"$tmp/p")
+      s.read.parquet(s"$tmp/p")
+        .write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
+      s.read.option("header", "true").schema(df.schema).csv(s"$tmp/c")
+        .orderBy("n_nationkey")
+    },
+
+    // ---- A8: kernel-weight Jacobian ∂kw/∂γ (Gaussian closed form) ----
+    sqlChecked("a8_kw_jacobian",
+      """WITH sv AS (SELECT c_custkey AS sid, c_acctbal / 1000.0 AS qs,
+        |    1.0 + (c_custkey % 3) AS wt, c_nationkey / 10.0 AS xs
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |ch AS (SELECT s_suppkey AS cid, s_acctbal / 1000.0 AS qc,
+        |    s_nationkey / 10.0 AS xc
+        |  FROM supplier WHERE s_suppkey % 7 = 0),
+        |p AS (SELECT sid, cid, wt, (qs - qc) / 0.5 AS u, xs, xc
+        |  FROM sv CROSS JOIN ch),
+        |k AS (SELECT sid, cid, wt,
+        |    EXP(-u * u / 2) / SQRT(2 * PI()) AS k,
+        |    (-u) * EXP(-u * u / 2) / SQRT(2 * PI()) * (xs - xc) / 0.5 AS dk
+        |  FROM p),
+        |r AS (SELECT sid, SUM(k) AS row_k, SUM(dk) AS row_dk
+        |  FROM k GROUP BY sid)
+        |SELECT cid AS c_id, ROUND(SUM(wt * k / row_k), 8) AS kw,
+        |  ROUND(SUM(wt * (dk * row_k - k * row_dk) / (row_k * row_k)), 8)
+        |    AS d_kw_0
+        |FROM k JOIN r USING (sid) WHERE row_k > 0
+        |GROUP BY cid ORDER BY c_id""".stripMargin) { (s, d) =>
+      val surv = t(s, d, "customer").filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("sid"),
+          (col("c_acctbal") / 1000.0).as("qs"),
+          (lit(1.0) + col("c_custkey") % 3).cast("double").as("wt"),
+          (col("c_nationkey") / 10.0).as("xs"))
+      val coh = t(s, d, "supplier").filter(col("s_suppkey") % 7 === 0)
+        .select(col("s_suppkey").as("cid"),
+          (col("s_acctbal") / 1000.0).as("qc"),
+          (col("s_nationkey") / 10.0).as("xc"))
+      graft.weights.KernelWeights.jacobian(
+          surv, col("sid"), col("qs"), col("wt"),
+          coh, col("cid"), col("qc"), h = 0.5,
+          sFeatures = Seq(col("xs")), cFeatures = Seq(col("xc")))
+        .select(col("c_id"), round(col("kw"), 8).as("kw"),
+          round(col("d_kw_0"), 8).as("d_kw_0"))
+        .orderBy(col("c_id"))
+    },
+
     // ---- sliding windows: each event lands in 2 overlapping 1h/30m buckets ----
     sqlChecked("ev_sliding",
       """WITH b AS (

@@ -21,11 +21,28 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Jackknife {
 
-  /** Deterministic group assignment 0..m-1 from a row key (the
-    * reference's `cut(runif, quantile(...))`, jk_fun.R:283-286, with the
-    * engine's reproducible RNG). */
+  /** Deterministic group assignment 0..m-1 from a row key. Multinomial
+    * (hash-binned) sizes — O(0) extra passes; for the reference's
+    * exactly-equal-size design use `groupEqual`. */
   def group(key: Column, m: Int, salt: Long = 0L): Column =
     floor(Rng.uniform(key, salt) * lit(m)).cast("int")
+
+  /** Exactly-equal group sizes, the reference's quantile-cut design
+    * (`cut(runif, quantile(...))`, jk_fun.R:283-286): rank rows by the
+    * reproducible uniform key and assign rank mod m, so group sizes
+    * differ by at most 1. The rank is a distributed prefix count
+    * (Windows.scan) — one range shuffle, no single-partition window.
+    * Returns df + `jk_g`. */
+  def groupEqual(df: DataFrame, key: Column, m: Int, salt: Long = 0L,
+      sizeHint: graft.core.Windows.SizeHint =
+        graft.core.Windows.SizeHint.Auto): DataFrame = {
+    val withU = df.withColumn("__jk_u", Rng.uniform(key, salt))
+    graft.core.Windows.scan(withU, Seq(col("__jk_u"), key),
+        Seq(lit(1.0) -> "__jk_rank"), sizeHint = sizeHint)
+      .withColumn("jk_g",
+        ((col("__jk_rank").cast("long") - 1) % m).cast("int"))
+      .drop("__jk_u", "__jk_rank")
+  }
 
   /** Explode to the replicate dimension: every input row appears once
     * per replicate r=0..m-1 with column `jk_wt` = 0 if its group is

@@ -60,10 +60,16 @@ object KernelWeights {
 
     val withK = pairs.withColumn("k", kernel((col("q_s") - col("q_c")) / lit(h)))
 
-    // stage 1: row sums per survey unit (+ cohort count for the rescue)
+    // stage 1: row sums per survey unit (+ cohort count for the rescue).
+    // LEFT-join from the survey side so a unit that produced NO pairs
+    // (band join, empty ±1 buckets) still appears with row_k = 0 and its
+    // wt_s enters the flat rescue — pseudo-weight mass is conserved on
+    // both paths (the reference's krnwt spreads wt/m, simu_fun.R:175-183).
     val m = c.count()
-    val rowSums = withK.groupBy(col("s_id"), col("wt_s"))
-      .agg(sum(col("k")).as("row_k"))
+    val rowSums = s.select(col("s_id"), col("wt_s"))
+      .join(withK.groupBy(col("s_id")).agg(sum(col("k")).as("row_k")),
+        Seq("s_id"), "left")
+      .withColumn("row_k", coalesce(col("row_k"), lit(0.0)))
 
     // stage 2: join row sums back, normalize, sum per cohort unit.
     // Zero-sum survey rows spread wt_s/m to every cohort unit — for the
@@ -103,11 +109,23 @@ object KernelWeights {
     * stream, extra measure columns per coefficient. `xDiff(j)` is the
     * pair-level Δx_j = x_sj − x_cj expression supplied by the caller on
     * the joined frame. Returns (c_id, d_kw_0..d_kw_{p-1}). */
+  /** Gaussian density and its u-derivative −u·K(u) — the jacobian
+    * defaults, matching the reference's dnorm kernel. Pass both the
+    * kernel and its derivative for other kernels (triangular:
+    * K' = −sign(u)/2 on |u|<1 — the reference's triangular variant,
+    * taylor_deviate.R:72). */
+  val gaussianK: Column => Column = u =>
+    exp(-u * u / lit(2.0)) / lit(math.sqrt(2.0 * math.Pi))
+  val gaussianDk: Column => Column = u =>
+    -u * exp(-u * u / lit(2.0)) / lit(math.sqrt(2.0 * math.Pi))
+
   def jacobian(
       survey: DataFrame, sId: Column, sScore: Column, sWt: Column,
       cohort: DataFrame, cId: Column, cScore: Column,
       h: Double,
-      sFeatures: Seq[Column], cFeatures: Seq[Column]): DataFrame = {
+      sFeatures: Seq[Column], cFeatures: Seq[Column],
+      kernel: Column => Column = gaussianK,
+      kernelDeriv: Column => Column = gaussianDk): DataFrame = {
     val p = sFeatures.length
     val s = survey.select((sId.as("s_id") +: sScore.cast("double").as("q_s") +:
       sWt.cast("double").as("wt_s") +:
@@ -116,13 +134,12 @@ object KernelWeights {
       cFeatures.zipWithIndex.map { case (f, j) => f.cast("double").as(s"xc$j") }): _*)
     val pairs = s.crossJoin(broadcast(c))
     val u = (col("q_s") - col("q_c")) / lit(h)
-    // Gaussian kernel: dK/du = -u·K(u); d u/dγ_j = (x_sj − x_cj)·(dq/dγ)/h
-    // with logistic scores dq/dγ_j folded into xDiff by the caller.
-    val k = exp(-u * u / lit(2.0)) / lit(math.sqrt(2.0 * math.Pi))
-    val withK = pairs.withColumn("k", k)
-      .withColumn("u", u)
+    // dK/du from kernelDeriv; d u/dγ_j = (x_sj − x_cj)·(dq/dγ)/h with
+    // logistic scores dq/dγ_j folded into the feature columns by the caller.
+    val withK = pairs.withColumn("k", kernel(u))
+      .withColumn("dku", kernelDeriv(u))
     val dCols = (0 until p).map { j =>
-      (-col("u") * col("k") * (col(s"xs$j") - col(s"xc$j")) / lit(h)).as(s"dk$j")
+      (col("dku") * (col(s"xs$j") - col(s"xc$j")) / lit(h)).as(s"dk$j")
     }
     val wk = withK.select((col("s_id") +: col("c_id") +: col("wt_s") +: col("k") +: dCols): _*)
 

@@ -103,13 +103,36 @@ class StatsSpec extends SparkSpec {
   }
 
   test("M5 band join path matches dense path for compact-support kernel") {
-    val survey = Seq((1L, 0.0, 2.0), (2L, 1.0, 3.0), (3L, 2.5, 1.0)).toDF("id", "q", "wt")
+    // survey id=4 sits at q=10: no cohort within ±1 bucket, so the band
+    // join yields NO pairs for it — its wt must still enter the flat
+    // zero-row rescue exactly as on the dense path (where its kernel row
+    // is all zeros), conserving total pseudo-weight mass.
+    val survey = Seq((1L, 0.0, 2.0), (2L, 1.0, 3.0), (3L, 2.5, 1.0),
+      (4L, 10.0, 5.0)).toDF("id", "q", "wt")
     val cohort = Seq((10L, 0.0), (11L, 0.5), (12L, 1.0), (13L, 3.1)).toDF("id", "q")
     def run(band: Boolean) = KernelWeights.compute(
       survey, col("id"), col("q"), col("wt"),
       cohort, col("id"), col("q"),
       h = 1.0, kernel = Kernels.triangular, bandJoin = band)
       .orderBy("c_id").collect().map(_.getDouble(1)).toSeq
-    assertSeqNear(run(false), run(true), 1e-12)
+    val dense = run(false); val band = run(true)
+    assertSeqNear(dense, band, 1e-12)
+    assertNear(dense.sum, 2.0 + 3.0 + 1.0 + 5.0, 1e-9) // Σkw = Σwt
+  }
+
+  test("M14 groupEqual assigns exactly-equal-size jackknife groups") {
+    val df = (1L to 101L).toDF("id")
+    val m = 10
+    val g = graft.variance.Jackknife.groupEqual(df, col("id"), m, salt = 3L)
+    val sizes = g.groupBy(col("jk_g")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(sizes.keySet == (0 until m).toSet)
+    // 101 rows over 10 groups: sizes 10 or 11, never more than 1 apart
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // deterministic under the same salt
+    val g2 = graft.variance.Jackknife.groupEqual(df, col("id"), m, salt = 3L)
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    val g1 = g.orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(g1 == g2)
   }
 }
