@@ -2,22 +2,32 @@ package graft.pipeline
 
 import graft.sampling.{Population, Pps}
 import graft.stats.CoxPH
+import graft.weights.Composite
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-/** Monte-Carlo simulation driver (SURVEY.md §3.1) — the shape of
-  * `calib_simu_noninf0315.R`: synthesize a finite population with known
-  * PH truth, then for each replicate draw PPS cohort + survey samples,
-  * run the pseudo-weight → estimator battery, and emit one TALL result
-  * frame keyed by (simu_id, method, param) — the Spark-idiomatic
-  * replacement for the reference's 3-D result arrays
-  * (`beta_est[simu, coeff, method]`, SURVEY.md §1.1).
+/** Monte-Carlo simulation driver (SURVEY.md §3.1) — the full shape of
+  * `calib_simu_noninf0315.R` / `calib_simu_inf0315.R`: synthesize a
+  * finite population with known PH truth and three measurement-error
+  * scenarios, then per replicate draw PPS cohort + survey samples and
+  * run the complete 16-method battery (jk_fun.R:79-170):
   *
-  * Per-replicate sample sizes are reference-scaled (n_c=600, n_s=300);
-  * replicate seeds derive from the deterministic RNG, mirroring
-  * seed.txt's role. The population is built once and persisted; each
-  * replicate reuses it (loop-invariant hoisting, the engine-side
-  * equivalent of `recal.wt=F` pre-fitting, jk_fun.R:291-313).
+  *   1 Naive   — cohort, unweighted
+  *   2 Cht     — cohort, design weights
+  *   3 Svy     — survey, design weights
+  *   4 IPSW    — cohort, inverse-propensity pseudo-weights (recalibrated
+  *               propensity on the a-scaled stack, jk_fun.R:123-127)
+  *   5..16     — {calib, calib_ipsw, imp, imp_calib_ipsw} × scenario
+  *               1..3 via CalibEst (true-weight and blended-weight
+  *               calibration on reported t̃ or imputed t̂)
+  *
+  * The INFORMATIVE twin (`calib_simu_inf0315.R:132`) differs only in the
+  * cohort size measure: odds include outcome terms (−0.75·d − 0.2·x2·d),
+  * so cohort inclusion depends on the event indicator and the naive
+  * estimator is design-biased while the weighted ones are not.
+  *
+  * Results come back TALL, keyed by (simu_id, method, param) — the
+  * Spark-idiomatic replacement for the reference's 3-D arrays.
   */
 object Simulation {
 
@@ -27,48 +37,121 @@ object Simulation {
       nSurvey: Int = 300,
       nSimu: Int = 3,
       beta: Array[Double] = Array(math.log(-math.log(0.85) / 15.0), 0.2, 0.2, 0.3),
-      tStar: Seq[Double] = Seq(5.0, 10.0, 15.0))
+      tStar: Seq[Double] = Seq(5.0, 10.0, 15.0),
+      informative: Boolean = false,
+      fullBattery: Boolean = false,
+      // the reference's three δ scenarios (calib_simu_noninf0315.R:94-96)
+      errorScenarios: Seq[Population.ErrorScenario] = Seq(
+        Population.ErrorScenario(Array(2.0, 0.01, 0.02, 0.01)),
+        Population.ErrorScenario(Array(10.0, 0.2, 0.2, 0.1)),
+        Population.ErrorScenario(Array(10.0, 0.0, 0.0, 0.0))))
+
+  /** Cohort PPS size measure: log-odds −0.15·x1 + 0.1·x2, plus the
+    * outcome terms −0.75·d − 0.2·x2·d under informative sampling
+    * (gamma_c, calib_simu_{noninf,inf}0315.R:132). */
+  private def cohortOdds(informative: Boolean): Column = {
+    val base = col("x1") * -0.15 + col("x2") * 0.1
+    exp(if (informative) base + col("d") * -0.75 + col("x2") * col("d") * -0.2
+        else base)
+  }
+  /** Survey size measure exp(0.07·x1 + 0.07·x2) (gamma_s). */
+  private def surveyOdds: Column = exp(col("x1") * 0.07 + col("x2") * 0.07)
 
   def run(spark: SparkSession, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val pop = Population.generate(spark, cfg.populationSize, cfg.beta)
+    val xCols = Seq("x1", "x2", "x3")
+    val pop0 = Population.generate(spark, cfg.populationSize, cfg.beta)
+    val pop = (if (cfg.fullBattery)
+                 Population.withErrorScenarios(pop0, cfg.errorScenarios)
+               else pop0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val popAgg = pop.agg(count(lit(1)).cast("double"),
+      sum(col("d").cast("double"))).head()
+    val popN = popAgg.getDouble(0); val popN1 = popAgg.getDouble(1)
 
     // population truth (the reference's pop fits, calib_simu:113-124)
-    val truthFit = CoxPH.fit(pop, col("t"), col("d"), col("w"),
-      Seq(col("x1"), col("x2"), col("x3")))
+    val truthFit = CoxPH.fit(pop, col("t"), col("d"), col("w"), xCols.map(col))
+    val popLambda =
+      if (cfg.fullBattery)
+        Some(graft.hazard.GailHazard.lambdaStarPop(pop, col("t"), col("d"),
+            col("w"), tStarGrid = cfg.tStar)
+          .select(col("t"), col("lambda_star"))
+          .persist())
+      else None
 
     val results = (1 to cfg.nSimu).flatMap { simu =>
-      val cohort = Pps.draw(pop.withColumn("msize", exp(col("x1") / 8.0)),
+      val cohort = Pps.draw(pop.withColumn("msize", cohortOdds(cfg.informative)),
         col("id"), col("msize"), cfg.nCohort, salt = 1000L + simu).drop("msize")
-      val survey = Pps.draw(pop.withColumn("msize", exp(col("x2") / 8.0)),
+      val survey = Pps.draw(pop.withColumn("msize", surveyOdds),
         col("id"), col("msize"), cfg.nSurvey, salt = 2000L + simu).drop("msize")
 
       val stacked = SurveyIntegration.stack(cohort, survey, col("wt"))
-      val ps = SurveyIntegration.propensityModel(stacked, Seq("x1", "x2", "x3"))
-      val withIpsw = SurveyIntegration.withIpsw(cohort, ps)
+      // recalibrated propensity on the a-scaled stack (jk_fun.R:123-127)
+      val a = cfg.nSurvey.toDouble / cfg.populationSize
+      val psStack = stacked.withColumn("__wps",
+        when(col("trt") === 1, 1.0).otherwise(col("w") * a))
+      val ps = SurveyIntegration.propensityModel(psStack, xCols, col("__wps"))
+      val withIpsw = cohort.withColumn("ipsw",
+        graft.weights.Ipsw.fromLinearPredictor(ps.score(cohort), a))
 
       val naive = SurveyIntegration.estimatorBattery(cohort,
-        col("t"), col("d"), lit(1.0), Seq("x1", "x2", "x3"), cfg.tStar)
-      val ipsw = SurveyIntegration.estimatorBattery(withIpsw,
-        col("t"), col("d"), col("ipsw"), Seq("x1", "x2", "x3"), cfg.tStar)
-      val svyWtd = SurveyIntegration.estimatorBattery(survey,
-        col("t"), col("d"), col("wt"), Seq("x1", "x2", "x3"), cfg.tStar)
+        col("t"), col("d"), lit(1.0), xCols, cfg.tStar, popLambda)
+      val cht = SurveyIntegration.estimatorBattery(cohort,
+        col("t"), col("d"), col("wt"), xCols, cfg.tStar, popLambda)
+      val svyB = SurveyIntegration.estimatorBattery(survey,
+        col("t"), col("d"), col("wt"), xCols, cfg.tStar, popLambda)
+      val ipswB = SurveyIntegration.estimatorBattery(withIpsw,
+        col("t"), col("d"), col("ipsw"), xCols, cfg.tStar, popLambda)
 
       def rows(method: String, b: SurveyIntegration.Battery) =
         b.beta.zipWithIndex.map { case (v, j) =>
           (simu, method, s"beta${j + 1}", v)
         } ++ b.lambdaAt.toSeq.map { case (t, v) =>
           (simu, method, s"Lambda@$t", v)
+        } ++ b.gailAt.toSeq.map { case (t, v) =>
+          (simu, method, s"LambdaG@$t", v)
         } ++ b.absRiskAt.toSeq.map { case (t, v) =>
           (simu, method, s"absR@$t", v)
         }
 
-      rows("naive", naive) ++ rows("ipsw", ipsw) ++ rows("svy_wtd", svyWtd) ++
+      val baseRows = rows("naive", naive) ++ rows("cht", cht) ++
+        rows("svy", svyB) ++ rows("ipsw", ipswB) ++
         truthFit.coefficients.zipWithIndex.map { case (v, j) =>
           (simu, "truth", s"beta${j + 1}", v)
         }
+
+      val calibRows = if (!cfg.fullBattery) Nil else {
+        // blended-weight allocation (jk_fun.R:136-139 / m17 composite)
+        val alloc = Composite.allocation(withIpsw, col("ipsw"), survey, col("wt"))
+        val com = SurveyIntegration.stack(withIpsw, survey, col("wt"))
+          .withColumn("halfwt", col("wt") / 2.0)
+          .withColumn("blend",
+            when(col("trt") === 1, col("ipsw") * alloc.aCohort)
+              .otherwise(col("wt") * alloc.aSurvey))
+          // survey rows carry the imputed outcome; cohort rows the truth
+          .persist()
+        val methods = (1 to cfg.errorScenarios.length).flatMap { i =>
+          val comI = com
+            .withColumn(s"t_fit_$i",
+              when(col("trt") === 1, col("t")).otherwise(col(s"t_imp_$i")))
+            .withColumn(s"d_fit_$i",
+              when(col("trt") === 1, col("d")).otherwise(col(s"d_tilde_$i")))
+          Seq(
+            (s"calib.d$i", CalibEst.run(comI, s"t_tilde_$i", s"d_tilde_$i",
+              "halfwt", col("wt"), popN, popN1, xCols, cfg.tStar, popLambda)),
+            (s"calib_ipsw.d$i", CalibEst.run(comI, s"t_tilde_$i", s"d_tilde_$i",
+              "blend", col("blend"), popN, popN1, xCols, cfg.tStar, popLambda)),
+            (s"imp.d$i", CalibEst.run(comI, s"t_fit_$i", s"d_fit_$i",
+              "halfwt", col("wt"), popN, popN1, xCols, cfg.tStar, popLambda)),
+            (s"imp_calib_ipsw.d$i", CalibEst.run(comI, s"t_fit_$i", s"d_fit_$i",
+              "blend", col("blend"), popN, popN1, xCols, cfg.tStar, popLambda)))
+        }
+        com.unpersist(blocking = false)
+        methods.flatMap { case (m, b) => rows(m, b) }
+      }
+      baseRows ++ calibRows
     }
+    popLambda.foreach(_.unpersist(blocking = false))
     pop.unpersist(blocking = false)
     results.toDF("simu_id", "method", "param", "value")
   }

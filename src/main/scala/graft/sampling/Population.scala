@@ -55,4 +55,47 @@ object Population {
       .withColumn("d", when(col("t_i") <= least(col("c1"), lit(adminCensor)), 1).otherwise(0))
       .withColumn("w", lit(1.0))
   }
+
+  /** One measurement-error scenario (calib_simu_noninf0315.R:61-90
+    * `t_d_gen`): reported times t_tilde = min(t_i + δ, censors) with
+    * δ = max(0, b0 + b1·x1 + b2·x2 + b3·x1·x2 + N(0.01, 1)), the
+    * error-prone indicator d_tilde, and the population-level WLS
+    * imputation t_imp = clip(t_tilde − δ̂) on d_tilde=1 rows
+    * (`lm(t_delta ~ x1*x2)`), t_imp = t elsewhere. */
+  final case class ErrorScenario(beta: Array[Double])
+
+  def withErrorScenarios(pop: DataFrame,
+      scenarios: Seq[ErrorScenario],
+      adminCensor: Double = 15.0): DataFrame = {
+    import graft.core.FeatureArray
+    import graft.stats.WeightedGLM
+    scenarios.zipWithIndex.foldLeft(pop) { case (df, (sc, i0)) =>
+      val i = i0 + 1
+      val b = sc.beta
+      val noise = boxMuller(col("id"), 7000L + 13L * i) + lit(0.01)
+      val deltaRaw = lit(b(0)) + col("x1") * lit(b(1)) + col("x2") * lit(b(2)) +
+        col("x1") * col("x2") * lit(b(3)) + noise
+      val stage = df
+        .withColumn(s"t_delta_$i", greatest(deltaRaw, lit(0.0)))
+        .withColumn(s"__td_$i", col("t_i") + col(s"t_delta_$i"))
+        .withColumn(s"t_tilde_$i",
+          least(col(s"__td_$i"), col("c1"), lit(adminCensor)))
+        .withColumn(s"d_tilde_$i",
+          when(col(s"__td_$i") <= least(col("c1"), lit(adminCensor)), 1.0)
+            .otherwise(0.0))
+        .drop(s"__td_$i")
+      // population WLS of δ on [1, x1, x2, x1·x2] over reported events
+      val feats = FeatureArray.withInteractions(
+        Seq(col("x1"), col("x2")), Seq((0, 1)))
+      val fit = WeightedGLM.wls(stage.filter(col(s"d_tilde_$i") === 1.0),
+        feats, col(s"t_delta_$i"), lit(1.0), p = 4)
+      val fitted = lit(fit.coefficients(0)) +
+        col("x1") * lit(fit.coefficients(1)) + col("x2") * lit(fit.coefficients(2)) +
+        col("x1") * col("x2") * lit(fit.coefficients(3))
+      stage.withColumn(s"t_imp_$i",
+        when(col(s"d_tilde_$i") === 1.0,
+          greatest(col(s"t_tilde_$i") - greatest(fitted, lit(0.0)), lit(0.0)))
+          .otherwise(col("t")))
+    }
+  }
 }

@@ -5,18 +5,24 @@ import org.apache.spark.sql.functions._
 
 /** The reference's main entry point (§3.1): Monte-Carlo replicates of
   * the sampling → pseudo-weighting → estimation battery against a known
-  * population truth, emitting the tall results frame.
+  * population truth, emitting the tall results frame — including the
+  * full 16-method battery (jk_fun.R:79-170) and the informative-sampling
+  * twin (calib_simu_inf0315.R).
   */
 class SimulationSpec extends SparkSpec {
 
-  test("Monte-Carlo driver: tall results, methods near truth") {
+  private val fullMethods = Set("naive", "cht", "svy", "ipsw") ++
+    (1 to 3).flatMap(i => Seq(s"calib.d$i", s"calib_ipsw.d$i",
+      s"imp.d$i", s"imp_calib_ipsw.d$i")) + "truth"
+
+  test("Monte-Carlo driver: tall results, reproducible, methods near truth") {
     val res = Simulation.run(spark,
       Simulation.Config(populationSize = 20000, nSimu = 2)).persist()
 
     // schema + completeness: every (simu, method) carries betas + curves
     assert(res.columns.toSeq == Seq("simu_id", "method", "param", "value"))
     val methods = res.select("method").distinct().collect().map(_.getString(0)).toSet
-    assert(methods == Set("naive", "ipsw", "svy_wtd", "truth"))
+    assert(methods == Set("naive", "cht", "svy", "ipsw", "truth"))
     val perSim = res.groupBy("simu_id").count().collect().map(_.getLong(1)).toSet
     assert(perSim.size == 1, "replicates must emit identical result shapes")
 
@@ -35,6 +41,68 @@ class SimulationSpec extends SparkSpec {
     val ipswB = res.filter(col("method") === "ipsw" && col("param") === "beta3")
       .agg(avg("value")).head().getDouble(0)
     assert(math.abs(ipswB - truthB) < 0.25, s"ipsw=$ipswB truth=$truthB")
+    res.unpersist(blocking = false)
+  }
+
+  test("full 16-method battery emits complete, finite estimates per slot") {
+    val res = Simulation.run(spark, Simulation.Config(
+      populationSize = 15000, nCohort = 500, nSurvey = 300, nSimu = 1,
+      fullBattery = true)).persist()
+    val methods = res.select("method").distinct().collect().map(_.getString(0)).toSet
+    assert(methods == fullMethods, s"missing: ${fullMethods -- methods}")
+    assert(res.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+    // every non-truth method carries 3 betas + Λ/ΛG/absR at 3 t* each
+    val counts = res.filter(col("method") =!= "truth")
+      .groupBy("method").count().collect().map(r => r.getString(0) -> r.getLong(1))
+    counts.foreach { case (m, n) =>
+      assert(n == 3 + 3 * 3, s"method $m emitted $n params")
+    }
+
+    // weighted/corrected β near the truth; the aggressive-error
+    // scenarios (d2, d3 add δ≈10 to event times) are repaired by
+    // calibration back toward the true-outcome fit
+    val byMp = res.groupBy("method", "param").agg(avg("value").as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (j <- 1 to 3) {
+      val truth = byMp(("truth", s"beta$j"))
+      for (m <- Seq("cht", "ipsw", "calib.d1", "imp.d1"))
+        assert(math.abs(byMp((m, s"beta$j")) - truth) < 0.3,
+          s"$m beta$j=${byMp((m, s"beta$j"))} truth=$truth")
+    }
+    res.unpersist(blocking = false)
+  }
+
+  test("informative design: weighted estimators repair the naive bias") {
+    import spark.implicits._
+    // Under the informative cohort design (odds ∝ exp(−0.75·d − 0.2·x2·d))
+    // events are strongly undersampled: the naive event prevalence is
+    // biased low while the Horvitz-Thompson weighted prevalence is not.
+    val pop = graft.sampling.Population.generate(spark, 20000).persist()
+    val popPrev = pop.agg(avg(col("d").cast("double"))).head().getDouble(0)
+    val odds = exp(col("x1") * -0.15 + col("d") * -0.75 +
+      col("x2") * 0.1 + col("x2") * col("d") * -0.2)
+    val cohort = graft.sampling.Pps.draw(pop.withColumn("msize", odds),
+      col("id"), col("msize"), n = 600, salt = 1001L)
+    val r = cohort.agg(
+      avg(col("d").cast("double")),
+      (sum(col("wt") * col("d")) / sum(col("wt")))).head()
+    val naivePrev = r.getDouble(0); val htPrev = r.getDouble(1)
+    pop.unpersist(blocking = false)
+    assert(naivePrev < popPrev * 0.8,
+      s"design not informative: naive=$naivePrev pop=$popPrev")
+    assert(math.abs(htPrev - popPrev) < 0.35 * popPrev,
+      s"HT prevalence off: ht=$htPrev pop=$popPrev")
+
+    // and the full driver runs under the informative flag with weighted
+    // β still near truth
+    val res = Simulation.run(spark, Simulation.Config(
+      populationSize = 15000, nCohort = 500, nSurvey = 300, nSimu = 1,
+      informative = true)).persist()
+    assert(res.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+    val byMp = res.groupBy("method", "param").agg(avg("value").as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (j <- 1 to 3)
+      assert(math.abs(byMp(("cht", s"beta$j")) - byMp(("truth", s"beta$j"))) < 0.3)
     res.unpersist(blocking = false)
   }
 }
