@@ -44,9 +44,30 @@ object HazardInfluence {
     * columns (length q). */
   final case class GammaChain(pwGamma: Seq[Column], gammaDevs: Seq[Column])
 
-  /** Risk profile for the absolute-risk deviate (absR_w): absR(t*) =
+  /** Risk profile for the absolute-risk deviate (absR_w): absR_w(t*) =
     * 1 − exp(−Λ(t*)·e^{x0'β}). */
   final case class RiskProfile(beta: Array[Double], x0: Array[Double])
+
+  /** Post-stratification chain (the reference's `post` branch,
+    * taylor_deviate.R:799-821): with per-cell factors f_h = N_h/N̂_h the
+    * ∂f/∂w Jacobian is cell-blocked, and each of the N/Z/Y deviates
+    * gains v_{h(k)}·Σ_{i∈h} pw_i·(…) — exactly the γ-chain shape with
+    * per-cell indicator measures pw·1{h=m} and per-unit deviates
+    * v_h·1{h(k)=m}. Use together with `directScale = f` and the
+    * POST-STRATIFIED β deviates (CoxInfluence.deviatesPostStratified).
+    *
+    * @param cell       the cell column on the unit frame
+    * @param cellValues distinct cell values (dimension-sized)
+    * @param baseWeight the PRE-post-stratification weight pw = w̃/f
+    * @param vh         per-unit v_{h(k)} = −f_h/N̂_h column
+    */
+  def postStratifiedChain(cell: Column, cellValues: Seq[Any],
+      baseWeight: Column, vh: Column): GammaChain =
+    GammaChain(
+      pwGamma = cellValues.map(c =>
+        when(cell === lit(c), baseWeight.cast("double")).otherwise(0.0)),
+      gammaDevs = cellValues.map(c =>
+        when(cell === lit(c), vh.cast("double")).otherwise(0.0)))
 
   /** Per-unit influence of Λ(t*) — and, when `lambdaStar` is given,
     * ΛG(t*) — and their absolute-risk transforms, in long format
@@ -58,7 +79,13 @@ object HazardInfluence {
     *                   for the Gail chain
     * @param risk optional profile: adds d_abs_risk (and d_abs_risk_gail
     *             with lambdaStar)
-    * @param gamma optional γ-chain correction columns
+    * @param gamma optional γ-chain correction columns. Survey-side rows
+    *              (units outside the cohort whose deviate is PURELY the
+    *              γ chain, the reference's rbind(…, matrix(0, n_s, …))
+    *              blocks) can be unioned into `devFrame` with __w = 0,
+    *              __d = 0, zero β-deviates and directScale 0: they then
+    *              contribute nothing to any risk-set total and receive
+    *              exactly the Σ_m Δγ_m·CN_m(t*) terms.
     * @return long frame with passthrough ++ (t_star, d_cum_hzd
     *         [, d_cum_gail][, d_abs_risk][, d_abs_risk_gail]) plus the
     *         point estimates cum_hzd [, cum_gail] repeated per row

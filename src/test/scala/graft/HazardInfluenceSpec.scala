@@ -228,6 +228,60 @@ class HazardInfluenceSpec extends SparkSpec {
     }
   }
 
+  test("post-stratified Λ deviates match FD through refactoring + refit") {
+    // cells by sign of x; population totals induce nontrivial factors
+    val cells = rows.map(r => if (r._4 >= 0) 1 else 0)
+    val nh = Map(0 -> 4.5, 1 -> 7.0) // cell -> N_h
+    val w0 = rows.map(_._3).toArray
+
+    def postW(w: Array[Double]): Array[Double] = {
+      val hat = Seq(0, 1).map { c =>
+        c -> (0 until n).filter(cells(_) == c).map(w(_)).sum
+      }.toMap
+      (0 until n).map(i => w(i) * nh(cells(i)) / hat(cells(i))).toArray
+    }
+    def lambdaAtPost(w: Array[Double], ts: Double): Double = {
+      val wt = postW(w)
+      lambdaAt(wt, nrBetaW(wt), ts)
+    }
+
+    val wtil = postW(w0)
+    val beta = nrBetaW(wtil)
+    val (_, info) = CoxPH.scoreAndInfo(
+      coxDf.withColumn("wt", col("w")), col("t"), col("d"),
+      // engine post weights must equal the driver-side ones
+      col("w") * when(col("x") >= 0, nh(1) / wtilHat(w0, cells, 1))
+        .otherwise(nh(0) / wtilHat(w0, cells, 0)),
+      Seq(col("x")), Array(beta))
+    val popTotals = Seq((0, 4.5), (1, 7.0)).toDF("cell", "nh")
+    val dev = CoxInfluence.deviatesPostStratified(
+      coxDf, col("t"), col("d"), col("w"),
+      when(col("x") >= 0, 1).otherwise(0),
+      popTotals, Seq(col("x")), Array(beta), info)
+    val chain = HazardInfluence.postStratifiedChain(col("__cell"), Seq(0, 1),
+      col("__pw"), col("__v"))
+    val long = HazardInfluence.cumulativeDeviates(dev, p = 1, tStar = tStar,
+      betaDevPrefix = "dbeta_post_", gamma = Some(chain),
+      directScale = col("__f"), sizeHint = Windows.SizeHint.Small)
+      .orderBy(col("__t"), col("__x0"), col("t_star")).collect()
+
+    val eps = 1e-6
+    for (r <- long) {
+      val i = (0 until n).indexWhere(k => tv(k) == r.getDouble(0) &&
+        xv(k) == r.getDouble(r.fieldIndex("__x0")))
+      val ts = r.getDouble(r.fieldIndex("t_star"))
+      val wp = w0.clone(); wp(i) += eps
+      val wm = w0.clone(); wm(i) -= eps
+      val fd = (lambdaAtPost(wp, ts) - lambdaAtPost(wm, ts)) / (2 * eps)
+      assertNear(r.getDouble(r.fieldIndex("d_cum_hzd")), fd, 5e-5)
+    }
+  }
+
+  private def wtilHat(w: Array[Double], cells: Seq[Int], c: Int): Double =
+    (0 until n).filter(cells(_) == c).map(w(_)).sum
+
+  private def nrBetaW(w: Array[Double]): Double = nrBeta(w)
+
   test("deviates contract to variance and deviate sums stay finite") {
     val beta = nrBeta(rows.map(_._3).toArray)
     val (_, info) = CoxPH.scoreAndInfo(coxDf, col("t"), col("d"), col("w"),
