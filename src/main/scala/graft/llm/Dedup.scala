@@ -162,13 +162,15 @@ object Dedup {
       .join(sizes.select(col("blk"), col("id").as("id_b"), col("n").as("n_b")),
         Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-    // |A∩B| per pair from the inverted index
+    // |A∩B| per pair from the inverted index — a literal self-join so
+    // both sides are the identical subplan and the (blk, w) shuffle is
+    // deduplicated by ReuseExchange (distinct projections defeat it)
     val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"))
-    val inter = tok.select(col("blk"), col("w"), col("id").as("id_a"))
-      .join(tok.select(col("blk"), col("w"), col("id").as("id_b")),
-        Seq("blk", "w"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("i"))
+    val inter = tok.as("ta").join(tok.as("tb"),
+        col("ta.blk") === col("tb.blk") && col("ta.w") === col("tb.w") &&
+          col("ta.id") < col("tb.id"))
+      .groupBy(col("ta.id").as("id_a"), col("tb.id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
     pairs.join(inter, Seq("id_a", "id_b"), "left")
       .withColumn("i", coalesce(col("i"), lit(0L)))
       .select(col("id_a"), col("id_b"),

@@ -163,11 +163,14 @@ object StatQueries {
         |FROM (SELECT k.c_id, k.wt_s, k.k AS kk, rs.row_k FROM k
         |      JOIN rs USING (s_id) WHERE rs.row_k > 0), flat
         |GROUP BY c_id ORDER BY c_id""".stripMargin) { (s, d) =>
+      // compact support ⇒ the bucketed band join is exactly equivalent
+      // to the dense cross join (band≡dense asserted in StatsSpec) and
+      // prunes the pair stream to O(matching pairs)
       graft.weights.KernelWeights.compute(
           t(s, d, "supplier"), col("s_suppkey"), col("s_acctbal") / 1000.0,
           (col("s_suppkey") % 5 + 1.0).cast("double"),
           t(s, d, "customer"), col("c_custkey"), col("c_acctbal") / 1000.0,
-          h = 0.05, kernel = Kernels.triangular)
+          h = 0.05, kernel = Kernels.triangular, bandJoin = true)
         .select(col("c_id"), round(col("kw"), 8).as("kw"))
         .orderBy(col("c_id"))
     },

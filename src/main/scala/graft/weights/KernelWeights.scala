@@ -66,10 +66,14 @@ object KernelWeights {
     // wt_s enters the flat rescue — pseudo-weight mass is conserved on
     // both paths (the reference's krnwt spreads wt/m, simu_fun.R:175-183).
     val m = c.count()
+    // persisted: survey-sized (tiny), and without it the contrib job
+    // below would re-run the whole pair-stream aggregation a second
+    // time inside its join (3 passes over the n_s×n_c stream, not 2)
     val rowSums = s.select(col("s_id"), col("wt_s"))
       .join(withK.groupBy(col("s_id")).agg(sum(col("k")).as("row_k")),
         Seq("s_id"), "left")
       .withColumn("row_k", coalesce(col("row_k"), lit(0.0)))
+      .persist()
 
     // stage 2: join row sums back, normalize, sum per cohort unit.
     // Zero-sum survey rows spread wt_s/m to every cohort unit — for the
