@@ -33,6 +33,37 @@ class ScaleSpec extends SparkSpec {
     pop.unpersist(blocking = false)
   }
 
+  test("hazard influence: Large two-phase path equals the Small window path") {
+    val n = 25000
+    val pop = graft.sampling.Population.generate(spark, n,
+      beta = Array(-2.0, 0.3, 0.0, 0.0)).persist()
+    val distinctT = pop.select(countDistinct("t")).head().getLong(0)
+    assert(distinctT > 20000, s"fixture must exceed fast-path threshold: $distinctT")
+    val fit = CoxPH.fit(pop, col("t"), col("d"), col("w"), Seq(col("x1")),
+      maxIter = 8, tol = 0.0)
+    val tStar = Seq(3.0, 9.0, 14.0)
+    def run(hint: graft.core.Windows.SizeHint) = {
+      val dev = graft.variance.CoxInfluence.deviates(pop, col("t"), col("d"),
+        col("w"), Seq(col("x1")), fit.coefficients, fit.infoPacked,
+        sizeHint = hint)
+      graft.variance.HazardInfluence.cumulativeDeviates(dev, p = 1,
+          tStar = tStar, sizeHint = hint)
+        .groupBy(col("t_star"))
+        .agg(sum(col("d_cum_hzd") * col("d_cum_hzd")).as("ssq"),
+          max(col("cum_hzd")).as("lam"))
+        .orderBy(col("t_star"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    }
+    val large = run(graft.core.Windows.SizeHint.Large)
+    val small = run(graft.core.Windows.SizeHint.Small)
+    large.zip(small).foreach { case ((t1, s1, l1), (t2, s2, l2)) =>
+      assert(t1 == t2)
+      assertNear(s1, s2, 1e-8)
+      assertNear(l1, l2, 1e-10)
+    }
+    pop.unpersist(blocking = false)
+  }
+
   test("SQL registration: graft_cosine / graft_dot callable from spark.sql") {
     GraftFunctions.register(spark)
     Seq((Array(1.0, 0.0), Array(0.6, 0.8))).toDF("a", "b")
