@@ -57,7 +57,11 @@ object TaylorInference {
       x0: Option[Array[Double]] = None,
       a: Double = 1.0,
       sizeHint: graft.core.Windows.SizeHint =
-        graft.core.Windows.SizeHint.Auto): IpswInference = {
+        graft.core.Windows.SizeHint.Auto,
+      // pinned iteration counts (0 ⇒ run to convergence) let a DuckDB
+      // oracle replay the identical fixed-point arithmetic
+      psIters: Int = 0,
+      coxIters: Int = 0): IpswInference = {
     val p = featureCols.length
     val q = psFeatureCols.length + 1
     val psFeats = FeatureArray.withIntercept(psFeatureCols.map(col))
@@ -67,8 +71,10 @@ object TaylorInference {
       .withColumn("__wps", when(col("trt") === 1, 1.0)
         .otherwise(col("w").cast("double") * a))
       .persist()
-    val psFit = WeightedGLM.logistic(stacked, psFeats, col("trt"),
-      col("__wps"), p = q)
+    val psFit =
+      if (psIters > 0) WeightedGLM.logistic(stacked, psFeats, col("trt"),
+        col("__wps"), p = q, maxIter = psIters, tol = 0.0)
+      else WeightedGLM.logistic(stacked, psFeats, col("trt"), col("__wps"), p = q)
     val gammaDevExprs = Influence.logisticDeviates(psFit, psFeats,
       col("trt"), col("__wps"))
 
@@ -89,7 +95,10 @@ object TaylorInference {
     val prepared = withW.select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
     val cohortF = prepared.filter(col("trt") === 1)
     val feats = featureCols.map(col)
-    val fit = CoxPH.fit(cohortF, time, event, col("__ipsw"), feats)
+    val fit =
+      if (coxIters > 0) CoxPH.fit(cohortF, time, event, col("__ipsw"), feats,
+        maxIter = coxIters, tol = 0.0)
+      else CoxPH.fit(cohortF, time, event, col("__ipsw"), feats)
 
     // 3. influence frame: cohort rows carry the direct score influence,
     //    survey rows join as zero-weight γ-only blocks (the reference's

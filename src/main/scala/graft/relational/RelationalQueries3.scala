@@ -190,6 +190,157 @@ object RelationalQueries3 {
       Seq((rnd(fit.coefficients(0), 8), rnd(v(0), 10))).toDF("beta", "v_pps")
     },
 
+    // ---- M13 flagship: the COMPLETE composed Taylor-inference IPSW
+    //      chain (taylor_deviate.R:38-236) — 6 pinned IRLS iterations
+    //      for γ, IPSW pseudo-weights, 4 pinned Cox NR iterations for
+    //      β, then the per-unit influence of β and Λ(t*) with the full
+    //      γ-chain + β-chain (survey units as γ-only blocks) and the
+    //      Poisson contraction — every step replayed by DuckDB ----
+    sqlChecked("m13_ipsw_chain", {
+      val A = 0.3
+      val irls = (1 to 6).map { k =>
+        s"""git$k AS (
+           |  SELECT g0 + (h11*s0 - h01*s1)/(h00*h11 - h01*h01) AS g0,
+           |         g1 + (h00*s1 - h01*s0)/(h00*h11 - h01*h01) AS g1,
+           |         h00, h01, h11
+           |  FROM (SELECT MAX(z.g0) AS g0, MAX(z.g1) AS g1,
+           |      SUM(z.wps*z.mu*(1-z.mu)) AS h00,
+           |      SUM(z.wps*z.mu*(1-z.mu)*z.x) AS h01,
+           |      SUM(z.wps*z.mu*(1-z.mu)*z.x*z.x) AS h11,
+           |      SUM(z.wps*(z.trt-z.mu)) AS s0, SUM(z.wps*(z.trt-z.mu)*z.x) AS s1
+           |    FROM (SELECT c.trt, c.x, c.wps, p.g0, p.g1,
+           |        1/(1+EXP(-(p.g0 + p.g1*c.x))) AS mu
+           |      FROM com2 c, git${k - 1} p) z) zz)""".stripMargin
+      }.mkString(",\n")
+      val coxnr = (1 to 4).map { k =>
+        s"""cg$k AS (SELECT t,
+           |    SUM(w*EXP(p.b*x)) AS s0g, SUM(w*EXP(p.b*x)*x) AS s1g,
+           |    SUM(w*EXP(p.b*x)*x*x) AS s2g,
+           |    SUM(w*d) AS wd, SUM(w*d*x) AS ux, MAX(p.b) AS b
+           |  FROM cbase, cit${k - 1} p GROUP BY t),
+           |csc$k AS (SELECT t, wd, ux, b,
+           |    SUM(s0g) OVER rw AS s0, SUM(s1g) OVER rw AS s1,
+           |    SUM(s2g) OVER rw AS s2
+           |  FROM cg$k WINDOW rw AS (ORDER BY t DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |cit$k(b) AS (SELECT MAX(b)
+           |    + SUM(ux - wd*s1/s0) / SUM(wd*(s2/s0 - s1*s1/(s0*s0)))
+           |  FROM csc$k WHERE wd > 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH com AS (
+         |  SELECT l_quantity AS t,
+         |    CASE WHEN l_returnflag <> 'A' THEN 1.0 ELSE 0.0 END AS d,
+         |    l_discount * 10 AS x,
+         |    CASE WHEN l_suppkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS trt,
+         |    1.0 + (l_orderkey % 5) AS wt
+         |  FROM lineitem),
+         |com2 AS (SELECT t, d, x, trt,
+         |    CASE WHEN trt = 1 THEN 1.0 ELSE wt * $A END AS wps, wt
+         |  FROM com),
+         |git0 AS (SELECT CAST(0 AS DOUBLE) AS g0, CAST(0 AS DOUBLE) AS g1,
+         |  CAST(0 AS DOUBLE) AS h00, CAST(0 AS DOUBLE) AS h01,
+         |  CAST(0 AS DOUBLE) AS h11),
+         |$irls,
+         |units AS (SELECT c.*,
+         |    CASE WHEN trt = 1 THEN EXP(-(g.g0 + g.g1*x)) / $A ELSE 0.0 END AS ipsw,
+         |    CASE WHEN trt = 1 THEN EXP(-(g.g0 + g.g1*x)) / $A ELSE wt END AS psw,
+         |    CASE WHEN trt = 1 THEN $A * EXP(g.g0 + g.g1*x) ELSE 1.0/wt END AS pi,
+         |    wps*(trt - 1/(1+EXP(-(g.g0 + g.g1*x)))) AS resid
+         |  FROM com2 c, git6 g),
+         |gd AS (SELECT u.*,
+         |    (g.h11 * resid - g.h01 * resid * x) / (g.h00*g.h11 - g.h01*g.h01) AS gd0,
+         |    (g.h00 * resid * x - g.h01 * resid) / (g.h00*g.h11 - g.h01*g.h01) AS gd1,
+         |    CASE WHEN trt = 1 THEN -ipsw ELSE 0.0 END AS pg0,
+         |    CASE WHEN trt = 1 THEN -ipsw * x ELSE 0.0 END AS pg1
+         |  FROM units u, git6 g),
+         |cbase AS (SELECT t, d, x, ipsw AS w FROM gd WHERE trt = 1),
+         |cit0(b) AS (SELECT CAST(0.0 AS DOUBLE)),
+         |$coxnr,
+         |i3(i1) AS (SELECT SUM(wd*(s2/s0 - s1*s1/(s0*s0))) FROM csc4 WHERE wd > 0),
+         |hg AS (SELECT t, SUM(w*EXP(p.b*x)) AS s0g, SUM(w*EXP(p.b*x)*x) AS s1g,
+         |    SUM(w*d) AS wd,
+         |    SUM(pg0*d) AS dn0g, SUM(pg1*d) AS dn1g,
+         |    SUM(pg0*EXP(p.b*x)) AS dz0g, SUM(pg1*EXP(p.b*x)) AS dz1g
+         |  FROM (SELECT t, d, x, ipsw AS w, pg0, pg1 FROM gd WHERE trt = 1) c,
+         |    cit4 p GROUP BY t),
+         |hsc AS (SELECT t, wd,
+         |    SUM(s0g) OVER rw AS s0, SUM(s1g) OVER rw AS s1,
+         |    SUM(dz0g) OVER rw AS dz0, SUM(dz1g) OVER rw AS dz1,
+         |    dn0g, dn1g
+         |  FROM hg WINDOW rw AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |steps AS (SELECT t, s0, s1, wd,
+         |    SUM(CASE WHEN wd > 0 THEN wd/s0 ELSE 0 END) OVER pw AS LAM,
+         |    SUM(CASE WHEN wd > 0 THEN wd/(s0*s0) ELSE 0 END) OVER pw AS GL,
+         |    SUM(CASE WHEN wd > 0 THEN wd*s1/(s0*s0) ELSE 0 END) OVER pw AS C,
+         |    SUM(CASE WHEN wd > 0 THEN wd/s0 ELSE 0 END) OVER pw AS G0,
+         |    SUM(CASE WHEN wd > 0 THEN (dn0g - wd*dz0/s0)/s0 ELSE 0 END) OVER pw AS CN0,
+         |    SUM(CASE WHEN wd > 0 THEN (dn1g - wd*dz1/s0)/s0 ELSE 0 END) OVER pw AS CN1
+         |  FROM hsc WINDOW pw AS (ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |dmat AS (SELECT
+         |    SUM((u.d*(u.x - s.s1/s.s0) - EXP(p.b*u.x)*(u.x*s.G0 - s.C)) * u.pg0) AS d0,
+         |    SUM((u.d*(u.x - s.s1/s.s0) - EXP(p.b*u.x)*(u.x*s.G0 - s.C)) * u.pg1) AS d1
+         |  FROM (SELECT t, d, x, pg0, pg1 FROM gd WHERE trt = 1) u
+         |  JOIN steps s ON u.t = s.t CROSS JOIN cit4 p),
+         |dev AS (SELECT u.trt, u.pi, u.psw, u.gd0, u.gd1,
+         |    u.t, u.d, CASE WHEN u.trt = 1 THEN EXP(p.b*u.x) ELSE 0 END AS rh,
+         |    CASE WHEN u.trt = 1 THEN
+         |      u.psw * (u.d*(u.x - s.s1/s.s0) - EXP(p.b*u.x)*(u.x*s.G0 - s.C)) / i.i1
+         |      ELSE 0 END
+         |      + (m.d0/i.i1) * u.gd0 + (m.d1/i.i1) * u.gd1 AS dbeta_m,
+         |    s.s0 AS Z, s.GL AS GLu
+         |  FROM gd u JOIN steps s ON u.t = s.t
+         |  CROSS JOIN cit4 p CROSS JOIN i3 i CROSS JOIN dmat m),
+         |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (10), (20),
+         |  (30), (40), (50)) v(x)),
+         |tc AS (SELECT t_star,
+         |    COALESCE((SELECT GL FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS GLs,
+         |    COALESCE((SELECT C FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS Cs,
+         |    COALESCE((SELECT LAM FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS LAMs,
+         |    COALESCE((SELECT CN0 FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS CN0s,
+         |    COALESCE((SELECT CN1 FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS CN1s
+         |  FROM probes),
+         |longd AS (SELECT tc.t_star, tc.LAMs, d.pi,
+         |    CASE WHEN d.trt = 1 THEN d.psw * (
+         |        CASE WHEN d.d = 1 AND d.t <= tc.t_star THEN 1.0/d.Z ELSE 0 END
+         |        - d.rh * LEAST(d.GLu, tc.GLs)) ELSE 0 END
+         |      - d.dbeta_m * tc.Cs
+         |      + d.gd0 * tc.CN0s + d.gd1 * tc.CN1s AS dl
+         |  FROM dev d CROSS JOIN tc),
+         |bvar AS (SELECT SUM((1.0 - pi) * dbeta_m * dbeta_m) AS vb,
+         |    (SELECT b FROM cit4) AS beta FROM dev)
+         |SELECT l.t_star, ROUND(MAX(l.LAMs), 8) AS cum_hzd,
+         |  ROUND(SUM((1.0 - l.pi) * l.dl * l.dl), 8) AS var_lambda,
+         |  ROUND(MAX(b.beta), 8) AS beta,
+         |  ROUND(MAX(b.vb), 8) AS var_beta
+         |FROM longd l CROSS JOIN bvar b
+         |GROUP BY l.t_star ORDER BY l.t_star""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val li = t(s, d, "lineitem")
+      def side(m: Int) = li.filter(col("l_suppkey") % 2 === m).select(
+        col("l_quantity").cast("double").as("t"),
+        when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
+        (col("l_discount") * 10).cast("double").as("x"),
+        (lit(1.0) + col("l_orderkey") % 5).cast("double").as("wt"))
+      val inf = graft.pipeline.TaylorInference.ipswChain(
+        side(0).drop("wt"), side(1), col("wt"), col("t"), col("d"),
+        Seq("x"), Seq("x"), Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+        a = 0.3, psIters = 6, coxIters = 4,
+        sizeHint = graft.core.Windows.SizeHint.Small)
+      inf.lambda.toSeq.sortBy(_._1).map { case (ts, e) =>
+        (ts, rnd(e.estimate, 8), rnd(e.varPoisson, 8),
+          rnd(inf.beta(0), 8), rnd(inf.betaVarPoisson(0), 8))
+      }.toDF("t_star", "cum_hzd", "var_lambda", "beta", "var_beta")
+        .orderBy(col("t_star"))
+    },
+
     // ---- M14×M2 integrated: all-replicates-at-once jackknifed Cox,
     //      3 pinned NR iterations per replicate, DuckDB replaying all
     //      10 replicates through grouped windows ----
