@@ -233,7 +233,7 @@ object RelationalQueries3 {
          |    l_discount * 10 AS x,
          |    CASE WHEN l_suppkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS trt,
          |    1.0 + (l_orderkey % 5) AS wt
-         |  FROM lineitem),
+         |  FROM lineitem WHERE l_orderkey % 3 = 0),
          |com2 AS (SELECT t, d, x, trt,
          |    CASE WHEN trt = 1 THEN 1.0 ELSE wt * $A END AS wps, wt
          |  FROM com),
@@ -323,7 +323,7 @@ object RelationalQueries3 {
          |GROUP BY l.t_star ORDER BY l.t_star""".stripMargin
     }) { (s, d) =>
       import s.implicits._
-      val li = t(s, d, "lineitem")
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 3 === 0)
       def side(m: Int) = li.filter(col("l_suppkey") % 2 === m).select(
         col("l_quantity").cast("double").as("t"),
         when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
