@@ -78,27 +78,124 @@ object TaylorInference {
     val gammaDevExprs = Influence.logisticDeviates(psFit, psFeats,
       col("trt"), col("__wps"))
 
-    // 2. cohort pseudo-weights + Cox fit
+    // 2. cohort pseudo-weights: ipsw = exp(−x'γ)/a, closed-form
+    //    ∂w̃/∂γ = −ipsw·x_ps
     val score = FeatureArray.dot(psFeats, psFit.coefficients)
     val withW = stacked
-      .withColumn("__ipsw", when(col("trt") === 1,
+      .withColumn("__wtc", when(col("trt") === 1,
         Ipsw.fromLinearPredictor(score, a)).otherwise(lit(0.0)))
-      .withColumn("__psw", when(col("trt") === 1, col("__ipsw"))
+      .withColumn("__psw", when(col("trt") === 1, col("__wtc"))
         .otherwise(col("w").cast("double")))
-      .withColumn("__pi", when(col("trt") === 1, lit(1.0) / col("__ipsw"))
+      .withColumn("__pi", when(col("trt") === 1, lit(1.0) / col("__wtc"))
         .otherwise(lit(1.0) / col("w").cast("double")))
     val gdCols = gammaDevExprs.zipWithIndex.map { case (c, m0) =>
       c.as(s"__gd$m0") }
     val pgCols = (0 until q).map(m0 =>
-      (when(col("trt") === 1, -col("__ipsw") * psFeats.getItem(m0))
+      (when(col("trt") === 1, -col("__wtc") * psFeats.getItem(m0))
         .otherwise(0.0)).as(s"__pg$m0"))
     val prepared = withW.select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
+    val out = inferenceCore(prepared, time, event, featureCols, q, tStar,
+      lambdaStar, x0, sizeHint, coxIters, psFit.coefficients)
+    stacked.unpersist(blocking = false)
+    out
+  }
+
+  /** Kernel-weighted (KW) twin of `ipswChain` (the KW block,
+    * taylor_deviate.R:209-236): pseudo-weights are kernel-smoothed over
+    * propensity scores, so ∂w̃/∂γ comes from the kernel Jacobian (A8)
+    * instead of the closed IPSW form; everything downstream — β-chain,
+    * γ-chain, survey γ-only blocks, contractions — is shared.
+    *
+    * @param cohortId unique cohort key for the Jacobian join
+    * @param bandwidth kernel bandwidth; None ⇒ bw.nrd0 of the COHORT
+    *                  scores (taylor_deviate.R:212). The Jacobian
+    *                  treats h as fixed (dK/du only), matching the
+    *                  reference's linearization. */
+  def kwChain(
+      cohort: DataFrame, cohortId: Column,
+      survey: DataFrame, surveyId: Column, surveyWt: Column,
+      time: Column, event: Column,
+      featureCols: Seq[String], psFeatureCols: Seq[String],
+      tStar: Seq[Double],
+      lambdaStar: Option[DataFrame] = None,
+      x0: Option[Array[Double]] = None,
+      a: Double = 1.0,
+      bandwidth: Option[Double] = None,
+      sizeHint: graft.core.Windows.SizeHint =
+        graft.core.Windows.SizeHint.Auto,
+      psIters: Int = 0,
+      coxIters: Int = 0): IpswInference = {
+    val q = psFeatureCols.length + 1
+    val psFeats = FeatureArray.withIntercept(psFeatureCols.map(col))
+    val stacked = SurveyIntegration.stack(cohort.withColumn("__cid", cohortId),
+        survey.withColumn("__sid", surveyId), surveyWt)
+      .withColumn("__wps", when(col("trt") === 1, 1.0)
+        .otherwise(col("w").cast("double") * a))
+      .persist()
+    val psFit =
+      if (psIters > 0) WeightedGLM.logistic(stacked, psFeats, col("trt"),
+        col("__wps"), p = q, maxIter = psIters, tol = 0.0)
+      else WeightedGLM.logistic(stacked, psFeats, col("trt"), col("__wps"), p = q)
+    val gammaDevExprs = Influence.logisticDeviates(psFit, psFeats,
+      col("trt"), col("__wps"))
+    val score = FeatureArray.dot(psFeats, psFit.coefficients)
+    val scored = stacked.withColumn("__q", score)
+    val h = bandwidth.getOrElse(graft.stats.Kernels.bwNrd0(
+      scored.filter(col("trt") === 1).select(col("__q").as("q")), col("q")))
+    // kernel weights + Jacobian keyed by cohort id
+    val surveyQ = scored.filter(col("trt") === 0)
+    val cohortQ = scored.filter(col("trt") === 1)
+    val jac = graft.weights.KernelWeights.jacobian(
+      surveyQ, col("__sid"), col("__q"), col("w").cast("double"),
+      cohortQ, col("__cid"), col("__q"), h,
+      sFeatures = (0 until q).map(m0 => psFeats.getItem(m0)),
+      cFeatures = (0 until q).map(m0 => psFeats.getItem(m0)))
+    val withW = scored
+      .join(jac.withColumnRenamed("c_id", "__cid")
+          .withColumnRenamed("kw", "__kw"),
+        Seq("__cid"), "left")
+      .withColumn("__wtc", when(col("trt") === 1,
+        coalesce(col("__kw"), lit(0.0))).otherwise(lit(0.0)))
+      .withColumn("__psw", when(col("trt") === 1, col("__wtc"))
+        .otherwise(col("w").cast("double")))
+      // π for the KW chain stays the PROPENSITY-model estimate
+      // π_c = a·e^{score} (taylor_deviate.R:118,128 uses pi.c_est for
+      // the KW contractions too), not 1/kw
+      .withColumn("__pi", when(col("trt") === 1, lit(a) * exp(col("__q")))
+        .otherwise(lit(1.0) / col("w").cast("double")))
+    val gdCols = gammaDevExprs.zipWithIndex.map { case (c, m0) =>
+      c.as(s"__gd$m0") }
+    val pgCols = (0 until q).map(m0 =>
+      (when(col("trt") === 1, coalesce(col(s"d_kw_$m0"), lit(0.0)))
+        .otherwise(0.0)).as(s"__pg$m0"))
+    val prepared = withW.select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
+    val out = inferenceCore(prepared, time, event, featureCols, q, tStar,
+      lambdaStar, x0, sizeHint, coxIters, psFit.coefficients)
+    stacked.unpersist(blocking = false)
+    out
+  }
+
+  /** Shared tail: Cox fit at the cohort pseudo-weight `__wtc`, per-unit
+    * influence with survey γ-only blocks, per-m β deviates, hazard
+    * chain, contractions. `prepared` carries trt, the time/event and
+    * feature columns, __wtc/__psw/__pi and q columns each of __gd/__pg. */
+  private def inferenceCore(
+      prepared: DataFrame,
+      time: Column, event: Column,
+      featureCols: Seq[String], q: Int,
+      tStar: Seq[Double],
+      lambdaStar: Option[DataFrame],
+      x0: Option[Array[Double]],
+      sizeHint: graft.core.Windows.SizeHint,
+      coxIters: Int,
+      gamma: Array[Double]): IpswInference = {
+    val p = featureCols.length
     val cohortF = prepared.filter(col("trt") === 1)
     val feats = featureCols.map(col)
     val fit =
-      if (coxIters > 0) CoxPH.fit(cohortF, time, event, col("__ipsw"), feats,
+      if (coxIters > 0) CoxPH.fit(cohortF, time, event, col("__wtc"), feats,
         maxIter = coxIters, tol = 0.0)
-      else CoxPH.fit(cohortF, time, event, col("__ipsw"), feats)
+      else CoxPH.fit(cohortF, time, event, col("__wtc"), feats)
 
     // 3. influence frame: cohort rows carry the direct score influence,
     //    survey rows join as zero-weight γ-only blocks (the reference's
@@ -106,7 +203,7 @@ object TaylorInference {
     val pass = Seq(col("trt"), col("__pi"), col("__psw")) ++
       (0 until q).map(m0 => col(s"__gd$m0")) ++
       (0 until q).map(m0 => col(s"__pg$m0"))
-    val devC = CoxInfluence.deviates(cohortF, time, event, col("__ipsw"),
+    val devC = CoxInfluence.deviates(cohortF, time, event, col("__wtc"),
       feats, fit.coefficients, fit.infoPacked, passthrough = pass,
       sizeHint = sizeHint)
     // build survey rows with the same schema as devC
@@ -190,8 +287,7 @@ object TaylorInference {
 
     long.unpersist(blocking = false)
     allDev.unpersist(blocking = false)
-    stacked.unpersist(blocking = false)
-    IpswInference(psFit.coefficients, fit.coefficients, bPois, bPps,
+    IpswInference(gamma, fit.coefficients, bPois, bPps,
       lam, gail, absR, absRG)
   }
 }

@@ -111,6 +111,72 @@ class TaylorInferenceSpec extends SparkSpec {
     out.toMap
   }
 
+  test("composed KW chain variances equal FD-deviate contractions") {
+    val hFix = 0.6
+    val inf = TaylorInference.kwChain(
+      coh.zipWithIndex.map { case ((t, d, x), i) => (t, d, x, i.toLong) }
+        .toDF("t", "d", "x", "cid"),
+      col("cid"),
+      svy.zipWithIndex.map { case ((t, d, x, wt), i) => (t, d, x, wt, i.toLong) }
+        .toDF("t", "d", "x", "wt", "sid"),
+      col("sid"), col("wt"),
+      col("t"), col("d"), Seq("x"), Seq("x"), tStar,
+      a = aFrac, bandwidth = Some(hFix),
+      sizeHint = graft.core.Windows.SizeHint.Small)
+
+    // driver-side chain: γ(m) → kernel weights (h fixed, structure at
+    // base multiplicities — the reference linearizes through γ only) →
+    // β → Λ(t*)
+    def kw(gamma: (Double, Double)): Array[Double] = {
+      val (g0, g1) = gamma
+      val qc = (0 until nC).map(i => g0 + g1 * xC(i))
+      val qs = (nC until n).map(k => g0 + g1 * xAll(k))
+      (0 until nC).map { c =>
+        (0 until nS).map { s =>
+          val u = (qs(s) - qc(c)) / hFix
+          val k = math.exp(-u * u / 2) / math.sqrt(2 * math.Pi)
+          val row = (0 until nC).map { c2 =>
+            val u2 = (qs(s) - qc(c2)) / hFix
+            math.exp(-u2 * u2 / 2) / math.sqrt(2 * math.Pi)
+          }.sum
+          svy(s)._4 * k / row
+        }.sum
+      }.toArray
+    }
+    def chainKw(m: Array[Double]): Map[(String, Double), Double] = {
+      val g = logisticFit(m)
+      val kwW = kw(g)
+      val w = (0 until nC).map(i => m(i) * kwW(i)).toArray
+      val b = coxBeta(w)
+      val la = lambdaAr(w, b)
+      (tStar.map { ts =>
+        ("Lambda", ts) -> la.filter(_._1 <= ts).map(_._2).sum
+      } :+ (("beta", 0.0) -> b)).toMap
+    }
+    val m1 = Array.fill(n)(1.0)
+    val base = chainKw(m1)
+    assertNear(inf.beta(0), base(("beta", 0.0)), 1e-7)
+    for (ts <- tStar)
+      assertNear(inf.lambda(ts).estimate, base(("Lambda", ts)), 1e-7)
+
+    val eps = 1e-6
+    val fd = (0 until n).map { k =>
+      val mp = m1.clone(); mp(k) += eps
+      val mm = m1.clone(); mm(k) -= eps
+      val cp = chainKw(mp); val cm = chainKw(mm)
+      cp.keys.map(key => key -> (cp(key) - cm(key)) / (2 * eps)).toMap
+    }
+    val (g0, g1) = logisticFit(m1)
+    val pi = (0 until n).map { k =>
+      if (k < nC) aFrac * math.exp(g0 + g1 * xC(k)) else 1.0 / svy(k - nC)._4
+    }
+    def vPois(key: (String, Double)) =
+      (0 until n).map(k => (1.0 - pi(k)) * fd(k)(key) * fd(k)(key)).sum
+    assertNear(inf.betaVarPoisson(0), vPois(("beta", 0.0)), 1e-4)
+    for (ts <- tStar)
+      assertNear(inf.lambda(ts).varPoisson, vPois(("Lambda", ts)), 1e-4)
+  }
+
   test("composed IPSW chain variances equal FD-deviate contractions") {
     val inf = TaylorInference.ipswChain(
       coh.toDF("t", "d", "x"), svy.toDF("t", "d", "x", "wt"), col("wt"),
