@@ -35,45 +35,6 @@ object WeightedGLM {
       graft.core.FeatureArray.sigmoid(predictEta(features))
   }
 
-  /** One IRLS pass: at fixed β accumulate
-    * [ Σ w·μ(1-μ)·x xᵀ | Σ w·(y-μ)·x | Σ w | deviance-ish ]. */
-  private class LogisticIterAgg(p: Int, beta: Array[Double])
-      extends Aggregator[(Seq[Double], Double, Double), Array[Double], Array[Double]] {
-    private val tri = p * (p + 1) / 2
-    private val len = tri + p + 1
-
-    override def zero: Array[Double] = new Array[Double](len)
-
-    override def reduce(b: Array[Double], in: (Seq[Double], Double, Double)): Array[Double] = {
-      val (xs, y, w) = in
-      val x = xs.toArray
-      var eta = 0.0
-      var i = 0
-      while (i < p) { eta += beta(i) * x(i); i += 1 }
-      val mu = 1.0 / (1.0 + math.exp(-eta))
-      val s = w * mu * (1.0 - mu)
-      val r = w * (y - mu)
-      var k = 0
-      i = 0
-      while (i < p) {
-        val sxi = s * x(i)
-        var j = i
-        while (j < p) { b(k) += sxi * x(j); k += 1; j += 1 }
-        b(tri + i) += r * x(i)
-        i += 1
-      }
-      b(tri + p) += w
-      b
-    }
-
-    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-      var i = 0; while (i < len) { a(i) += b(i); i += 1 }; a
-    }
-    override def finish(b: Array[Double]): Array[Double] = b
-    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
-    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
-  }
-
   /** Fit weighted logistic regression of `label` (0/1) on the feature
     * array column `features` (length p, intercept included by caller)
     * with per-row weights `weight`. Input is projected once and should
@@ -86,21 +47,33 @@ object WeightedGLM {
       p: Int,
       maxIter: Int = 50,
       tol: Double = 1e-9): Fit = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val ds = df.select(features.cast("array<double>"), label.cast("double"), weight.cast("double"))
-      .as[(Seq[Double], Double, Double)]
+    // flatten the feature array to scalar columns once so every IRLS
+    // pass is a plain codegen'd hash aggregate (the typed-Aggregator
+    // formulation paid encoder deserialization per row per iteration —
+    // measured several× slower on wide inputs)
+    val flat = df.select(((0 until p).map(i =>
+        features.getItem(i).cast("double").as(s"__f$i")) ++
+      Seq(label.cast("double").as("__y"), weight.cast("double").as("__w"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val tri = p * (p + 1) / 2
+    val pairs = for (i <- 0 until p; j <- i until p) yield (i, j)
     var beta = new Array[Double](p)
     var iter = 0
     var converged = false
-    var lastHessian = new Array[Double](p * (p + 1) / 2)
+    var lastHessian = new Array[Double](tri)
     while (iter < maxIter && !converged) {
-      val buf = ds.select(new LogisticIterAgg(p, beta).toColumn).head()
-      val tri = p * (p + 1) / 2
-      lastHessian = buf.slice(0, tri)
-      val grad = buf.slice(tri, tri + p)
+      val eta = (0 until p).map(i => lit(beta(i)) * col(s"__f$i"))
+        .foldLeft(lit(0.0): Column)(_ + _)
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      val sWgt = col("__w") * mu * (lit(1.0) - mu)
+      val resid = col("__w") * (col("__y") - mu)
+      val aggs = pairs.map { case (i, j) =>
+        sum(sWgt * col(s"__f$i") * col(s"__f$j")).as(s"h${i}_$j") } ++
+        (0 until p).map(i => sum(resid * col(s"__f$i")).as(s"g$i"))
+      val row = flat.agg(aggs.head, aggs.tail: _*).head()
+      lastHessian = (0 until tri).map(row.getDouble).toArray
+      val grad = (0 until p).map(i => row.getDouble(tri + i)).toArray
       val step = LinAlg.solvePacked(p, lastHessian, grad)
       var i = 0
       var maxStep = 0.0
@@ -112,7 +85,7 @@ object WeightedGLM {
       iter += 1
       converged = maxStep < tol
     }
-    ds.unpersist(blocking = false)
+    flat.unpersist(blocking = false)
     Fit(beta, iter, converged, lastHessian)
   }
 
