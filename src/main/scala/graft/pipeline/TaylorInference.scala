@@ -252,21 +252,23 @@ object TaylorInference {
 
     // 6. contractions: Poisson Σ(1−π)Δ² over both samples; PPS
     //    n·cov per sample summed (taylor_deviate.R:109-111)
+    // one grouped aggregate per estimand family: Poisson sum + point
+    // estimate per t*, plus per-sample variance terms for the PPS form —
+    // the chain is job-count bound, so contractions batch their sums
     def contract(dcol: String): Map[Double, Estimand] = {
       if (!long.columns.contains(dcol)) return Map.empty
-      val pois = long.groupBy(col("t_star"))
-        .agg(sum((lit(1.0) - col("__pi")) * col(dcol) * col(dcol)).as("v"))
-        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val pe = long.groupBy(col("t_star"))
+        .agg(sum((lit(1.0) - col("__pi")) * col(dcol) * col(dcol)).as("v"),
+          max(col(dcol.replace("d_", ""))).as("e"))
+        .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
       val pps = long.groupBy(col("t_star"), col("trt"))
         .agg((covar_samp(col(dcol), col(dcol)) * count(lit(1))).as("v"))
         .collect()
         .groupBy(_.getDouble(0))
         .map { case (t, rs) => t -> rs.map(r =>
           if (r.isNullAt(2)) 0.0 else r.getDouble(2)).sum }
-      val est = long.groupBy(col("t_star"))
-        .agg(max(col(dcol.replace("d_", ""))).as("e"))
-        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-      tStar.map(t => t -> Estimand(est(t), pois(t), pps(t))).toMap
+      tStar.map(t => t -> Estimand(pe(t)._2, pe(t)._1, pps(t))).toMap
     }
     val lam = contract("d_cum_hzd")
     val gail = if (lambdaStar.isDefined) contract("d_cum_gail") else Map.empty[Double, Estimand]
@@ -274,16 +276,20 @@ object TaylorInference {
     val absRG = if (risk.isDefined && lambdaStar.isDefined)
       contract("d_abs_risk_gail") else Map.empty[Double, Estimand]
 
-    val bPois = (0 until p).map { j =>
-      withDb.agg(sum((lit(1.0) - col("__pi")) *
-        col(s"dbeta_m_$j") * col(s"dbeta_m_$j"))).head().getDouble(0)
-    }.toArray
-    val bPps = (0 until p).map { j =>
-      withDb.groupBy(col("trt"))
-        .agg((covar_samp(col(s"dbeta_m_$j"), col(s"dbeta_m_$j")) *
-          count(lit(1))).as("v"))
-        .agg(sum(col("v"))).head().getDouble(0)
-    }.toArray
+    val bPoisRow = withDb.agg(
+      (0 until p).map(j => sum((lit(1.0) - col("__pi")) *
+        col(s"dbeta_m_$j") * col(s"dbeta_m_$j")).as(s"v$j")).head,
+      (0 until p).map(j => sum((lit(1.0) - col("__pi")) *
+        col(s"dbeta_m_$j") * col(s"dbeta_m_$j")).as(s"v$j")).tail: _*).head()
+    val bPois = (0 until p).map(bPoisRow.getDouble).toArray
+    val bPpsRows = withDb.groupBy(col("trt"))
+      .agg((0 until p).map(j => (covar_samp(col(s"dbeta_m_$j"),
+          col(s"dbeta_m_$j")) * count(lit(1))).as(s"v$j")).head,
+        (0 until p).map(j => (covar_samp(col(s"dbeta_m_$j"),
+          col(s"dbeta_m_$j")) * count(lit(1))).as(s"v$j")).tail: _*)
+      .collect()
+    val bPps = (0 until p).map(j => bPpsRows.map(r =>
+      if (r.isNullAt(j + 1)) 0.0 else r.getDouble(j + 1)).sum).toArray
 
     long.unpersist(blocking = false)
     allDev.unpersist(blocking = false)
