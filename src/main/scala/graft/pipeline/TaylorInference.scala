@@ -203,9 +203,10 @@ object TaylorInference {
     val pass = Seq(col("trt"), col("__pi"), col("__psw")) ++
       (0 until q).map(m0 => col(s"__gd$m0")) ++
       (0 until q).map(m0 => col(s"__pg$m0"))
-    val devC = CoxInfluence.deviates(cohortF, time, event, col("__wtc"),
-      feats, fit.coefficients, fit.infoPacked, passthrough = pass,
-      sizeHint = sizeHint)
+    val devFull = CoxInfluence.deviatesAndCollapse(cohortF, time, event,
+      col("__wtc"), feats, fit.coefficients, fit.infoPacked,
+      passthrough = pass, sizeHint = sizeHint, gammaQ = q)
+    val devC = devFull.units
     // build survey rows with the same schema as devC
     val devCols = devC.columns
     val surveySide = prepared.filter(col("trt") === 0)
@@ -248,18 +249,19 @@ object TaylorInference {
       betaDevPrefix = "dbeta_m_",
       directScale = col("__psw") * col("trt"),
       sizeHint = sizeHint,
-      passthrough = Seq(col("trt"), col("__pi"), col("__psw"))).persist()
+      passthrough = Seq(col("trt"), col("__pi"), col("__psw")),
+      preCollapsed = Some(devFull.collapsed)).persist()
 
     // 6. contractions: Poisson Σ(1−π)Δ² over both samples; PPS
     //    n·cov per sample summed (taylor_deviate.R:109-111)
     // one grouped aggregate per estimand family: Poisson sum + point
     // estimate per t*, plus per-sample variance terms for the PPS form —
     // the chain is job-count bound, so contractions batch their sums
-    def contract(dcol: String): Map[Double, Estimand] = {
+    def contract(dcol: String, ecol: String): Map[Double, Estimand] = {
       if (!long.columns.contains(dcol)) return Map.empty
       val pe = long.groupBy(col("t_star"))
         .agg(sum((lit(1.0) - col("__pi")) * col(dcol) * col(dcol)).as("v"),
-          max(col(dcol.replace("d_", ""))).as("e"))
+          max(col(ecol)).as("e"))
         .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2)))
         .toMap
       val pps = long.groupBy(col("t_star"), col("trt"))
@@ -270,11 +272,13 @@ object TaylorInference {
           if (r.isNullAt(2)) 0.0 else r.getDouble(2)).sum }
       tStar.map(t => t -> Estimand(pe(t)._2, pe(t)._1, pps(t))).toMap
     }
-    val lam = contract("d_cum_hzd")
-    val gail = if (lambdaStar.isDefined) contract("d_cum_gail") else Map.empty[Double, Estimand]
-    val absR = if (risk.isDefined) contract("d_abs_risk") else Map.empty[Double, Estimand]
+    val lam = contract("d_cum_hzd", "cum_hzd")
+    val gail = if (lambdaStar.isDefined) contract("d_cum_gail", "cum_gail")
+      else Map.empty[Double, Estimand]
+    val absR = if (risk.isDefined) contract("d_abs_risk", "abs_risk")
+      else Map.empty[Double, Estimand]
     val absRG = if (risk.isDefined && lambdaStar.isDefined)
-      contract("d_abs_risk_gail") else Map.empty[Double, Estimand]
+      contract("d_abs_risk_gail", "abs_risk_gail") else Map.empty[Double, Estimand]
 
     val bPoisRow = withDb.agg(
       (0 until p).map(j => sum((lit(1.0) - col("__pi")) *

@@ -290,7 +290,7 @@ object RelationalQueries3 {
          |      ELSE 0 END
          |      + (m.d0/i.i1) * u.gd0 + (m.d1/i.i1) * u.gd1 AS dbeta_m,
          |    s.s0 AS Z, s.GL AS GLu
-         |  FROM gd u JOIN steps s ON u.t = s.t
+         |  FROM gd u LEFT JOIN steps s ON u.t = s.t
          |  CROSS JOIN cit4 p CROSS JOIN i3 i CROSS JOIN dmat m),
          |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (10), (20),
          |  (30), (40), (50)) v(x)),

@@ -440,13 +440,14 @@ object StatQueries {
         (((col("l_orderkey") % 9) + 1.0) / 10.0).as("pi"))
       val (_, info) = CoxPH.scoreAndInfo(sf, col("t"), col("d"), col("w"),
         Seq(col("x")), Array(0.25))
-      val dev = graft.variance.CoxInfluence.deviates(sf, col("t"), col("d"),
-        col("w"), Seq(col("x")), Array(0.25), info,
+      val dev = graft.variance.CoxInfluence.deviatesAndCollapse(sf, col("t"),
+        col("d"), col("w"), Seq(col("x")), Array(0.25), info,
         passthrough = Seq(col("pi")), sizeHint = Windows.SizeHint.Small)
       val long = graft.variance.HazardInfluence.cumulativeDeviates(
-        dev, p = 1, tStar = Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+        dev.units, p = 1, tStar = Seq(10.0, 20.0, 30.0, 40.0, 50.0),
         sizeHint = Windows.SizeHint.Small,
-        passthrough = Seq(col("pi")))
+        passthrough = Seq(col("pi")),
+        preCollapsed = Some(dev.collapsed))
       long.groupBy(col("t_star"))
         .agg(round(max(col("cum_hzd")), 6).as("cum_hzd"),
           round(sum((lit(1.0) - col("pi")) * col("__w") * col("d_cum_hzd")

@@ -26,6 +26,14 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object CoxInfluence {
 
+  /** `units` is the deviate frame (see `deviates`); `collapsed` is the
+    * tie-collapse aggregate it was built from, in the hazard-chain
+    * convention (__t, ng, zg, yg, ag0..ag{p-1}[, dng/dzg/dyg per γ]) so
+    * `HazardInfluence.cumulativeDeviates` can consume it as
+    * `preCollapsed` instead of re-aggregating the (much more expensive)
+    * joined deviate frame. */
+  final case class Deviates(units: DataFrame, collapsed: DataFrame)
+
   /** Returns the input frame + per-unit score columns `ui_0..ui_{p-1}`
     * and β-deviate columns `dbeta_0..dbeta_{p-1}`. */
   def deviates(
@@ -35,7 +43,24 @@ object CoxInfluence {
       beta: Array[Double],
       infoPacked: Array[Double],
       passthrough: Seq[Column] = Nil,
-      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame = {
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): DataFrame =
+    deviatesAndCollapse(df, time, event, weight, features, beta, infoPacked,
+      passthrough, sizeHint).units
+
+  /** As `deviates`, also exposing the tie-collapsed step aggregate.
+    * `gammaQ` > 0 additionally collapses the γ-chain measure columns
+    * `pgPrefix`0..{q-1} (which must be in `passthrough`) — the sums the
+    * hazard chain needs (taylor_deviate.R:823-834). */
+  def deviatesAndCollapse(
+      df: DataFrame,
+      time: Column, event: Column, weight: Column,
+      features: Seq[Column],
+      beta: Array[Double],
+      infoPacked: Array[Double],
+      passthrough: Seq[Column] = Nil,
+      sizeHint: Windows.SizeHint = Windows.SizeHint.Auto,
+      gammaQ: Int = 0,
+      pgPrefix: String = "__pg"): Deviates = {
     val p = features.length
     val x = features.indices.map(j => features(j).cast("double").as(s"__x$j"))
     val base = df.select((Seq(time.cast("double").as("__t"),
@@ -45,22 +70,30 @@ object CoxInfluence {
         beta.zipWithIndex.map { case (b, j) => col(s"__x$j") * lit(b) }
           .foldLeft(lit(0.0): Column)(_ + _)))
 
-    // tie-collapse + risk-set suffix sums
+    // tie-collapse + risk-set suffix sums. ONE groupBy serves both this
+    // score influence (zg = S0 increments, ag_j = S1_j) and the
+    // downstream hazard chain (ng, yg, γ sums) — computed over the cheap
+    // projected base, not the joined deviate output.
     val aggExprs = Seq(
-      sum(col("__w") * col("__rh")).as("s0g"),
-      sum(when(col("__d") === 1.0, col("__w")).otherwise(0.0)).as("wd")) ++
-      (0 until p).map(j => sum(col("__w") * col("__rh") * col(s"__x$j")).as(s"s1g$j"))
+      sum(when(col("__d") === 1.0, col("__w")).otherwise(0.0)).as("ng"),
+      sum(col("__w") * col("__rh")).as("zg"),
+      sum(col("__w")).as("yg")) ++
+      (0 until p).map(j => sum(col("__w") * col("__rh") * col(s"__x$j")).as(s"ag$j")) ++
+      (0 until gammaQ).flatMap(m => Seq(
+        sum(when(col("__d") === 1.0, col(pgPrefix + m)).otherwise(0.0)).as(s"dng$m"),
+        sum(col(pgPrefix + m) * col("__rh")).as(s"dzg$m"),
+        sum(col(pgPrefix + m)).as(s"dyg$m")))
     val grouped = base.groupBy(col("__t")).agg(aggExprs.head, aggExprs.tail: _*)
-    val scanCols = (col("s0g") -> "S0") +:
-      (0 until p).map(j => col(s"s1g$j") -> s"S1$j")
+    val scanCols = (col("zg") -> "S0") +:
+      (0 until p).map(j => col(s"ag$j") -> s"S1$j")
     val withS = Windows.scan(grouped, Seq(col("__t").desc), scanCols,
       sizeHint = sizeHint)
 
     // event-time prefix sums G0, G1_j (zero increment at non-event times
     // keeps every t in the step table for the back-join)
-    val gCols = (when(col("wd") > 0, col("wd") / col("S0")).otherwise(0.0) -> "G0") +:
+    val gCols = (when(col("ng") > 0, col("ng") / col("S0")).otherwise(0.0) -> "G0") +:
       (0 until p).map(j =>
-        (when(col("wd") > 0, col("wd") * col(s"S1$j") / (col("S0") * col("S0")))
+        (when(col("ng") > 0, col("ng") * col(s"S1$j") / (col("S0") * col("S0")))
           .otherwise(0.0)) -> s"G1$j")
     val steps = Windows.scan(withS, Seq(col("__t")), gCols, sizeHint = sizeHint)
       .select((col("__t") +: col("S0") +:
@@ -83,7 +116,7 @@ object CoxInfluence {
     val dbeta = (0 until p).map { r =>
       (0 until p).map(j => lit(iinv(r, j)) * col(s"ui_$j")).reduce(_ + _).as(s"dbeta_$r")
     }
-    withUi.select((withUi.columns.map(col).toSeq ++ dbeta): _*)
+    Deviates(withUi.select((withUi.columns.map(col).toSeq ++ dbeta): _*), grouped)
   }
 
   /** Post-stratified variant (the reference's `post` branch,

@@ -90,6 +90,14 @@ object HazardInfluence {
     *         [, d_cum_gail][, d_abs_risk][, d_abs_risk_gail]) plus the
     *         point estimates cum_hzd [, cum_gail] repeated per row
     */
+  /** @param preCollapsed optional tie-collapse aggregate already
+    *                     computed by `CoxInfluence.deviatesAndCollapse`
+    *                     (columns __t, ng, zg, yg, ag0..[, dng/dzg/dyg])
+    *                     — skips re-aggregating the joined deviate
+    *                     frame. Its __t domain may be a SUBSET of the
+    *                     unit frame's (survey γ-only rows contribute
+    *                     zero to every sum); missing unit times take
+    *                     inert step values via a left join. */
   def cumulativeDeviates(
       devFrame: DataFrame,
       p: Int,
@@ -100,7 +108,8 @@ object HazardInfluence {
       betaDevPrefix: String = "dbeta_",
       sizeHint: Windows.SizeHint = Windows.SizeHint.Auto,
       directScale: Column = lit(1.0),
-      passthrough: Seq[Column] = Nil): DataFrame = {
+      passthrough: Seq[Column] = Nil,
+      preCollapsed: Option[DataFrame] = None): DataFrame = {
     val spark = devFrame.sparkSession
     val q = gamma.map(_.pwGamma.length).getOrElse(0)
     val base = devFrame.select((Seq(col("__t"), col("__d"), col("__w"),
@@ -123,7 +132,8 @@ object HazardInfluence {
         sum(when(col("__d") === 1.0, col(s"__pg$m")).otherwise(0.0)).as(s"dng$m"),
         sum(col(s"__pg$m") * col("__rh")).as(s"dzg$m"),
         sum(col(s"__pg$m")).as(s"dyg$m")))
-    val grouped = base.groupBy(col("__t")).agg(aggs.head, aggs.tail: _*)
+    val grouped = preCollapsed.getOrElse(
+      base.groupBy(col("__t")).agg(aggs.head, aggs.tail: _*))
     val sufCols = Seq(col("zg") -> "Z", col("yg") -> "Y") ++
       (0 until p).map(j => col(s"ag$j") -> s"A$j") ++
       (0 until q).flatMap(m => Seq(col(s"dzg$m") -> s"DZ$m", col(s"dyg$m") -> s"DY$m"))
@@ -228,7 +238,14 @@ object HazardInfluence {
       col("EA"), col("EB"))
     val unitStep = if (sizeHint == Windows.SizeHint.Small) broadcast(unitStep0)
                    else unitStep0
-    val units = base.join(unitStep, Seq("__t"))
+    // LEFT join: with a preCollapsed step table, survey-only times are
+    // absent; such rows have __d = __rh = __dsc = 0, so every step-value
+    // use vanishes — the coalesces only stop 0·null = null propagation.
+    val units = base.join(unitStep, Seq("__t"), "left")
+      .withColumn("Z", coalesce(col("Z"), lit(1.0)))
+      .withColumn("GL", coalesce(col("GL"), lit(0.0)))
+      .withColumn("EA", coalesce(col("EA"), lit(0.0)))
+      .withColumn("EB", coalesce(col("EB"), lit(0.0)))
 
     // ---- per-t* deviate expressions, exploded long ----
     val rr0 = risk.map(rp => math.exp(

@@ -66,26 +66,35 @@ object KernelWeights {
     // wt_s enters the flat rescue — pseudo-weight mass is conserved on
     // both paths (the reference's krnwt spreads wt/m, simu_fun.R:175-183).
     val m = c.count()
-    // persisted: survey-sized (tiny), and without it the contrib job
-    // below would re-run the whole pair-stream aggregation a second
-    // time inside its join (3 passes over the n_s×n_c stream, not 2)
-    val rowSums = s.select(col("s_id"), col("wt_s"))
+    // Row sums are ONE narrow row per survey unit; the survey side of
+    // pseudo-weighting is the (small) probability sample by design, so
+    // they are collected to the driver and re-shipped as a broadcast
+    // local relation. This keeps the n_s×n_c pair stream at exactly two
+    // passes (one for the sums, one for the contributions) with no
+    // persist to leak — the earlier persist-based variant cached this
+    // frame and never released it (one leaked cache entry per
+    // Monte-Carlo replicate).
+    val spark = survey.sparkSession
+    val rowSumsDf = s.select(col("s_id"), col("wt_s"))
       .join(withK.groupBy(col("s_id")).agg(sum(col("k")).as("row_k")),
         Seq("s_id"), "left")
       .withColumn("row_k", coalesce(col("row_k"), lit(0.0)))
-      .persist()
+    val rowRows = rowSumsDf.collect()
 
     // stage 2: join row sums back, normalize, sum per cohort unit.
     // Zero-sum survey rows spread wt_s/m to every cohort unit — for the
     // cross-join path that equals adding Σ_{zero s} wt_s / m to every
     // cohort weight, which we add as a scalar (never re-densifying).
-    val zeroAgg = rowSums.filter(col("row_k") === 0.0)
-      .agg(coalesce(sum(col("wt_s")), lit(0.0)).cast("double")).head().getDouble(0)
-    val flat = zeroAgg / m.toDouble
+    val flat = rowRows.iterator
+      .filter(r => r.getDouble(2) == 0.0)
+      .map(_.getDouble(1)).sum / m.toDouble
 
+    val positive = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rowRows.filter(_.getDouble(2) > 0.0).toSeq, 1),
+      rowSumsDf.schema)
     val contrib = withK
-      .join(rowSums.filter(col("row_k") > 0.0).select(col("s_id"), col("row_k")),
-        Seq("s_id"))
+      .join(broadcast(positive.select(col("s_id"), col("row_k"))), Seq("s_id"))
       .groupBy(col("c_id"))
       .agg(sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw"))
 
@@ -147,17 +156,39 @@ object KernelWeights {
     }
     val wk = withK.select((col("s_id") +: col("c_id") +: col("wt_s") +: col("k") +: dCols): _*)
 
-    val rowAgg = wk.groupBy(col("s_id"), col("wt_s"))
+    // Same collected-row-sums shape as compute(): one narrow row per
+    // survey unit, broadcast back. Zero-sum rows (compact-support kernel
+    // or tiny bandwidth) get the reference's flat wt/m rescue
+    // (simu_fun.R:175-183) with ZERO derivative — the rescue branch is
+    // piecewise-constant in γ — so both KW entry points conserve
+    // pseudo-weight mass and agree on kw.
+    val spark = survey.sparkSession
+    val rowAggDf = wk.groupBy(col("s_id"), col("wt_s"))
       .agg(sum(col("k")).as("row_k"),
         (0 until p).map(j => sum(col(s"dk$j")).as(s"row_dk$j")): _*)
-    wk.join(rowAgg.drop("wt_s"), Seq("s_id"))
-      .filter(col("row_k") > 0.0)
+    val rowRows = rowAggDf.collect()
+    val m = c.count()
+    val flat = rowRows.iterator
+      .filter(r => r.getDouble(2) == 0.0)
+      .map(_.getDouble(1)).sum / m.toDouble
+    val positive = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rowRows.filter(_.getDouble(2) > 0.0).toSeq, 1),
+      rowAggDf.schema)
+
+    val contrib = wk.join(broadcast(positive.drop("wt_s")), Seq("s_id"))
       .groupBy(col("c_id"))
       .agg(
-        sum(col("wt_s") * col("k") / col("row_k")).as("kw"),
+        sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw"),
         (0 until p).map { j =>
           sum(col("wt_s") * (col(s"dk$j") * col("row_k") - col("k") * col(s"row_dk$j"))
             / (col("row_k") * col("row_k"))).as(s"d_kw_$j")
         }: _*)
+    // Restore cohort units every one of whose pairs came from zero-sum
+    // survey rows (kw = flat, all derivatives 0).
+    contrib.join(c.select(col("c_id")), Seq("c_id"), "right")
+      .select((col("c_id") +:
+        (coalesce(col("kw_raw"), lit(0.0)) + lit(flat)).as("kw") +:
+        (0 until p).map(j => coalesce(col(s"d_kw_$j"), lit(0.0)).as(s"d_kw_$j"))): _*)
   }
 }
