@@ -148,34 +148,84 @@ object Dedup {
     * self-join + pair count and |A∪B| = |A|+|B|−|A∩B|, so the n²-pair
     * stream carries only (id, id, counts) — never the shingle arrays.
     * The array-intersect-per-pair form measured ~10× slower at sf0.1
-    * and ships every document's token array into every pair. */
+    * and ships every document's token array into every pair.
+    *
+    * `threshold > 0` switches to LOSSLESS prefix filtering (Bayardo et
+    * al.'s All-Pairs): tokens are globally ordered by ascending
+    * per-block document frequency, each document indexes only its
+    * n − ⌈t·n⌉ + 1 RAREST tokens, and candidates come from the prefix
+    * index join — any pair with J ≥ t has overlap ≥ ⌈t·n⌉ on both
+    * sides, so its prefixes must collide. This removes the
+    * quadratic-in-df hotspot of the full token self-join (a stopword in
+    * every doc of a block generates df² pair rows; in the prefix index
+    * the ultra-common tokens sort LAST and mostly fall outside every
+    * prefix), which is the 100-TB skew guard. Surviving candidates get
+    * their EXACT intersection from the full posting lists, so output ==
+    * dense output filtered to jaccard ≥ threshold (property-tested).
+    * threshold = 0 keeps the dense all-blocked-pairs semantics. */
   def ngramJaccard(df: DataFrame, id: Column, text: Column, block: Column,
-      k: Int = 1): DataFrame = {
-    // no persist: the two self-join sides are identical subplans whose
-    // shuffle Spark deduplicates via ReuseExchange
+      k: Int = 1, threshold: Double = 0.0): DataFrame = {
+    // no persist: the self-join / multi-use sides are identical subplans
+    // whose shuffles Spark deduplicates via ReuseExchange
     val base = df.select(id.as("id"), block.as("blk"),
       shingles(text, k).as("sh"))
     val sizes = base.select(col("blk"), col("id"), size(col("sh")).as("n"))
-    // all blocked pairs (zero-overlap pairs included, matching the dense
-    // semantics) — id+count only
-    val pairs = sizes.select(col("blk"), col("id").as("id_a"), col("n").as("n_a"))
-      .join(sizes.select(col("blk"), col("id").as("id_b"), col("n").as("n_b")),
-        Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-    // |A∩B| per pair from the inverted index — a literal self-join so
-    // both sides are the identical subplan and the (blk, w) shuffle is
-    // deduplicated by ReuseExchange (distinct projections defeat it)
     val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"))
-    val inter = tok.as("ta").join(tok.as("tb"),
-        col("ta.blk") === col("tb.blk") && col("ta.w") === col("tb.w") &&
-          col("ta.id") < col("tb.id"))
-      .groupBy(col("ta.id").as("id_a"), col("tb.id").as("id_b"))
-      .agg(count(lit(1)).as("i"))
-    pairs.join(inter, Seq("id_a", "id_b"), "left")
-      .withColumn("i", coalesce(col("i"), lit(0L)))
-      .select(col("id_a"), col("id_b"),
-        (col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
-          .as("jaccard"))
+
+    if (threshold <= 0.0) {
+      // all blocked pairs (zero-overlap pairs included, matching the
+      // dense semantics) — id+count only
+      val pairs = sizes.select(col("blk"), col("id").as("id_a"), col("n").as("n_a"))
+        .join(sizes.select(col("blk"), col("id").as("id_b"), col("n").as("n_b")),
+          Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+      // |A∩B| per pair from the inverted index — a literal self-join so
+      // both sides are the identical subplan and the (blk, w) shuffle is
+      // deduplicated by ReuseExchange (distinct projections defeat it)
+      val inter = tok.as("ta").join(tok.as("tb"),
+          col("ta.blk") === col("tb.blk") && col("ta.w") === col("tb.w") &&
+            col("ta.id") < col("tb.id"))
+        .groupBy(col("ta.id").as("id_a"), col("tb.id").as("id_b"))
+        .agg(count(lit(1)).as("i"))
+      pairs.join(inter, Seq("id_a", "id_b"), "left")
+        .withColumn("i", coalesce(col("i"), lit(0L)))
+        .select(col("id_a"), col("id_b"),
+          (col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+            .as("jaccard"))
+    } else {
+      // prefix index: rank each doc's tokens by (block df, token) asc
+      // and keep rank ≤ n − ⌈t·n⌉ + 1. The ε guards float noise in
+      // t·n the SAFE way (a longer prefix only adds candidates).
+      val dfreq = tok.groupBy(col("blk"), col("w")).agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy(col("blk"), col("id"))
+        .orderBy(col("df"), col("w"))
+      val prefix = tok.join(dfreq, Seq("blk", "w"))
+        .withColumn("r", row_number().over(byDoc))
+        .join(sizes, Seq("blk", "id"))
+        .filter(col("r") <=
+          col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+        .select(col("blk"), col("w"), col("id"))
+      val cand = prefix.as("pa").join(prefix.as("pb"),
+          col("pa.blk") === col("pb.blk") && col("pa.w") === col("pb.w") &&
+            col("pa.id") < col("pb.id"))
+        .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      // exact verification from the FULL posting lists, candidates only
+      // (measured faster than per-candidate array_intersect: the posting
+      // join + count aggregate stays in whole-stage codegen)
+      val inter = cand
+        .join(tok.select(col("id").as("id_a"), col("w")), Seq("id_a"))
+        .join(tok.select(col("id").as("id_b"), col("w")), Seq("id_b", "w"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   /** 64-bit SimHash per document: explode tokens, hash each ONCE with

@@ -33,20 +33,25 @@ object LlmQueries {
         .orderBy(col("id"))
     },
 
-    // ---- exact n-gram Jaccard near-dup within blocking key ----
+    // ---- exact n-gram Jaccard near-dup within blocking key, J ≥ 0.8
+    //      via lossless prefix filtering (the oracle brute-forces every
+    //      blocked pair and filters — it must agree exactly, which
+    //      proves the prefix candidate generation loses nothing) ----
     sqlChecked("d2_ngram_jaccard",
       s"""WITH base AS (
          |  SELECT doc_id, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk,
          |    list_distinct(string_split($normSql, ' ')) AS sh
-         |  FROM documents)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |  FROM documents),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
          |    / (len(a.sh) + len(b.sh)
-         |       - len(list_filter(a.sh, x -> list_contains(b.sh, x)))), 8) AS jaccard
-         |FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+         |       - len(list_filter(a.sh, x -> list_contains(b.sh, x)))) AS jaccard
+         |FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, ROUND(jaccard, 8) AS jaccard FROM j
+         |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), col("doc_id"), col("text"),
-          concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("string")), k = 1)
+          concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("string")),
+          k = 1, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 8).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },

@@ -391,6 +391,182 @@ object RelationalQueries3 {
       Seq(rnd(v, 12)).toDF("jk_var_beta")
     },
 
+    // ---- M13 flagship twin: the COMPLETE composed KW (kernel-weight)
+    //      inference chain (taylor_deviate.R:209-236, simu_fun.R:168-211)
+    //      — 6 pinned IRLS iterations for γ, the full kernel matrix with
+    //      row-normalization (simu_fun.R:186-189) and quotient-rule
+    //      Jacobian ∂kw/∂γ (simu_fun.R:192-205), 4 pinned Cox NR
+    //      iterations at the kernel weights, then the per-unit influence
+    //      of β and Λ(t*) with the kernel γ-chain + β-chain and the
+    //      Poisson contraction — every step replayed by DuckDB.
+    //      ∂kw/∂γ₀ ≡ 0 (the intercept shifts every score equally, so
+    //      kernel differences are invariant), kept as an explicit zero
+    //      column to exercise the full q=2 chain shape. ----
+    sqlChecked("m13_kw_chain", {
+      val A = 0.3
+      val H = 0.4
+      val irls = (1 to 6).map { k =>
+        s"""git$k AS MATERIALIZED (
+           |  SELECT g0 + (h11*s0 - h01*s1)/(h00*h11 - h01*h01) AS g0,
+           |         g1 + (h00*s1 - h01*s0)/(h00*h11 - h01*h01) AS g1,
+           |         h00, h01, h11
+           |  FROM (SELECT MAX(z.g0) AS g0, MAX(z.g1) AS g1,
+           |      SUM(z.wps*z.mu*(1-z.mu)) AS h00,
+           |      SUM(z.wps*z.mu*(1-z.mu)*z.x) AS h01,
+           |      SUM(z.wps*z.mu*(1-z.mu)*z.x*z.x) AS h11,
+           |      SUM(z.wps*(z.trt-z.mu)) AS s0, SUM(z.wps*(z.trt-z.mu)*z.x) AS s1
+           |    FROM (SELECT c.trt, c.x, c.wps, p.g0, p.g1,
+           |        1/(1+EXP(-(p.g0 + p.g1*c.x))) AS mu
+           |      FROM com2 c, git${k - 1} p) z) zz)""".stripMargin
+      }.mkString(",\n")
+      val coxnr = (1 to 4).map { k =>
+        s"""cg$k AS MATERIALIZED (SELECT t,
+           |    SUM(w*EXP(p.b*x)) AS s0g, SUM(w*EXP(p.b*x)*x) AS s1g,
+           |    SUM(w*EXP(p.b*x)*x*x) AS s2g,
+           |    SUM(w*d) AS wd, SUM(w*d*x) AS ux, MAX(p.b) AS b
+           |  FROM cbase, cit${k - 1} p GROUP BY t),
+           |csc$k AS MATERIALIZED (SELECT t, wd, ux, b,
+           |    SUM(s0g) OVER rw AS s0, SUM(s1g) OVER rw AS s1,
+           |    SUM(s2g) OVER rw AS s2
+           |  FROM cg$k WINDOW rw AS (ORDER BY t DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |cit$k(b) AS (SELECT MAX(b)
+           |    + SUM(ux - wd*s1/s0) / SUM(wd*(s2/s0 - s1*s1/(s0*s0)))
+           |  FROM csc$k WHERE wd > 0)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH com AS (
+         |  SELECT l_orderkey * 10 + l_linenumber AS uid,
+         |    l_quantity AS t,
+         |    CASE WHEN l_returnflag <> 'A' THEN 1.0 ELSE 0.0 END AS d,
+         |    l_discount * 10 AS x,
+         |    CASE WHEN l_suppkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS trt,
+         |    1.0 + (l_orderkey % 5) AS wt
+         |  FROM lineitem WHERE l_orderkey % 50 = 0),
+         |com2 AS MATERIALIZED (SELECT uid, t, d, x, trt,
+         |    CASE WHEN trt = 1 THEN 1.0 ELSE wt * $A END AS wps, wt
+         |  FROM com),
+         |git0 AS (SELECT CAST(0 AS DOUBLE) AS g0, CAST(0 AS DOUBLE) AS g1,
+         |  CAST(0 AS DOUBLE) AS h00, CAST(0 AS DOUBLE) AS h01,
+         |  CAST(0 AS DOUBLE) AS h11),
+         |$irls,
+         |scored AS MATERIALIZED (SELECT c.*, g.g0 + g.g1*x AS q FROM com2 c, git6 g),
+         |svp AS (SELECT uid, q, x, wt FROM scored WHERE trt = 0),
+         |chp AS (SELECT uid, q, x FROM scored WHERE trt = 1),
+         |prs AS (SELECT s.uid AS sid, c.uid AS cid, s.wt,
+         |    EXP(-((s.q - c.q)/$H)*((s.q - c.q)/$H)/2)/SQRT(2*PI()) AS k,
+         |    (-((s.q - c.q)/$H))
+         |      * EXP(-((s.q - c.q)/$H)*((s.q - c.q)/$H)/2)/SQRT(2*PI())
+         |      * (s.x - c.x) / $H AS dk1
+         |  FROM svp s CROSS JOIN chp c),
+         |rsum AS MATERIALIZED (SELECT sid, SUM(k) AS row_k, SUM(dk1) AS row_dk1
+         |  FROM prs GROUP BY sid),
+         |kwj AS MATERIALIZED (SELECT cid, SUM(p.wt * p.k / r.row_k) AS kw,
+         |    SUM(p.wt * (p.dk1 * r.row_k - p.k * r.row_dk1)
+         |        / (r.row_k * r.row_k)) AS dkw1
+         |  FROM prs p JOIN rsum r ON p.sid = r.sid
+         |  WHERE r.row_k > 0 GROUP BY cid),
+         |units AS MATERIALIZED (SELECT s.uid, s.t, s.d, s.x, s.trt, s.wt, s.q,
+         |    CASE WHEN s.trt = 1 THEN j.kw ELSE 0.0 END AS wtc,
+         |    CASE WHEN s.trt = 1 THEN j.kw ELSE s.wt END AS psw,
+         |    CASE WHEN s.trt = 1 THEN $A * EXP(s.q) ELSE 1.0/s.wt END AS pi,
+         |    s.wps * (s.trt - 1/(1+EXP(-s.q))) AS resid,
+         |    CASE WHEN s.trt = 1 THEN COALESCE(j.dkw1, 0.0) ELSE 0.0 END AS pg1,
+         |    0.0 AS pg0
+         |  FROM scored s LEFT JOIN kwj j ON s.uid = j.cid),
+         |gd AS MATERIALIZED (SELECT u.*,
+         |    (g.h11 * resid - g.h01 * resid * x) / (g.h00*g.h11 - g.h01*g.h01) AS gd0,
+         |    (g.h00 * resid * x - g.h01 * resid) / (g.h00*g.h11 - g.h01*g.h01) AS gd1
+         |  FROM units u, git6 g),
+         |cbase AS MATERIALIZED (SELECT t, d, x, wtc AS w FROM gd WHERE trt = 1),
+         |cit0(b) AS (SELECT CAST(0.0 AS DOUBLE)),
+         |$coxnr,
+         |i3(i1) AS MATERIALIZED (SELECT SUM(wd*(s2/s0 - s1*s1/(s0*s0))) FROM csc4 WHERE wd > 0),
+         |hg AS MATERIALIZED (SELECT t, SUM(w*EXP(p.b*x)) AS s0g, SUM(w*EXP(p.b*x)*x) AS s1g,
+         |    SUM(w*d) AS wd,
+         |    SUM(pg0*d) AS dn0g, SUM(pg1*d) AS dn1g,
+         |    SUM(pg0*EXP(p.b*x)) AS dz0g, SUM(pg1*EXP(p.b*x)) AS dz1g
+         |  FROM (SELECT t, d, x, wtc AS w, pg0, pg1 FROM gd WHERE trt = 1) c,
+         |    cit4 p GROUP BY t),
+         |hsc AS MATERIALIZED (SELECT t, wd,
+         |    SUM(s0g) OVER rw AS s0, SUM(s1g) OVER rw AS s1,
+         |    SUM(dz0g) OVER rw AS dz0, SUM(dz1g) OVER rw AS dz1,
+         |    dn0g, dn1g
+         |  FROM hg WINDOW rw AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |steps AS MATERIALIZED (SELECT t, s0, s1, wd,
+         |    SUM(CASE WHEN wd > 0 THEN wd/s0 ELSE 0 END) OVER pw AS LAM,
+         |    SUM(CASE WHEN wd > 0 THEN wd/(s0*s0) ELSE 0 END) OVER pw AS GL,
+         |    SUM(CASE WHEN wd > 0 THEN wd*s1/(s0*s0) ELSE 0 END) OVER pw AS C,
+         |    SUM(CASE WHEN wd > 0 THEN wd/s0 ELSE 0 END) OVER pw AS G0,
+         |    SUM(CASE WHEN wd > 0 THEN (dn0g - wd*dz0/s0)/s0 ELSE 0 END) OVER pw AS CN0,
+         |    SUM(CASE WHEN wd > 0 THEN (dn1g - wd*dz1/s0)/s0 ELSE 0 END) OVER pw AS CN1
+         |  FROM hsc WINDOW pw AS (ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |dmat AS MATERIALIZED (SELECT
+         |    SUM((u.d*(u.x - s.s1/s.s0) - EXP(p.b*u.x)*(u.x*s.G0 - s.C)) * u.pg0) AS d0,
+         |    SUM((u.d*(u.x - s.s1/s.s0) - EXP(p.b*u.x)*(u.x*s.G0 - s.C)) * u.pg1) AS d1
+         |  FROM (SELECT t, d, x, pg0, pg1 FROM gd WHERE trt = 1) u
+         |  JOIN steps s ON u.t = s.t CROSS JOIN cit4 p),
+         |dev AS MATERIALIZED (SELECT u.trt, u.pi, u.psw, u.gd0, u.gd1,
+         |    u.t, u.d, CASE WHEN u.trt = 1 THEN EXP(p.b*u.x) ELSE 0 END AS rh,
+         |    CASE WHEN u.trt = 1 THEN
+         |      u.psw * (u.d*(u.x - s.s1/s.s0) - EXP(p.b*u.x)*(u.x*s.G0 - s.C)) / i.i1
+         |      ELSE 0 END
+         |      + (m.d0/i.i1) * u.gd0 + (m.d1/i.i1) * u.gd1 AS dbeta_m,
+         |    s.s0 AS Z, s.GL AS GLu
+         |  FROM gd u LEFT JOIN steps s ON u.t = s.t
+         |  CROSS JOIN cit4 p CROSS JOIN i3 i CROSS JOIN dmat m),
+         |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (10), (20),
+         |  (30), (40), (50)) v(x)),
+         |tc AS MATERIALIZED (SELECT t_star,
+         |    COALESCE((SELECT GL FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS GLs,
+         |    COALESCE((SELECT C FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS Cs,
+         |    COALESCE((SELECT LAM FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS LAMs,
+         |    COALESCE((SELECT CN0 FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS CN0s,
+         |    COALESCE((SELECT CN1 FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0) AS CN1s
+         |  FROM probes),
+         |longd AS (SELECT tc.t_star, tc.LAMs, d.pi,
+         |    CASE WHEN d.trt = 1 THEN d.psw * (
+         |        CASE WHEN d.d = 1 AND d.t <= tc.t_star THEN 1.0/d.Z ELSE 0 END
+         |        - d.rh * LEAST(d.GLu, tc.GLs)) ELSE 0 END
+         |      - d.dbeta_m * tc.Cs
+         |      + d.gd0 * tc.CN0s + d.gd1 * tc.CN1s AS dl
+         |  FROM dev d CROSS JOIN tc),
+         |bvar AS MATERIALIZED (SELECT SUM((1.0 - pi) * dbeta_m * dbeta_m) AS vb,
+         |    (SELECT b FROM cit4) AS beta FROM dev)
+         |SELECT l.t_star, ROUND(MAX(l.LAMs), 8) AS cum_hzd,
+         |  ROUND(SUM((1.0 - l.pi) * l.dl * l.dl), 8) AS var_lambda,
+         |  ROUND(MAX(b.beta), 8) AS beta,
+         |  ROUND(MAX(b.vb), 8) AS var_beta
+         |FROM longd l CROSS JOIN bvar b
+         |GROUP BY l.t_star ORDER BY l.t_star""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 50 === 0)
+      def side(m: Int) = li.filter(col("l_suppkey") % 2 === m).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("uid"),
+        col("l_quantity").cast("double").as("t"),
+        when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
+        (col("l_discount") * 10).cast("double").as("x"),
+        (lit(1.0) + col("l_orderkey") % 5).cast("double").as("wt"))
+      val inf = graft.pipeline.TaylorInference.kwChain(
+        side(0).drop("wt"), col("uid"), side(1), col("uid"), col("wt"),
+        col("t"), col("d"),
+        Seq("x"), Seq("x"), Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+        a = 0.3, bandwidth = Some(0.4), psIters = 6, coxIters = 4,
+        sizeHint = graft.core.Windows.SizeHint.Small)
+      inf.lambda.toSeq.sortBy(_._1).map { case (ts, e) =>
+        (ts, rnd(e.estimate, 8), rnd(e.varPoisson, 8),
+          rnd(inf.beta(0), 8), rnd(inf.betaVarPoisson(0), 8))
+      }.toDF("t_star", "cum_hzd", "var_lambda", "beta", "var_beta")
+        .orderBy(col("t_star"))
+    },
+
   )
   // §3.1 Monte-Carlo driver (pipeline.Simulation) is exercised by
   // SimulationSpec rather than declared as a query: its ~40 NR/IRLS

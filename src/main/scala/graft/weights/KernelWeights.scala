@@ -99,8 +99,10 @@ object KernelWeights {
       .agg(sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw"))
 
     // band-join path may drop cohort units with no nearby survey unit;
-    // restore them with weight 0 (+flat) via a right join on cohort ids.
-    contrib.join(c.select(col("c_id")), Seq("c_id"), "right")
+    // restore them with weight 0 (+flat) via a right join on DISTINCT
+    // cohort ids (duplicate input ids would otherwise fan the
+    // id-collapsed contributions back out, double-counting them).
+    contrib.join(c.select(col("c_id")).distinct(), Seq("c_id"), "right")
       .select(col("c_id"), (coalesce(col("kw_raw"), lit(0.0)) + lit(flat)).as("kw"))
   }
 
@@ -185,8 +187,9 @@ object KernelWeights {
             / (col("row_k") * col("row_k"))).as(s"d_kw_$j")
         }: _*)
     // Restore cohort units every one of whose pairs came from zero-sum
-    // survey rows (kw = flat, all derivatives 0).
-    contrib.join(c.select(col("c_id")), Seq("c_id"), "right")
+    // survey rows (kw = flat, all derivatives 0); distinct ids for the
+    // same double-count reason as compute().
+    contrib.join(c.select(col("c_id")).distinct(), Seq("c_id"), "right")
       .select((col("c_id") +:
         (coalesce(col("kw_raw"), lit(0.0)) + lit(flat)).as("kw") +:
         (0 until p).map(j => coalesce(col(s"d_kw_$j"), lit(0.0)).as(s"d_kw_$j"))): _*)

@@ -45,6 +45,51 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(est - exact) < 0.25, s"est=$est exact=$exact")
   }
 
+  test("prefix-filtered Jaccard equals dense Jaccard filtered at t") {
+    // random-ish corpus with heavy shared stopwords, several blocks
+    val vocab = Vector("the", "a", "of", "and", "to", "fox", "dog", "river",
+      "spark", "query", "engine", "data", "pipe", "bank", "tree", "stone")
+    val rnd = new scala.util.Random(42)
+    val corpus = (0 until 60).map { i =>
+      val n = 4 + rnd.nextInt(10)
+      val words = Seq("the", "of") ++ (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, (i % 3).toString, words.mkString(" "))
+    }.toDF("doc_id", "blk", "text")
+    for (t <- Seq(0.2, 0.4, 0.7)) {
+      val dense = Dedup.ngramJaccard(corpus, col("doc_id"), col("text"),
+          col("blk"), k = 1)
+        .filter(col("jaccard") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.ngramJaccard(corpus, col("doc_id"), col("text"),
+          col("blk"), k = 1, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref == dense, s"t=$t: prefix=${pref.size} dense=${dense.size}\n" +
+        s"missing=${dense -- pref}\nextra=${pref -- dense}")
+    }
+  }
+
+  test("prefix filtering defuses an every-doc stopword hotspot") {
+    // one block, one token present in EVERY doc: the dense token join
+    // would generate df² = n² rows for it; the prefix index must not.
+    val n = 200
+    val corpus = (0 until n).map { i =>
+      (i.toLong, s"common shared$i extra${i % 7} tail${i % 11}")
+    }.toDF("doc_id", "text")
+    val res = Dedup.ngramJaccard(corpus, col("doc_id"), col("text"),
+      lit(1), k = 1, threshold = 0.5)
+    // J(A,B) for distinct docs ≤ 3/5 only when both rare tokens align;
+    // brute-force check of correctness at the hotspot
+    val dense = Dedup.ngramJaccard(corpus, col("doc_id"), col("text"),
+        lit(1), k = 1).filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == dense, s"got=${got.size} want=${dense.size}")
+    // and the candidate generator stayed sub-quadratic: the "common"
+    // token (df = n) sorts last in every doc's frequency-ranked token
+    // list, so no prefix (length 3 of 5 at t=0.5) contains it
+    assert(got.size < n * (n - 1) / 4)
+  }
+
   test("SimHash: identical docs distance 0; near-dups close; unrelated far") {
     val sh = Dedup.simhashes(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
