@@ -391,6 +391,109 @@ object RelationalQueries3 {
       Seq(rnd(v, 12)).toDF("jk_var_beta")
     },
 
+    // ---- M14 recal.wt=T: the reference's DEFAULT jackknife branch
+    //      (jk_fun.R:279,292-341) — the propensity model is re-fit
+    //      INSIDE every delete-a-group replicate (4 pinned IRLS
+    //      iterations per replicate, all replicates per pass via
+    //      GLMReplicated), pseudo-weights ipsw = exp(−x'γ_r)/a are
+    //      recomputed from each replicate's own γ_r, and the weighted
+    //      Cox fit (3 pinned NR iterations, CoxPHReplicated) runs at
+    //      those refit weights. DuckDB replays all 10 replicates through
+    //      grouped IRLS + NR CTEs. Survey rows keep their weights in
+    //      every replicate (the cohort-group loop drops cohort rows
+    //      only, jk_fun.R:315-318). ----
+    sqlChecked("m14_recal", {
+      val A = 0.3
+      val irls = (1 to 4).map { k =>
+        s"""git$k AS (SELECT rep,
+           |    g0 + (h11*s0 - h01*s1)/(h00*h11 - h01*h01) AS g0,
+           |    g1 + (h00*s1 - h01*s0)/(h00*h11 - h01*h01) AS g1
+           |  FROM (SELECT z.rep, MAX(z.g0) AS g0, MAX(z.g1) AS g1,
+           |      SUM(z.w*z.mu*(1-z.mu)) AS h00,
+           |      SUM(z.w*z.mu*(1-z.mu)*z.x) AS h01,
+           |      SUM(z.w*z.mu*(1-z.mu)*z.x*z.x) AS h11,
+           |      SUM(z.w*(z.trt-z.mu)) AS s0, SUM(z.w*(z.trt-z.mu)*z.x) AS s1
+           |    FROM (SELECT e.rep, e.trt, e.x, e.w, p.g0, p.g1,
+           |        1.0/(1.0+EXP(-(p.g0 + p.g1*e.x))) AS mu
+           |      FROM ex e JOIN git${k - 1} p ON e.rep = p.rep) z
+           |    GROUP BY z.rep) zz)""".stripMargin
+      }.mkString(",\n")
+      val coxnr = (1 to 3).map { k =>
+        s"""cg$k AS (SELECT cbase.rep, t,
+           |    SUM(w*EXP(p.b*x)) AS s0g, SUM(w*EXP(p.b*x)*x) AS s1g,
+           |    SUM(w*EXP(p.b*x)*x*x) AS s2g,
+           |    SUM(w*d) AS wd, SUM(w*d*x) AS ux, MAX(p.b) AS b
+           |  FROM cbase JOIN cit${k - 1} p ON cbase.rep = p.rep
+           |  GROUP BY cbase.rep, t),
+           |csc$k AS (SELECT rep, t, wd, ux, b,
+           |    SUM(s0g) OVER rw AS s0, SUM(s1g) OVER rw AS s1,
+           |    SUM(s2g) OVER rw AS s2
+           |  FROM cg$k WINDOW rw AS (PARTITION BY rep ORDER BY t DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |cit$k AS (SELECT rep, MAX(b)
+           |    + SUM(ux - wd*s1/s0) / SUM(wd*(s2/s0 - s1*s1/(s0*s0))) AS b
+           |  FROM csc$k WHERE wd > 0 GROUP BY rep)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b0 AS (SELECT l_orderkey, l_quantity AS t,
+         |    CASE WHEN l_returnflag <> 'A' THEN 1.0 ELSE 0.0 END AS d,
+         |    l_discount * 10 AS x, 1.0 + (l_orderkey % 5) AS wt,
+         |    CASE WHEN l_suppkey % 2 = 0 THEN 1.0 ELSE 0.0 END AS trt
+         |  FROM lineitem WHERE l_orderkey % 3 = 0),
+         |r(rep) AS (SELECT CAST(range AS INT) FROM range(10)),
+         |ex AS MATERIALIZED (SELECT rep, trt, x, t, d,
+         |    CASE WHEN trt = 1 THEN
+         |      (CASE WHEN l_orderkey % 10 = rep THEN 0.0 ELSE 10.0/9.0 END)
+         |    ELSE wt * $A END AS w
+         |  FROM b0 CROSS JOIN r),
+         |git0 AS (SELECT rep, CAST(0 AS DOUBLE) AS g0, CAST(0 AS DOUBLE) AS g1
+         |  FROM r),
+         |$irls,
+         |cbase AS MATERIALIZED (SELECT e.rep, e.t, e.d, e.x,
+         |    CASE WHEN e.w = 0 THEN 0.0
+         |         ELSE EXP(-(p.g0 + p.g1*e.x))/$A END AS w
+         |  FROM ex e JOIN git4 p ON e.rep = p.rep WHERE e.trt = 1),
+         |cit0 AS (SELECT rep, CAST(0.0 AS DOUBLE) AS b FROM r),
+         |$coxnr,
+         |est AS (SELECT rep, b AS beta FROM cit3)
+         |SELECT ROUND(AVG(beta), 10) AS beta_bar,
+         |  ROUND(9.0 / 10.0 * SUM((beta - t_bar) * (beta - t_bar)), 12)
+         |    AS jk_var_beta
+         |FROM est, (SELECT AVG(beta) AS t_bar FROM est)""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val m = 10
+      val A = 0.3
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") % 3 === 0).select(
+        col("l_orderkey"),
+        col("l_quantity").cast("double").as("t"),
+        when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
+        (col("l_discount") * 10).cast("double").as("x"),
+        (lit(1.0) + col("l_orderkey") % 5).cast("double").as("wt"),
+        when(col("l_suppkey") % 2 === 0, 1.0).otherwise(0.0).as("trt"))
+      val cohortRep = Jackknife.replicated(li.filter(col("trt") === 1.0),
+        (col("l_orderkey") % m).cast("int"), lit(1.0), m)
+      val surveyRep = li.filter(col("trt") === 0.0)
+        .withColumn("jk_r", explode(sequence(lit(0), lit(m - 1))))
+        .withColumn("jk_wt", col("wt") * lit(A))
+      val cols = Seq("jk_r", "jk_wt", "trt", "x", "t", "d").map(col)
+      val ex = cohortRep.select(cols: _*).unionByName(surveyRep.select(cols: _*))
+      val ps = graft.stats.GLMReplicated.logistic(ex, col("jk_r"),
+        Seq(lit(1.0), col("x")), col("trt"), col("jk_wt"), m,
+        maxIter = 4, tol = 0.0)
+      val coxIn = cohortRep.join(broadcast(ps.gammaFrame(s)),
+          col("jk_r") === col("__r"))
+        .withColumn("__q",
+          element_at(col("__gamma"), 1) + element_at(col("__gamma"), 2) * col("x"))
+        .withColumn("__cw",
+          when(col("jk_wt") === 0.0, 0.0).otherwise(exp(-col("__q")) / lit(A)))
+      val fit = graft.stats.CoxPHReplicated.fit(coxIn, col("jk_r"), col("t"),
+        col("d"), col("__cw"), Seq(col("x")), m, maxIter = 3, tol = 0.0)
+      val est = fit.betas.toSeq.map { case (r, b) => (r, b(0)) }.toDF("r", "beta")
+      val v = Jackknife.variance(est, col("beta"), m).head().getDouble(0)
+      val bbar = est.agg(avg(col("beta"))).head().getDouble(0)
+      Seq((rnd(bbar, 10), rnd(v, 12))).toDF("beta_bar", "jk_var_beta")
+    },
+
     // ---- M13 flagship twin: the COMPLETE composed KW (kernel-weight)
     //      inference chain (taylor_deviate.R:209-236, simu_fun.R:168-211)
     //      — 6 pinned IRLS iterations for γ, the full kernel matrix with
