@@ -455,6 +455,148 @@ object StatQueries {
         .orderBy(col("t_star"))
     },
 
+    // ---- M13 Gail chain: Poisson-linearized variance of ΛG(t*) (the
+    //      population-hazard-rescaled cumulative hazard, LambdaG_w /
+    //      taylor_deviate.R:903-929) and of the absolute risks
+    //      absR/absRG (absR_w, 933-953), at a pinned β. The engine's
+    //      algebra buckets the λ* grid mass by governing event and
+    //      min-composes prefix step functions (never an n×|grid|
+    //      matrix); DuckDB replays it with correlated-subquery LOCF
+    //      lookups over the tiny grid/event domains — agreement proves
+    //      the collapse is exact. ----
+    sqlChecked("m13_gail_var",
+      s"""WITH base AS (SELECT t, d, w, x, ((l_orderkey % 9) + 1.0) / 10.0 AS pi
+         |  FROM (SELECT l_quantity AS t,
+         |    CASE WHEN l_returnflag <> 'A' THEN 1.0 ELSE 0.0 END AS d,
+         |    1.0 + (l_orderkey % 5) AS w,
+         |    l_discount * 10 AS x, l_orderkey FROM lineitem)),
+         |g AS (SELECT t, SUM(w * d) AS ng, SUM(w * EXP(0.25 * x)) AS zg,
+         |    SUM(w) AS ygg, SUM(w * EXP(0.25 * x) * x) AS ag,
+         |    SUM(w * EXP(0.25 * x) * x * x) AS s2g
+         |  FROM base GROUP BY t),
+         |sc AS (SELECT t, ng,
+         |    SUM(zg) OVER rw AS Z, SUM(ygg) OVER rw AS Y,
+         |    SUM(ag) OVER rw AS A, SUM(s2g) OVER rw AS S2
+         |  FROM g WINDOW rw AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |steps AS (SELECT t, ng, Z, A,
+         |    SUM(CASE WHEN ng > 0 THEN ng / Z ELSE 0 END) OVER pw AS LAM,
+         |    SUM(CASE WHEN ng > 0 THEN ng / (Z * Z) ELSE 0 END) OVER pw AS GL,
+         |    SUM(CASE WHEN ng > 0 THEN ng * A / (Z * Z) ELSE 0 END) OVER pw AS C,
+         |    SUM(CASE WHEN ng > 0 THEN ng / Z ELSE 0 END) OVER pw AS G0
+         |  FROM sc WINDOW pw AS (ORDER BY t ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |info AS (SELECT SUM(ng * (S2 / Z - A * A / (Z * Z))) AS i1
+         |  FROM sc WHERE ng > 0),
+         |ev AS (SELECT t, Z, A, 1.0 - Y / Z AS ar FROM sc WHERE ng > 0),
+         |grid(s, ls) AS (SELECT * FROM (VALUES (0.5, 0.004), (7.0, 0.003),
+         |  (13.0, 0.0025), (22.0, 0.0035), (25.0, 0.002), (33.0, 0.003),
+         |  (41.0, 0.0015), (47.0, 0.0025)) v(s, ls)),
+         |gev AS (SELECT gr.s, gr.ls, e.t AS et, e.Z AS eZ, e.ar AS ear,
+         |    e.A AS eA
+         |  FROM grid gr LEFT JOIN ev e ON e.t =
+         |    (SELECT MAX(t) FROM ev WHERE ev.t <= gr.s)),
+         |gcum AS (SELECT s,
+         |    SUM(CASE WHEN et IS NULL THEN ls ELSE ls * (1 - ear) END)
+         |      OVER po AS LG,
+         |    SUM(CASE WHEN et IS NULL THEN 0 ELSE ls / eZ END) OVER po AS GA,
+         |    SUM(CASE WHEN et IS NULL THEN 0 ELSE ls * (1 - ear) / eZ END)
+         |      OVER po AS GB,
+         |    SUM(CASE WHEN et IS NULL THEN 0
+         |        ELSE ls * (1 - ear) * eA / eZ END) OVER po AS CG
+         |  FROM gev WINDOW po AS (ORDER BY s ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ivals AS (SELECT et, SUM(ls / eZ) AS ta,
+         |    SUM(ls * (1 - ear) / eZ) AS tb
+         |  FROM gev WHERE et IS NOT NULL GROUP BY et),
+         |eacum AS (SELECT et,
+         |    SUM(ta) OVER eo AS EAv, SUM(tb) OVER eo AS EBv
+         |  FROM ivals WINDOW eo AS (ORDER BY et ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |ue AS (SELECT ut.t,
+         |    COALESCE((SELECT e.EAv FROM eacum e WHERE e.et <= ut.t
+         |      ORDER BY e.et DESC LIMIT 1), 0) AS EAu,
+         |    COALESCE((SELECT e.EBv FROM eacum e WHERE e.et <= ut.t
+         |      ORDER BY e.et DESC LIMIT 1), 0) AS EBu
+         |  FROM (SELECT DISTINCT t FROM base) ut),
+         |unit AS (SELECT b.t, b.d, b.w, b.pi, EXP(0.25 * b.x) AS rh,
+         |    s.Z, s.GL, ue.EAu, ue.EBu,
+         |    (b.d * (b.x - s.A / s.Z)
+         |      - EXP(0.25 * b.x) * (b.x * s.G0 - s.C)) / i.i1 AS dbeta
+         |  FROM base b JOIN steps s ON b.t = s.t JOIN ue ON b.t = ue.t
+         |  CROSS JOIN info i),
+         |probes(t_star) AS (SELECT CAST(x AS DOUBLE) FROM (VALUES (10), (20),
+         |  (30), (40), (50)) v(x)),
+         |tc AS (SELECT t_star,
+         |    COALESCE((SELECT GL FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0.0) AS GLs,
+         |    COALESCE((SELECT C FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0.0) AS Cs,
+         |    COALESCE((SELECT LAM FROM steps WHERE t <= t_star
+         |      ORDER BY t DESC LIMIT 1), 0.0) AS LAMs,
+         |    COALESCE((SELECT LG FROM gcum WHERE s <= t_star
+         |      ORDER BY s DESC LIMIT 1), 0.0) AS LGs,
+         |    COALESCE((SELECT GA FROM gcum WHERE s <= t_star
+         |      ORDER BY s DESC LIMIT 1), 0.0) AS GAs,
+         |    COALESCE((SELECT GB FROM gcum WHERE s <= t_star
+         |      ORDER BY s DESC LIMIT 1), 0.0) AS GBs,
+         |    COALESCE((SELECT CG FROM gcum WHERE s <= t_star
+         |      ORDER BY s DESC LIMIT 1), 0.0) AS CGs
+         |  FROM probes),
+         |dev AS (SELECT tc.t_star, tc.LAMs, tc.LGs, u.w, u.pi, u.dbeta,
+         |    (CASE WHEN u.d = 1 AND u.t <= tc.t_star THEN 1.0 / u.Z ELSE 0 END
+         |      - u.rh * LEAST(u.GL, tc.GLs) - u.dbeta * tc.Cs) AS dl,
+         |    (LEAST(u.EAu, tc.GAs) - u.rh * LEAST(u.EBu, tc.GBs)
+         |      - u.dbeta * tc.CGs) AS dg
+         |  FROM unit u CROSS JOIN tc)
+         |SELECT t_star, ROUND(MAX(LGs), 6) AS cum_gail,
+         |  ROUND(SUM((1.0 - pi) * w * dg * w * dg), 4) AS var_gail,
+         |  ROUND(MAX(1.0 - EXP(-LAMs * EXP(0.25))), 8) AS abs_risk,
+         |  ROUND(SUM((1.0 - pi)
+         |    * w * (EXP(-LAMs * EXP(0.25)) * EXP(0.25) * (LAMs * dbeta + dl))
+         |    * w * (EXP(-LAMs * EXP(0.25)) * EXP(0.25) * (LAMs * dbeta + dl))),
+         |    4) AS var_absr,
+         |  ROUND(MAX(1.0 - EXP(-LGs * EXP(0.25))), 8) AS abs_risk_gail,
+         |  ROUND(SUM((1.0 - pi)
+         |    * w * (EXP(-LGs * EXP(0.25)) * EXP(0.25) * (LGs * dbeta + dg))
+         |    * w * (EXP(-LGs * EXP(0.25)) * EXP(0.25) * (LGs * dbeta + dg))),
+         |    4) AS var_absr_gail
+         |FROM dev GROUP BY t_star ORDER BY t_star""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val sf = t(s, d, "lineitem").select(
+        col("l_quantity").cast("double").as("t"),
+        when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
+        (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"),
+        (col("l_discount") * 10).cast("double").as("x"),
+        (((col("l_orderkey") % 9) + 1.0) / 10.0).as("pi"))
+      val (_, info) = CoxPH.scoreAndInfo(sf, col("t"), col("d"), col("w"),
+        Seq(col("x")), Array(0.25))
+      val dev = graft.variance.CoxInfluence.deviatesAndCollapse(sf, col("t"),
+        col("d"), col("w"), Seq(col("x")), Array(0.25), info,
+        passthrough = Seq(col("pi")), sizeHint = Windows.SizeHint.Small)
+      val lambdaStar = Seq((0.5, 0.004), (7.0, 0.003), (13.0, 0.0025),
+        (22.0, 0.0035), (25.0, 0.002), (33.0, 0.003), (41.0, 0.0015),
+        (47.0, 0.0025)).toDF("t", "lambda_star")
+      val long = graft.variance.HazardInfluence.cumulativeDeviates(
+        dev.units, p = 1, tStar = Seq(10.0, 20.0, 30.0, 40.0, 50.0),
+        lambdaStar = Some(lambdaStar),
+        risk = Some(graft.variance.HazardInfluence.RiskProfile(
+          Array(0.25), Array(1.0))),
+        sizeHint = Windows.SizeHint.Small,
+        passthrough = Seq(col("pi")),
+        preCollapsed = Some(dev.collapsed))
+      def pvar(dcol: String) = round(sum((lit(1.0) - col("pi"))
+        * col("__w") * col(dcol) * col("__w") * col(dcol)), 4)
+      long.groupBy(col("t_star"))
+        .agg(round(max(col("cum_gail")), 6).as("cum_gail"),
+          pvar("d_cum_gail").as("var_gail"),
+          round(max(col("abs_risk")), 8).as("abs_risk"),
+          pvar("d_abs_risk").as("var_absr"),
+          round(max(col("abs_risk_gail")), 8).as("abs_risk_gail"),
+          pvar("d_abs_risk_gail").as("var_absr_gail"))
+        .orderBy(col("t_star"))
+    },
+
     // ---- M14: delete-a-group jackknife variance (vectorized replicates) ----
     sqlChecked("m14_jackknife",
       """WITH r(rep) AS (SELECT CAST(range AS INT) FROM range(10)),
