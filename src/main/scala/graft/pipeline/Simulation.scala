@@ -94,6 +94,33 @@ object Simulation {
       val withIpsw = cohort.withColumn("ipsw",
         graft.weights.Ipsw.fromLinearPredictor(ps.score(cohort), a))
 
+      // Informative twin: outcome-dependent sampling needs the outcome
+      // in the PS model, so the reference fits FOUR formulas
+      // (fm_ps = trt~x1+x2*d, trt~x1+x2*d_tilde.1..3 — the commented-in
+      // battery of calib_simu_inf0315.R:130, fit per jk_fun.R:306-313)
+      // into pseudo-weight variants ipsw.0..3. x2*d expands to
+      // {x2, d, x2·d}; ipsw.0 uses the true indicator, ipsw.i the
+      // scenario-i error-prone one (needs the error columns ⇒
+      // fullBattery).
+      val ipswVariants: Seq[(String, DataFrame)] =
+        if (!cfg.informative) Nil
+        else {
+          val dCols = Seq("d") ++
+            (if (cfg.fullBattery)
+               (1 to cfg.errorScenarios.length).map(i => s"d_tilde_$i")
+             else Nil)
+          dCols.zipWithIndex.map { case (dc, i) =>
+            val ic = s"__x2_$dc"
+            val st = psStack.withColumn(ic, col("x2") * col(dc).cast("double"))
+            val psI = SurveyIntegration.propensityModel(st,
+              Seq("x1", "x2", dc, ic), col("__wps"))
+            val coI = cohort.withColumn(ic, col("x2") * col(dc).cast("double"))
+            s"ipsw.$i" -> coI.withColumn("ipsw",
+              graft.weights.Ipsw.fromLinearPredictor(psI.score(coI), a))
+              .drop(ic)
+          }
+        }
+
       val naive = SurveyIntegration.estimatorBattery(cohort,
         col("t"), col("d"), lit(1.0), xCols, cfg.tStar, popLambda)
       val cht = SurveyIntegration.estimatorBattery(cohort,
@@ -116,26 +143,36 @@ object Simulation {
 
       val baseRows = rows("naive", naive) ++ rows("cht", cht) ++
         rows("svy", svyB) ++ rows("ipsw", ipswB) ++
+        ipswVariants.flatMap { case (name, coI) =>
+          rows(name, SurveyIntegration.estimatorBattery(coI,
+            col("t"), col("d"), col("ipsw"), xCols, cfg.tStar, popLambda))
+        } ++
         truthFit.coefficients.zipWithIndex.map { case (v, j) =>
           (simu, "truth", s"beta${j + 1}", v)
         }
 
       val calibRows = if (!cfg.fullBattery) Nil else {
-        // blended-weight allocation (jk_fun.R:136-139 / m17 composite)
-        val alloc = Composite.allocation(withIpsw, col("ipsw"), survey, col("wt"))
-        val com = SurveyIntegration.stack(withIpsw, survey, col("wt"))
-          .withColumn("halfwt", col("wt") / 2.0)
-          .withColumn("blend",
-            when(col("trt") === 1, col("ipsw") * alloc.aCohort)
-              .otherwise(col("wt") * alloc.aSurvey))
-          // survey rows carry the imputed outcome; cohort rows the truth
-          .persist()
+        // blended-weight allocation (jk_fun.R:136-139 / m17 composite);
+        // under the informative design the blend is built on ipsw.0
+        // (the true-outcome PS variant, jk_est_inf's var.wt="ipsw.0")
+        val blendBase = if (cfg.informative) ipswVariants.head._2 else withIpsw
+        def blended(co: DataFrame): DataFrame = {
+          val alloc = Composite.allocation(co, col("ipsw"), survey, col("wt"))
+          SurveyIntegration.stack(co, survey, col("wt"))
+            .withColumn("halfwt", col("wt") / 2.0)
+            .withColumn("blend",
+              when(col("trt") === 1, col("ipsw") * alloc.aCohort)
+                .otherwise(col("wt") * alloc.aSurvey))
+        }
+        def withFit(df: DataFrame, i: Int): DataFrame = df
+          .withColumn(s"t_fit_$i",
+            when(col("trt") === 1, col("t")).otherwise(col(s"t_imp_$i")))
+          .withColumn(s"d_fit_$i",
+            when(col("trt") === 1, col("d")).otherwise(col(s"d_tilde_$i")))
+        // survey rows carry the imputed outcome; cohort rows the truth
+        val com = blended(blendBase).persist()
         val methods = (1 to cfg.errorScenarios.length).flatMap { i =>
-          val comI = com
-            .withColumn(s"t_fit_$i",
-              when(col("trt") === 1, col("t")).otherwise(col(s"t_imp_$i")))
-            .withColumn(s"d_fit_$i",
-              when(col("trt") === 1, col("d")).otherwise(col(s"d_tilde_$i")))
+          val comI = withFit(com, i)
           Seq(
             (s"calib.d$i", CalibEst.run(comI, s"t_tilde_$i", s"d_tilde_$i",
               "halfwt", col("wt"), popN, popN1, xCols, cfg.tStar, popLambda)),
@@ -144,7 +181,21 @@ object Simulation {
             (s"imp.d$i", CalibEst.run(comI, s"t_fit_$i", s"d_fit_$i",
               "halfwt", col("wt"), popN, popN1, xCols, cfg.tStar, popLambda)),
             (s"imp_calib_ipsw.d$i", CalibEst.run(comI, s"t_fit_$i", s"d_fit_$i",
-              "blend", col("blend"), popN, popN1, xCols, cfg.tStar, popLambda)))
+              "blend", col("blend"), popN, popN1, xCols, cfg.tStar, popLambda))) ++
+          // informative .t twins: the blend rebuilt from the scenario's
+          // OWN error-prone PS variant ipsw.i (jk_est_inf's
+          // var.wt=paste0("ipsw.",i) slots, jk_fun.R:267-270)
+          (if (!cfg.informative) Nil
+           else {
+             val comT = withFit(blended(ipswVariants(i)._2), i)
+             Seq(
+               (s"calib_ipsw_t.d$i", CalibEst.run(comT, s"t_tilde_$i",
+                 s"d_tilde_$i", "blend", col("blend"), popN, popN1, xCols,
+                 cfg.tStar, popLambda)),
+               (s"imp_calib_ipsw_t.d$i", CalibEst.run(comT, s"t_fit_$i",
+                 s"d_fit_$i", "blend", col("blend"), popN, popN1, xCols,
+                 cfg.tStar, popLambda)))
+           })
         }
         com.unpersist(blocking = false)
         methods.flatMap { case (m, b) => rows(m, b) }

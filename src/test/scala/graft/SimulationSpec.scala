@@ -99,10 +99,41 @@ class SimulationSpec extends SparkSpec {
       populationSize = 15000, nCohort = 500, nSurvey = 300, nSimu = 1,
       informative = true)).persist()
     assert(res.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+    // the outcome-dependent PS variant (fm_ps = trt~x1+x2*d, ipsw.0)
+    // must be fit under the informative design
+    val methods = res.select("method").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(methods.contains("ipsw.0"), s"got $methods")
     val byMp = res.groupBy("method", "param").agg(avg("value").as("v"))
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    for (j <- 1 to 3)
+    for (j <- 1 to 3) {
       assert(math.abs(byMp(("cht", s"beta$j")) - byMp(("truth", s"beta$j"))) < 0.3)
+      assert(math.abs(byMp(("ipsw.0", s"beta$j")) - byMp(("truth", s"beta$j"))) < 0.3,
+        s"ipsw.0 beta$j=${byMp(("ipsw.0", s"beta$j"))}")
+    }
+    res.unpersist(blocking = false)
+  }
+
+  test("informative full battery fits all four PS formulas + .t twins") {
+    val res = Simulation.run(spark, Simulation.Config(
+      populationSize = 10000, nCohort = 400, nSurvey = 250, nSimu = 1,
+      informative = true, fullBattery = true)).persist()
+    val methods = res.select("method").distinct().collect()
+      .map(_.getString(0)).toSet
+    val want = Set("naive", "cht", "svy", "ipsw", "truth") ++
+      (0 to 3).map(i => s"ipsw.$i") ++
+      (1 to 3).flatMap(i => Seq(s"calib.d$i", s"calib_ipsw.d$i",
+        s"imp.d$i", s"imp_calib_ipsw.d$i",
+        s"calib_ipsw_t.d$i", s"imp_calib_ipsw_t.d$i"))
+    assert(methods == want, s"missing: ${want -- methods} extra: ${methods -- want}")
+    assert(res.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+    // all four PS variants correct the informative design bias for the
+    // error-free covariate effect
+    val byMp = res.groupBy("method", "param").agg(avg("value").as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    for (i <- 0 to 3)
+      assert(math.abs(byMp((s"ipsw.$i", "beta3")) - byMp(("truth", "beta3"))) < 0.35,
+        s"ipsw.$i beta3=${byMp((s"ipsw.$i", "beta3"))}")
     res.unpersist(blocking = false)
   }
 }
