@@ -40,6 +40,13 @@ object Simulation {
       tStar: Seq[Double] = Seq(5.0, 10.0, 15.0),
       informative: Boolean = false,
       fullBattery: Boolean = false,
+      // Optional seed-pair table (sources.SeedTable layout: seed1,
+      // seed2) mirroring the reference's seed.txt-keyed replicate RNG
+      // streams (calib_simu_noninf0315.R:14-19; simu_fun.R:389-390,
+      // set.seed(seed) before each samp.slct draw): row k seeds
+      // replicate k's cohort (seed1) and survey (seed2) draws. Absent,
+      // replicates derive deterministic per-index salts.
+      seedTable: Option[DataFrame] = None,
       // the reference's three δ scenarios (calib_simu_noninf0315.R:94-96)
       errorScenarios: Seq[Population.ErrorScenario] = Seq(
         Population.ErrorScenario(Array(2.0, 0.01, 0.02, 0.01)),
@@ -79,11 +86,24 @@ object Simulation {
           .persist())
       else None
 
+    // per-replicate RNG keys: first nSimu rows of the seed table
+    // (driver-side, O(replicates) doubles), else index-derived salts
+    val seedPairs: Option[Array[(Long, Long)]] = cfg.seedTable.map { st =>
+      val rows = st.limit(cfg.nSimu).collect()
+        .map(r => (r.getDouble(0).toLong, r.getDouble(1).toLong))
+      require(rows.length >= cfg.nSimu,
+        s"seed table has ${rows.length} rows < nSimu=${cfg.nSimu}")
+      rows
+    }
+
     val results = (1 to cfg.nSimu).flatMap { simu =>
+      val (cohortSalt, surveySalt) = seedPairs
+        .map(sp => sp(simu - 1))
+        .getOrElse((1000L + simu, 2000L + simu))
       val cohort = Pps.draw(pop.withColumn("msize", cohortOdds(cfg.informative)),
-        col("id"), col("msize"), cfg.nCohort, salt = 1000L + simu).drop("msize")
+        col("id"), col("msize"), cfg.nCohort, salt = cohortSalt).drop("msize")
       val survey = Pps.draw(pop.withColumn("msize", surveyOdds),
-        col("id"), col("msize"), cfg.nSurvey, salt = 2000L + simu).drop("msize")
+        col("id"), col("msize"), cfg.nSurvey, salt = surveySalt).drop("msize")
 
       val stacked = SurveyIntegration.stack(cohort, survey, col("wt"))
       // recalibrated propensity on the a-scaled stack (jk_fun.R:123-127)

@@ -114,6 +114,36 @@ class SimulationSpec extends SparkSpec {
     res.unpersist(blocking = false)
   }
 
+  test("seed-table-keyed replicates: bit-reproducible, seeds drive the draws") {
+    import graft.sources.SeedTable
+    // an R-format seed.txt (calib_simu_noninf0315.R:14-19); row k seeds
+    // replicate k's cohort/survey RNG streams (simu_fun.R:389-390)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-simu-seed")
+    val file = tmp.resolve("seed.txt")
+    java.nio.file.Files.writeString(file,
+      "\"seed1\" \"seed2\"\n9158.0 223.0\n4717.0 8381.0\n")
+    val seeds = SeedTable.read(spark, file.toString)
+    val cfg = Simulation.Config(populationSize = 12000, nCohort = 400,
+      nSurvey = 250, nSimu = 2, seedTable = Some(seeds))
+    val res = Simulation.run(spark, cfg).persist()
+    assert(res.filter(col("value").isNull || isnan(col("value"))).count() == 0)
+
+    // same seed table → bit-identical results
+    val again = Simulation.run(spark, cfg)
+    val diff = res.as("a").join(again.as("b"), Seq("simu_id", "method", "param"))
+      .filter(abs(col("a.value") - col("b.value")) > 0.0).count()
+    assert(diff == 0, "seeded simulation must be bit-reproducible")
+
+    // different seeds → different samples → different (non-truth) estimates
+    val other = Simulation.run(spark, cfg.copy(seedTable = None))
+    val same = res.as("a").join(other.as("b"), Seq("simu_id", "method", "param"))
+      .filter(col("method") =!= "truth")
+      .filter(abs(col("a.value") - col("b.value")) === 0.0).count()
+    val tot = res.filter(col("method") =!= "truth").count()
+    assert(same < tot, "seed table had no effect on the draws")
+    res.unpersist(blocking = false)
+  }
+
   test("informative full battery fits all four PS formulas + .t twins") {
     val res = Simulation.run(spark, Simulation.Config(
       populationSize = 10000, nCohort = 400, nSurvey = 250, nSimu = 1,
