@@ -55,7 +55,10 @@ object Bench {
         catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // optional comma-separated filter for local iteration on hot queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def pass(): Seq[(String, (Double, Boolean))] =
       queries.map { case (name, fn) => name -> timeOnce(fn) }
     val p1 = pass().toMap

@@ -145,11 +145,16 @@ object TaylorInference {
     // kernel weights + Jacobian keyed by cohort id
     val surveyQ = scored.filter(col("trt") === 0)
     val cohortQ = scored.filter(col("trt") === 1)
+    // persist the id-collapsed Jacobian (O(n_c) rows): every downstream
+    // job (each Cox NR iteration, the deviate collapse, the hazard
+    // chain, the contractions) joins it, and without the cache each
+    // would re-run the O(n_c·n_s) kernel pair aggregation
     val jac = graft.weights.KernelWeights.jacobian(
       surveyQ, col("__sid"), col("__q"), col("w").cast("double"),
       cohortQ, col("__cid"), col("__q"), h,
       sFeatures = (0 until q).map(m0 => psFeats.getItem(m0)),
       cFeatures = (0 until q).map(m0 => psFeats.getItem(m0)))
+      .persist()
     val withW = scored
       .join(jac.withColumnRenamed("c_id", "__cid")
           .withColumnRenamed("kw", "__kw"),
@@ -171,6 +176,7 @@ object TaylorInference {
     val prepared = withW.select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
     val out = inferenceCore(prepared, time, event, featureCols, q, tStar,
       lambdaStar, x0, sizeHint, coxIters, psFit.coefficients)
+    jac.unpersist(blocking = false)
     stacked.unpersist(blocking = false)
     out
   }

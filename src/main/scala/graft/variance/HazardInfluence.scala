@@ -166,7 +166,8 @@ object HazardInfluence {
     val merged = if (ls.isDefined) graft.core.AsOf.locfPartitioned(
       withEv, col("__t"),
       Seq("evT", "evZ", "evAr") ++ (0 until p).map(j => s"evA$j") ++
-        (0 until q).flatMap(m => Seq(s"evDZ$m", s"evDY$m")))
+        (0 until q).flatMap(m => Seq(s"evDZ$m", s"evDY$m")),
+      sizeHint = sizeHint)
     else withEv
 
     // ---- prefix increments: event-side (λ chain) and grid-side (ΛG) ----
@@ -201,7 +202,7 @@ object HazardInfluence {
 
     // ---- grid mass bucketed by governing event: EA/EB(t) = Σ_{s: e(s)≤t} ----
     val needGail = ls.isDefined
-    val stepTable: DataFrame = if (needGail) {
+    val stepTable0: DataFrame = if (needGail) {
       val ivalAggs = Seq(
         sum(coalesce(when(gridHasEv, col("__ls") / col("evZ")), lit(0.0))).as("ta"),
         sum(coalesce(when(gridHasEv,
@@ -209,12 +210,28 @@ object HazardInfluence {
       val ivals = scanned.filter(col("evT").isNotNull)
         .groupBy(col("evT")).agg(ivalAggs.head, ivalAggs.tail: _*)
       val ivalsCum = Windows.scan(ivals, Seq(col("evT")),
-        Seq(col("ta") -> "EAv", col("tb") -> "EBv"), sizeHint = Windows.SizeHint.Auto)
+        Seq(col("ta") -> "EAv", col("tb") -> "EBv"), sizeHint = sizeHint)
         .select(col("evT"), col("EAv"), col("EBv"))
       scanned.join(broadcast(ivalsCum), Seq("evT"), "left")
         .withColumn("EA", coalesce(col("EAv"), lit(0.0)))
         .withColumn("EB", coalesce(col("EBv"), lit(0.0)))
     } else scanned.withColumn("EA", lit(0.0)).withColumn("EB", lit(0.0))
+
+    // Under the Small contract the step table is ≤ ~20k rows but its
+    // PLAN is deep: tie-collapse, suffix/prefix windows (each a
+    // single-partition exchange), the λ*-grid full-outer merge, LOCF and
+    // the EA/EB bucket join — rebuilt at EVERY downstream action.
+    // Localize it ONCE to the driver and substitute a literal local
+    // relation: the t*-probe job collapses to a LocalTableScan and the
+    // unit-side broadcast carries no subplan, leaving each action one
+    // pass over the unit frame. (Exact doubles survive the round-trip
+    // bit-for-bit, so hash oracles are unaffected.)
+    val stepTable: DataFrame =
+      if (sizeHint == Windows.SizeHint.Small) {
+        val localRows = stepTable0.collect().toIndexedSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(localRows, 1), stepTable0.schema)
+      } else stepTable0
 
     // ---- t*-side constants: one broadcast-probe aggregate, |t*| rows ----
     import spark.implicits._
@@ -247,58 +264,66 @@ object HazardInfluence {
       .withColumn("EA", coalesce(col("EA"), lit(0.0)))
       .withColumn("EB", coalesce(col("EB"), lit(0.0)))
 
-    // ---- per-t* deviate expressions, exploded long ----
+    // ---- per-t* deviates, exploded long. ONE parametric expression set
+    //      indexed into literal constant arrays (element_at), not |t*|
+    //      inlined copies: each deviate inlines the full β-chain tree,
+    //      and struct-per-t* multiplied that tree by |t*|·|estimands|,
+    //      blowing up codegen (measured 3-4× slower at |t*|=5 with the
+    //      Gail+risk fields on). ----
     val rr0 = risk.map(rp => math.exp(
       rp.x0.indices.map(m => rp.x0(m) * rp.beta(m)).sum))
-    val perT = tStar.sorted.map { ts =>
-      val r = consts(ts)
-      val dLambda =
-        col("__dsc") * (
-          when(col("__d") === 1.0 && col("__t") <= ts, lit(1.0) / col("Z"))
-            .otherwise(0.0) -
-          col("__rh") * least(col("GL"), lit(cst(r, "GL")))) -
-        (0 until p).map(j => col(s"__db$j") * lit(cst(r, s"C$j")))
-          .foldLeft(lit(0.0): Column)(_ + _) +
-        (0 until q).map(m =>
-          col(s"__gd$m") * (lit(cst(r, s"CN$m"))))
+    val tsSorted = tStar.sorted
+    def cArr(name: String): Column =
+      array(tsSorted.map(ts => lit(cst(consts(ts), name))): _*)
+    val idx = col("__pos") + 1 // element_at is 1-based
+    def at(name: String): Column = element_at(cArr(name), idx)
+
+    val dLambda =
+      col("__dsc") * (
+        when(col("__d") === 1.0 && col("__t") <= col("t_star"),
+          lit(1.0) / col("Z")).otherwise(0.0) -
+        col("__rh") * least(col("GL"), at("GL"))) -
+      (0 until p).map(j => col(s"__db$j") * at(s"C$j"))
+        .foldLeft(lit(0.0): Column)(_ + _) +
+      (0 until q).map(m => col(s"__gd$m") * at(s"CN$m"))
+        .foldLeft(lit(0.0): Column)(_ + _)
+    val dGail =
+      col("__dsc") * (
+        least(col("EA"), at("GA")) -
+        col("__rh") * least(col("EB"), at("GB"))) -
+      (0 until p).map(j => col(s"__db$j") * at(s"CG$j"))
+        .foldLeft(lit(0.0): Column)(_ + _) +
+      (0 until q).map(m => col(s"__gd$m") * at(s"CGN$m"))
+        .foldLeft(lit(0.0): Column)(_ + _)
+    val outFields = Seq(at("LAM").as("cum_hzd"), dLambda.as("d_cum_hzd")) ++
+      (if (needGail) Seq(at("LG").as("cum_gail"), dGail.as("d_cum_gail"))
+       else Nil) ++
+      rr0.toSeq.flatMap { rr =>
+        val dbx = risk.get.x0.indices
+          .map(m => col(s"__db$m") * lit(risk.get.x0(m)))
           .foldLeft(lit(0.0): Column)(_ + _)
-      val dGail =
-        col("__dsc") * (
-          least(col("EA"), lit(cst(r, "GA"))) -
-          col("__rh") * least(col("EB"), lit(cst(r, "GB")))) -
-        (0 until p).map(j => col(s"__db$j") * lit(cst(r, s"CG$j")))
-          .foldLeft(lit(0.0): Column)(_ + _) +
-        (0 until q).map(m => col(s"__gd$m") * lit(cst(r, s"CGN$m")))
-          .foldLeft(lit(0.0): Column)(_ + _)
-      val lamAt = cst(r, "LAM"); val lgAt = cst(r, "LG")
-      val fields = Seq(lit(ts).as("t_star"),
-        lit(lamAt).as("cum_hzd"), dLambda.as("d_cum_hzd")) ++
-        (if (needGail) Seq(lit(lgAt).as("cum_gail"), dGail.as("d_cum_gail"))
-         else Nil) ++
-        rr0.toSeq.flatMap { rr =>
-          val dbx = risk.get.x0.indices
-            .map(m => col(s"__db$m") * lit(risk.get.x0(m)))
-            .foldLeft(lit(0.0): Column)(_ + _)
-          val aR = 1.0 - math.exp(-lamAt * rr)
-          val dAbs = lit((1.0 - aR) * rr) * (lit(lamAt) * dbx + dLambda)
-          Seq(lit(aR).as("abs_risk"), dAbs.as("d_abs_risk")) ++
-            (if (needGail) {
-              val aRG = 1.0 - math.exp(-lgAt * rr)
-              Seq(lit(aRG).as("abs_risk_gail"),
-                (lit((1.0 - aRG) * rr) * (lit(lgAt) * dbx + dGail))
-                  .as("d_abs_risk_gail"))
-            } else Nil)
-        }
-      struct(fields: _*)
-    }
+        def aRArr(src: String): Column = array(tsSorted.map(ts =>
+          lit(1.0 - math.exp(-cst(consts(ts), src) * rr))): _*)
+        def sclArr(src: String): Column = array(tsSorted.map(ts =>
+          lit(math.exp(-cst(consts(ts), src) * rr) * rr)): _*)
+        Seq(element_at(aRArr("LAM"), idx).as("abs_risk"),
+          (element_at(sclArr("LAM"), idx) * (at("LAM") * dbx + dLambda))
+            .as("d_abs_risk")) ++
+          (if (needGail)
+            Seq(element_at(aRArr("LG"), idx).as("abs_risk_gail"),
+              (element_at(sclArr("LG"), idx) * (at("LG") * dbx + dGail))
+                .as("d_abs_risk_gail"))
+           else Nil)
+      }
     // passthrough column names = base's trailing columns after the fixed block
     val passNames = base.columns.drop(5 + 2 * p + 2 * q).toSeq
     val keep = Seq("__t", "__d", "__w", "__rh") ++
       (0 until p).map(j => s"__x$j") ++
       (0 until p).map(j => s"__db$j") ++ passNames
     val exploded = units
-      .withColumn("__ts", explode(array(perT: _*)))
-      .select(keep.map(col) :+ col("__ts.*"): _*)
+      .select(col("*"),
+        posexplode(array(tsSorted.map(lit(_)): _*)).as(Seq("__pos", "t_star")))
+      .select((keep.map(col) :+ col("t_star")) ++ outFields: _*)
     scanned.unpersist()
     exploded
   }
