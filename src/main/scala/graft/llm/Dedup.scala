@@ -196,12 +196,19 @@ object Dedup {
       // prefix index: rank each doc's tokens by (block df, token) asc
       // and keep rank ≤ n − ⌈t·n⌉ + 1. The ε guards float noise in
       // t·n the SAFE way (a longer prefix only adds candidates).
-      val dfreq = tok.groupBy(col("blk"), col("w")).agg(count(lit(1)).as("df"))
-      val byDoc = Window.partitionBy(col("blk"), col("id"))
+      // df and the per-doc size come from WINDOWS over the two shuffles
+      // the ranking needs anyway — the groupBy+join-back formulation
+      // paid two extra shuffle stages for the same values (the query is
+      // stage-count-bound, not data-bound, at survey scale; at 100 TB
+      // both forms shuffle the token stream the same two ways)
+      val byTok = Window.partitionBy(col("blk"), col("w"))
+      val byDocOrd = Window.partitionBy(col("blk"), col("id"))
         .orderBy(col("df"), col("w"))
-      val prefix = tok.join(dfreq, Seq("blk", "w"))
-        .withColumn("r", row_number().over(byDoc))
-        .join(sizes, Seq("blk", "id"))
+      val byDocAll = Window.partitionBy(col("blk"), col("id"))
+      val prefix = tok
+        .withColumn("df", count(lit(1)).over(byTok))
+        .withColumn("r", row_number().over(byDocOrd))
+        .withColumn("n", count(lit(1)).over(byDocAll))
         .filter(col("r") <=
           col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
         .select(col("blk"), col("w"), col("id"))
@@ -210,17 +217,24 @@ object Dedup {
             col("pa.id") < col("pb.id"))
         .select(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
-      // exact verification from the FULL posting lists, candidates only
-      // (measured faster than per-candidate array_intersect: the posting
-      // join + count aggregate stays in whole-stage codegen)
-      val inter = cand
-        .join(tok.select(col("id").as("id_a"), col("w")), Seq("id_a"))
-        .join(tok.select(col("id").as("id_b"), col("w")), Seq("id_b", "w"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
-        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      // exact verification per candidate from the doc-level shingle
+      // arrays: with a selective threshold the candidate set is orders
+      // of magnitude smaller than the token stream, so two joins
+      // against the DOC-sized base + array_intersect beat re-shuffling
+      // the full posting lists twice (the dense path's trade-off
+      // inverts — there every pair survives, here almost none do)
+      // literal self-join aliases (not per-side projections) so both
+      // broadcast builds are the identical subplan and ReuseExchange
+      // ships the doc arrays once
+      val b = base.select(col("id"), col("sh"))
+      val withSh = cand
+        .join(b.as("ba"), col("ba.id") === col("id_a"))
+        .join(b.as("bb"), col("bb.id") === col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ba.sh"), col("bb.sh"))).cast("long").as("i"),
+          size(col("ba.sh")).cast("long").as("n_a"),
+          size(col("bb.sh")).cast("long").as("n_b"))
+      withSh
         .withColumn("jaccard",
           col("i").cast("double") / (col("n_a") + col("n_b") - col("i")))
         .filter(col("jaccard") >= threshold)
