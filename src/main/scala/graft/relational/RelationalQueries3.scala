@@ -553,21 +553,25 @@ object RelationalQueries3 {
          |  CAST(0 AS DOUBLE) AS h11),
          |$irls,
          |scored AS MATERIALIZED (SELECT c.*, g.g0 + g.g1*x AS q FROM com2 c, git6 g),
-         |svp AS (SELECT uid, q, x, wt FROM scored WHERE trt = 0),
-         |chp AS (SELECT uid, q, x FROM scored WHERE trt = 1),
-         |prs AS (SELECT s.uid AS sid, c.uid AS cid, s.wt,
+         |svp AS (SELECT q, x, SUM(wt) AS wt FROM scored WHERE trt = 0
+         |  GROUP BY q, x),
+         |chp AS (SELECT q, x, CAST(COUNT(*) AS DOUBLE) AS cm
+         |  FROM scored WHERE trt = 1 GROUP BY q, x),
+         |prs AS (SELECT s.q AS qs, s.x AS xs, c.q AS qc, c.x AS xc,
+         |    s.wt, c.cm,
          |    EXP(-((s.q - c.q)/$H)*((s.q - c.q)/$H)/2)/SQRT(2*PI()) AS k,
          |    (-((s.q - c.q)/$H))
          |      * EXP(-((s.q - c.q)/$H)*((s.q - c.q)/$H)/2)/SQRT(2*PI())
          |      * (s.x - c.x) / $H AS dk1
          |  FROM svp s CROSS JOIN chp c),
-         |rsum AS MATERIALIZED (SELECT sid, SUM(k) AS row_k, SUM(dk1) AS row_dk1
-         |  FROM prs GROUP BY sid),
-         |kwj AS MATERIALIZED (SELECT cid, SUM(p.wt * p.k / r.row_k) AS kw,
+         |rsum AS MATERIALIZED (SELECT qs, xs,
+         |    SUM(cm * k) AS row_k, SUM(cm * dk1) AS row_dk1
+         |  FROM prs GROUP BY qs, xs),
+         |kwj AS MATERIALIZED (SELECT qc, xc, SUM(p.wt * p.k / r.row_k) AS kw,
          |    SUM(p.wt * (p.dk1 * r.row_k - p.k * r.row_dk1)
          |        / (r.row_k * r.row_k)) AS dkw1
-         |  FROM prs p JOIN rsum r ON p.sid = r.sid
-         |  WHERE r.row_k > 0 GROUP BY cid),
+         |  FROM prs p JOIN rsum r ON p.qs = r.qs AND p.xs = r.xs
+         |  WHERE r.row_k > 0 GROUP BY qc, xc),
          |units AS MATERIALIZED (SELECT s.uid, s.t, s.d, s.x, s.trt, s.wt, s.q,
          |    CASE WHEN s.trt = 1 THEN j.kw ELSE 0.0 END AS wtc,
          |    CASE WHEN s.trt = 1 THEN j.kw ELSE s.wt END AS psw,
@@ -575,7 +579,7 @@ object RelationalQueries3 {
          |    s.wps * (s.trt - 1/(1+EXP(-s.q))) AS resid,
          |    CASE WHEN s.trt = 1 THEN COALESCE(j.dkw1, 0.0) ELSE 0.0 END AS pg1,
          |    0.0 AS pg0
-         |  FROM scored s LEFT JOIN kwj j ON s.uid = j.cid),
+         |  FROM scored s LEFT JOIN kwj j ON s.q = j.qc AND s.x = j.xc),
          |gd AS MATERIALIZED (SELECT u.*,
          |    (g.h11 * resid - g.h01 * resid * x) / (g.h00*g.h11 - g.h01*g.h01) AS gd0,
          |    (g.h00 * resid * x - g.h01 * resid) / (g.h00*g.h11 - g.h01*g.h01) AS gd1

@@ -142,11 +142,27 @@ object KernelWeights {
       kernel: Column => Column = gaussianK,
       kernelDeriv: Column => Column = gaussianDk): DataFrame = {
     val p = sFeatures.length
-    val s = survey.select((sId.as("s_id") +: sScore.cast("double").as("q_s") +:
+    val s0 = survey.select((sId.as("s_id") +: sScore.cast("double").as("q_s") +:
       sWt.cast("double").as("wt_s") +:
       sFeatures.zipWithIndex.map { case (f, j) => f.cast("double").as(s"xs$j") }): _*)
-    val c = cohort.select((cId.as("c_id") +: cScore.cast("double").as("q_c") +:
+    val c0 = cohort.select((cId.as("c_id") +: cScore.cast("double").as("q_c") +:
       cFeatures.zipWithIndex.map { case (f, j) => f.cast("double").as(s"xc$j") }): _*)
+
+    // PROFILE COLLAPSE: every kernel/Jacobian term depends on a unit
+    // only through its (score, features) profile, so pair distinct
+    // profiles — not units. With discrete covariates the O(n_s·n_c)
+    // pair stream collapses to O(|profiles|²) (the score is a function
+    // of the covariates); with continuous scores the groupBys are
+    // near-identity and the pair count is unchanged. Row sums attach to
+    // survey PROFILES (weighted by Σwt_s), contributions to cohort
+    // profiles, and a final profile join fans results back to c_id —
+    // the same move as the Breslow tie-collapse, applied to the kernel
+    // matrix.
+    val sKey = col("q_s") +: (0 until p).map(j => col(s"xs$j"))
+    val cKey = col("q_c") +: (0 until p).map(j => col(s"xc$j"))
+    val s = s0.groupBy(sKey: _*).agg(sum(col("wt_s")).as("wt_s"))
+    val c = c0.groupBy(cKey: _*).agg(count(lit(1)).cast("double").as("c_mult"))
+
     val pairs = s.crossJoin(broadcast(c))
     val u = (col("q_s") - col("q_c")) / lit(h)
     // dK/du from kernelDeriv; d u/dγ_j = (x_sj − x_cj)·(dq/dγ)/h with
@@ -156,40 +172,48 @@ object KernelWeights {
     val dCols = (0 until p).map { j =>
       (col("dku") * (col(s"xs$j") - col(s"xc$j")) / lit(h)).as(s"dk$j")
     }
-    val wk = withK.select((col("s_id") +: col("c_id") +: col("wt_s") +: col("k") +: dCols): _*)
+    val wk = withK.select((sKey ++ cKey ++
+      Seq(col("wt_s"), col("c_mult"), col("k")) ++ dCols): _*)
 
     // Same collected-row-sums shape as compute(): one narrow row per
-    // survey unit, broadcast back. Zero-sum rows (compact-support kernel
-    // or tiny bandwidth) get the reference's flat wt/m rescue
-    // (simu_fun.R:175-183) with ZERO derivative — the rescue branch is
-    // piecewise-constant in γ — so both KW entry points conserve
-    // pseudo-weight mass and agree on kw.
+    // survey profile, broadcast back. Row sums weight each cohort
+    // profile by its multiplicity (Σ_c k = Σ_profiles mult·k). Zero-sum
+    // rows (compact-support kernel or tiny bandwidth) get the
+    // reference's flat wt/m rescue (simu_fun.R:175-183) with ZERO
+    // derivative — the rescue branch is piecewise-constant in γ — so
+    // both KW entry points conserve pseudo-weight mass and agree on kw.
     val spark = survey.sparkSession
-    val rowAggDf = wk.groupBy(col("s_id"), col("wt_s"))
-      .agg(sum(col("k")).as("row_k"),
-        (0 until p).map(j => sum(col(s"dk$j")).as(s"row_dk$j")): _*)
+    val sKeyNames = "q_s" +: (0 until p).map(j => s"xs$j")
+    val rowAggDf = wk.groupBy(sKeyNames.map(col) :+ col("wt_s"): _*)
+      .agg(sum(col("c_mult") * col("k")).as("row_k"),
+        (0 until p).map(j => sum(col("c_mult") * col(s"dk$j")).as(s"row_dk$j")): _*)
     val rowRows = rowAggDf.collect()
-    val m = c.count()
+    val m = c0.count()
+    val rkIdx = rowAggDf.schema.fieldIndex("row_k")
+    val wtIdx = rowAggDf.schema.fieldIndex("wt_s")
     val flat = rowRows.iterator
-      .filter(r => r.getDouble(2) == 0.0)
-      .map(_.getDouble(1)).sum / m.toDouble
+      .filter(r => r.getDouble(rkIdx) == 0.0)
+      .map(_.getDouble(wtIdx)).sum / m.toDouble
     val positive = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        rowRows.filter(_.getDouble(2) > 0.0).toSeq, 1),
+        rowRows.filter(_.getDouble(rkIdx) > 0.0).toSeq, 1),
       rowAggDf.schema)
 
-    val contrib = wk.join(broadcast(positive.drop("wt_s")), Seq("s_id"))
-      .groupBy(col("c_id"))
+    val cKeyNames = "q_c" +: (0 until p).map(j => s"xc$j")
+    val contrib = wk
+      .join(broadcast(positive.drop("wt_s")), sKeyNames)
+      .groupBy(cKeyNames.map(col): _*)
       .agg(
         sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw"),
         (0 until p).map { j =>
           sum(col("wt_s") * (col(s"dk$j") * col("row_k") - col("k") * col(s"row_dk$j"))
             / (col("row_k") * col("row_k"))).as(s"d_kw_$j")
         }: _*)
-    // Restore cohort units every one of whose pairs came from zero-sum
-    // survey rows (kw = flat, all derivatives 0); distinct ids for the
-    // same double-count reason as compute().
-    contrib.join(c.select(col("c_id")).distinct(), Seq("c_id"), "right")
+    // Fan the per-profile results back to cohort ids (broadcast: the
+    // contrib table is |cohort profiles| rows). Units whose every pair
+    // came from zero-sum survey rows get kw = flat, derivatives 0.
+    c0.join(broadcast(contrib),
+        cKeyNames.map(n => c0(n) === contrib(n)).reduce(_ && _), "left")
       .select((col("c_id") +:
         (coalesce(col("kw_raw"), lit(0.0)) + lit(flat)).as("kw") +:
         (0 until p).map(j => coalesce(col(s"d_kw_$j"), lit(0.0)).as(s"d_kw_$j"))): _*)
