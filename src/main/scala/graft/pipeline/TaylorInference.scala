@@ -142,23 +142,27 @@ object TaylorInference {
     val scored = stacked.withColumn("__q", score)
     val h = bandwidth.getOrElse(graft.stats.Kernels.bwNrd0(
       scored.filter(col("trt") === 1).select(col("__q").as("q")), col("q")))
-    // kernel weights + Jacobian keyed by cohort id
     val surveyQ = scored.filter(col("trt") === 0)
     val cohortQ = scored.filter(col("trt") === 1)
-    // persist the id-collapsed Jacobian (O(n_c) rows): every downstream
-    // job (each Cox NR iteration, the deviate collapse, the hazard
-    // chain, the contractions) joins it, and without the cache each
-    // would re-run the O(n_c·n_s) kernel pair aggregation
-    val jac = graft.weights.KernelWeights.jacobian(
-      surveyQ, col("__sid"), col("__q"), col("w").cast("double"),
-      cohortQ, col("__cid"), col("__q"), h,
+    // kernel weights + Jacobian ATTACHED to the cohort rows through the
+    // profile join — never keyed by the caller's id: duplicate ids in
+    // the cohort frame would fan an id join out and double-count
+    // pseudo-weight mass (the reference addresses units by row index,
+    // simu_fun.R:186, so id uniqueness is not part of its contract).
+    // Persisted: every downstream job (each Cox NR iteration, the
+    // deviate collapse, the hazard chain, the contractions) reads these
+    // rows, and without the cache each would re-run the O(n_c·n_s)
+    // kernel pair aggregation.
+    val cohortW = graft.weights.KernelWeights.attachJacobian(
+      surveyQ, col("__q"), col("w").cast("double"),
+      cohortQ, col("__q"), h,
       sFeatures = (0 until q).map(m0 => psFeats.getItem(m0)),
       cFeatures = (0 until q).map(m0 => psFeats.getItem(m0)))
-      .persist()
-    val withW = scored
-      .join(jac.withColumnRenamed("c_id", "__cid")
-          .withColumnRenamed("kw", "__kw"),
-        Seq("__cid"), "left")
+    val surveyW = surveyQ.withColumns(
+      (("kw" -> lit(null).cast("double")) +:
+        (0 until q).map(m0 => s"d_kw_$m0" -> lit(null).cast("double"))).toMap)
+    val withW = cohortW.unionByName(surveyW)
+      .withColumnRenamed("kw", "__kw")
       .withColumn("__wtc", when(col("trt") === 1,
         coalesce(col("__kw"), lit(0.0))).otherwise(lit(0.0)))
       .withColumn("__psw", when(col("trt") === 1, col("__wtc"))
@@ -173,10 +177,12 @@ object TaylorInference {
     val pgCols = (0 until q).map(m0 =>
       (when(col("trt") === 1, coalesce(col(s"d_kw_$m0"), lit(0.0)))
         .otherwise(0.0)).as(s"__pg$m0"))
-    val prepared = withW.select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
+    val prepared = withW
+      .select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
+      .persist()
     val out = inferenceCore(prepared, time, event, featureCols, q, tStar,
       lambdaStar, x0, sizeHint, coxIters, psFit.coefficients)
-    jac.unpersist(blocking = false)
+    prepared.unpersist(blocking = false)
     stacked.unpersist(blocking = false)
     out
   }

@@ -142,28 +142,92 @@ object KernelWeights {
       kernel: Column => Column = gaussianK,
       kernelDeriv: Column => Column = gaussianDk): DataFrame = {
     val p = sFeatures.length
-    val s0 = survey.select((sId.as("s_id") +: sScore.cast("double").as("q_s") +:
-      sWt.cast("double").as("wt_s") +:
-      sFeatures.zipWithIndex.map { case (f, j) => f.cast("double").as(s"xs$j") }): _*)
     val c0 = cohort.select((cId.as("c_id") +: cScore.cast("double").as("q_c") +:
       cFeatures.zipWithIndex.map { case (f, j) => f.cast("double").as(s"xc$j") }): _*)
-
-    // PROFILE COLLAPSE: every kernel/Jacobian term depends on a unit
-    // only through its (score, features) profile, so pair distinct
-    // profiles — not units. With discrete covariates the O(n_s·n_c)
-    // pair stream collapses to O(|profiles|²) (the score is a function
-    // of the covariates); with continuous scores the groupBys are
-    // near-identity and the pair count is unchanged. Row sums attach to
-    // survey PROFILES (weighted by Σwt_s), contributions to cohort
-    // profiles, and a final profile join fans results back to c_id —
-    // the same move as the Breslow tie-collapse, applied to the kernel
-    // matrix.
-    val sKey = col("q_s") +: (0 until p).map(j => col(s"xs$j"))
     val cKey = col("q_c") +: (0 until p).map(j => col(s"xc$j"))
-    val s = s0.groupBy(sKey: _*).agg(sum(col("wt_s")).as("wt_s"))
-    val c = c0.groupBy(cKey: _*).agg(count(lit(1)).cast("double").as("c_mult"))
+    val cProfiles = c0.groupBy(cKey: _*)
+      .agg(count(lit(1)).cast("double").as("c_mult"))
+    val (contrib, flat) = profileJacobian(survey, sScore, sWt, cProfiles,
+      h, sFeatures, kernel, kernelDeriv, c0.count())
+    val cKeyNames = "q_c" +: (0 until p).map(j => s"xc$j")
+    // Fan the per-profile results back to cohort ids (broadcast: the
+    // contrib table is |cohort profiles| rows). Units whose every pair
+    // came from zero-sum survey rows get kw = flat, derivatives 0.
+    c0.join(broadcast(contrib),
+        cKeyNames.map(n => c0(n) === contrib(n)).reduce(_ && _), "left")
+      .select((col("c_id") +:
+        (coalesce(col("kw_raw"), lit(0.0)) + lit(flat)).as("kw") +:
+        (0 until p).map(j => coalesce(col(s"d_kw_$j"), lit(0.0)).as(s"d_kw_$j"))): _*)
+  }
 
-    val pairs = s.crossJoin(broadcast(c))
+  /** Like [[jacobian]], but APPENDS the kw/∂kw columns to the cohort
+    * frame row-by-row (profile join only — no id join anywhere). This
+    * is the entry point for callers whose cohort rows have no unique
+    * key: the reference addresses units by row index (simu_fun.R:186),
+    * and a fan-back keyed on a caller-supplied id silently
+    * double-counts pseudo-weight mass when ids collide. Output = every
+    * cohort column plus `kw`, `d_kw_0..d_kw_{p-1}`, exactly one output
+    * row per input row. */
+  def attachJacobian(
+      survey: DataFrame, sScore: Column, sWt: Column,
+      cohort: DataFrame, cScore: Column,
+      h: Double,
+      sFeatures: Seq[Column], cFeatures: Seq[Column],
+      kernel: Column => Column = gaussianK,
+      kernelDeriv: Column => Column = gaussianDk): DataFrame = {
+    val p = sFeatures.length
+    val keyed = cohort.withColumns(
+      (("__kw_q" -> cScore.cast("double")) +:
+        cFeatures.zipWithIndex.map { case (f, j) =>
+          s"__kw_x$j" -> f.cast("double") }).toMap)
+    val cProfiles = keyed
+      .groupBy(col("__kw_q") +: (0 until p).map(j => col(s"__kw_x$j")): _*)
+      .agg(count(lit(1)).cast("double").as("c_mult"))
+      .select(col("__kw_q").as("q_c") +:
+        (0 until p).map(j => col(s"__kw_x$j").as(s"xc$j")) :+
+        col("c_mult"): _*)
+    val (contrib, flat) = profileJacobian(survey, sScore, sWt, cProfiles,
+      h, sFeatures, kernel, kernelDeriv, keyed.count())
+    val renamed = contrib.select(
+      (Seq(col("q_c").as("__kw_q")) ++
+        (0 until p).map(j => col(s"xc$j").as(s"__kw_x$j")) ++
+        Seq(col("kw_raw")) ++
+        (0 until p).map(j => col(s"d_kw_$j"))): _*)
+    val keyNames = "__kw_q" +: (0 until p).map(j => s"__kw_x$j")
+    keyed.join(broadcast(renamed), keyNames.toSeq, "left")
+      .withColumn("kw", coalesce(col("kw_raw"), lit(0.0)) + lit(flat))
+      .select(cohort.columns.map(col) ++
+        (col("kw") +: (0 until p).map(j =>
+          coalesce(col(s"d_kw_$j"), lit(0.0)).as(s"d_kw_$j"))): _*)
+  }
+
+  /** Shared pair-stream core: survey rows × cohort PROFILES →
+    * per-cohort-profile (kw_raw, d_kw_0..) plus the flat zero-row
+    * rescue mass (wt/m, simu_fun.R:175-183).
+    *
+    * PROFILE COLLAPSE: every kernel/Jacobian term depends on a unit
+    * only through its (score, features) profile, so pair distinct
+    * profiles — not units. With discrete covariates the O(n_s·n_c)
+    * pair stream collapses to O(|profiles|²) (the score is a function
+    * of the covariates); with continuous scores the groupBys are
+    * near-identity and the pair count is unchanged. Row sums attach to
+    * survey PROFILES (weighted by Σwt_s), contributions to cohort
+    * profiles — the same move as the Breslow tie-collapse, applied to
+    * the kernel matrix. */
+  private def profileJacobian(
+      survey: DataFrame, sScore: Column, sWt: Column,
+      cProfiles: DataFrame,
+      h: Double, sFeatures: Seq[Column],
+      kernel: Column => Column, kernelDeriv: Column => Column,
+      mUnits: Long): (DataFrame, Double) = {
+    val p = sFeatures.length
+    val s0 = survey.select((sScore.cast("double").as("q_s") +:
+      sWt.cast("double").as("wt_s") +:
+      sFeatures.zipWithIndex.map { case (f, j) => f.cast("double").as(s"xs$j") }): _*)
+    val sKey = col("q_s") +: (0 until p).map(j => col(s"xs$j"))
+    val s = s0.groupBy(sKey: _*).agg(sum(col("wt_s")).as("wt_s"))
+
+    val pairs = s.crossJoin(broadcast(cProfiles))
     val u = (col("q_s") - col("q_c")) / lit(h)
     // dK/du from kernelDeriv; d u/dγ_j = (x_sj − x_cj)·(dq/dγ)/h with
     // logistic scores dq/dγ_j folded into the feature columns by the caller.
@@ -172,6 +236,7 @@ object KernelWeights {
     val dCols = (0 until p).map { j =>
       (col("dku") * (col(s"xs$j") - col(s"xc$j")) / lit(h)).as(s"dk$j")
     }
+    val cKey = col("q_c") +: (0 until p).map(j => col(s"xc$j"))
     val wk = withK.select((sKey ++ cKey ++
       Seq(col("wt_s"), col("c_mult"), col("k")) ++ dCols): _*)
 
@@ -188,12 +253,11 @@ object KernelWeights {
       .agg(sum(col("c_mult") * col("k")).as("row_k"),
         (0 until p).map(j => sum(col("c_mult") * col(s"dk$j")).as(s"row_dk$j")): _*)
     val rowRows = rowAggDf.collect()
-    val m = c0.count()
     val rkIdx = rowAggDf.schema.fieldIndex("row_k")
     val wtIdx = rowAggDf.schema.fieldIndex("wt_s")
     val flat = rowRows.iterator
       .filter(r => r.getDouble(rkIdx) == 0.0)
-      .map(_.getDouble(wtIdx)).sum / m.toDouble
+      .map(_.getDouble(wtIdx)).sum / mUnits.toDouble
     val positive = spark.createDataFrame(
       spark.sparkContext.parallelize(
         rowRows.filter(_.getDouble(rkIdx) > 0.0).toSeq, 1),
@@ -209,13 +273,6 @@ object KernelWeights {
           sum(col("wt_s") * (col(s"dk$j") * col("row_k") - col("k") * col(s"row_dk$j"))
             / (col("row_k") * col("row_k"))).as(s"d_kw_$j")
         }: _*)
-    // Fan the per-profile results back to cohort ids (broadcast: the
-    // contrib table is |cohort profiles| rows). Units whose every pair
-    // came from zero-sum survey rows get kw = flat, derivatives 0.
-    c0.join(broadcast(contrib),
-        cKeyNames.map(n => c0(n) === contrib(n)).reduce(_ && _), "left")
-      .select((col("c_id") +:
-        (coalesce(col("kw_raw"), lit(0.0)) + lit(flat)).as("kw") +:
-        (0 until p).map(j => coalesce(col(s"d_kw_$j"), lit(0.0)).as(s"d_kw_$j"))): _*)
+    (contrib, flat)
   }
 }

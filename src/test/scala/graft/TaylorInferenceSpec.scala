@@ -177,6 +177,35 @@ class TaylorInferenceSpec extends SparkSpec {
       assertNear(inf.lambda(ts).varPoisson, vPois(("Lambda", ts)), 1e-4)
   }
 
+  test("kwChain is invariant to colliding unit ids") {
+    // The reference addresses units by row index, so id uniqueness is
+    // not part of its contract; a regression here means some stage
+    // fanned a join out on the caller's id and double-counted
+    // pseudo-weight mass (the synthetic lineitem has duplicate
+    // (orderkey, linenumber) pairs, which is how this surfaced).
+    val hFix = 0.6
+    def run(cid: org.apache.spark.sql.Column,
+            sid: org.apache.spark.sql.Column) = TaylorInference.kwChain(
+      coh.zipWithIndex.map { case ((t, d, x), i) => (t, d, x, i.toLong) }
+        .toDF("t", "d", "x", "cid"),
+      cid,
+      svy.zipWithIndex.map { case ((t, d, x, wt), i) => (t, d, x, wt, i.toLong) }
+        .toDF("t", "d", "x", "wt", "sid"),
+      sid, col("wt"),
+      col("t"), col("d"), Seq("x"), Seq("x"), tStar,
+      a = aFrac, bandwidth = Some(hFix),
+      sizeHint = graft.core.Windows.SizeHint.Small)
+    val unique = run(col("cid"), col("sid"))
+    val collided = run(lit(7L), lit(7L))
+    assertNear(collided.beta(0), unique.beta(0), 1e-12)
+    assertNear(collided.betaVarPoisson(0), unique.betaVarPoisson(0), 1e-12)
+    for (ts <- tStar) {
+      assertNear(collided.lambda(ts).estimate, unique.lambda(ts).estimate, 1e-12)
+      assertNear(collided.lambda(ts).varPoisson, unique.lambda(ts).varPoisson,
+        1e-12)
+    }
+  }
+
   test("composed IPSW chain variances equal FD-deviate contractions") {
     val inf = TaylorInference.ipswChain(
       coh.toDF("t", "d", "x"), svy.toDF("t", "d", "x", "wt"), col("wt"),
