@@ -167,8 +167,19 @@ object Dedup {
       k: Int = 1, threshold: Double = 0.0): DataFrame = {
     // no persist: the self-join / multi-use sides are identical subplans
     // whose shuffles Spark deduplicates via ReuseExchange
-    val base = df.select(id.as("id"), block.as("blk"),
-      shingles(text, k).as("sh"))
+    //
+    // Normalization + shingling is regex-heavy and happens BEFORE the
+    // first shuffle, so its parallelism is the raw scan's split count —
+    // a corpus in one small file would tokenize on one core. Spread the
+    // raw text first when the scan is narrower than the cluster; at
+    // real scale the input already has >= defaultParallelism splits and
+    // this is a no-op (no extra shuffle of the corpus).
+    val raw = df.select(id.as("id"), block.as("blk"), text.as("__text"))
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (raw.rdd.getNumPartitions < para) raw.repartition(para) else raw
+    val base = spread.select(col("id"), col("blk"),
+      shingles(col("__text"), k).as("sh"))
     val sizes = base.select(col("blk"), col("id"), size(col("sh")).as("n"))
     val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"))
 

@@ -66,11 +66,13 @@ object TaylorInference {
     val q = psFeatureCols.length + 1
     val psFeats = FeatureArray.withIntercept(psFeatureCols.map(col))
 
-    // 1. propensity fit on the a-scaled stack
-    val stacked = SurveyIntegration.stack(cohort, survey, surveyWt)
+    // 1. propensity fit on the a-scaled stack; leaf-plan view of the
+    //    cache so every downstream pass re-plans a one-node tree
+    val stackedCache = SurveyIntegration.stack(cohort, survey, surveyWt)
       .withColumn("__wps", when(col("trt") === 1, 1.0)
         .otherwise(col("w").cast("double") * a))
       .persist()
+    val stacked = org.apache.spark.sql.GraftSqlBridge.flattenPlan(stackedCache)
     val psFit =
       if (psIters > 0) WeightedGLM.logistic(stacked, psFeats, col("trt"),
         col("__wps"), p = q, maxIter = psIters, tol = 0.0)
@@ -96,7 +98,7 @@ object TaylorInference {
     val prepared = withW.select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
     val out = inferenceCore(prepared, time, event, featureCols, q, tStar,
       lambdaStar, x0, sizeHint, coxIters, psFit.coefficients)
-    stacked.unpersist(blocking = false)
+    stackedCache.unpersist(blocking = false)
     out
   }
 
@@ -127,11 +129,13 @@ object TaylorInference {
       coxIters: Int = 0): IpswInference = {
     val q = psFeatureCols.length + 1
     val psFeats = FeatureArray.withIntercept(psFeatureCols.map(col))
-    val stacked = SurveyIntegration.stack(cohort.withColumn("__cid", cohortId),
+    val stackedCache = SurveyIntegration.stack(
+        cohort.withColumn("__cid", cohortId),
         survey.withColumn("__sid", surveyId), surveyWt)
       .withColumn("__wps", when(col("trt") === 1, 1.0)
         .otherwise(col("w").cast("double") * a))
       .persist()
+    val stacked = org.apache.spark.sql.GraftSqlBridge.flattenPlan(stackedCache)
     val psFit =
       if (psIters > 0) WeightedGLM.logistic(stacked, psFeats, col("trt"),
         col("__wps"), p = q, maxIter = psIters, tol = 0.0)
@@ -177,13 +181,14 @@ object TaylorInference {
     val pgCols = (0 until q).map(m0 =>
       (when(col("trt") === 1, coalesce(col(s"d_kw_$m0"), lit(0.0)))
         .otherwise(0.0)).as(s"__pg$m0"))
-    val prepared = withW
+    val preparedCache = withW
       .select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
       .persist()
+    val prepared = org.apache.spark.sql.GraftSqlBridge.flattenPlan(preparedCache)
     val out = inferenceCore(prepared, time, event, featureCols, q, tStar,
       lambdaStar, x0, sizeHint, coxIters, psFit.coefficients)
-    prepared.unpersist(blocking = false)
-    stacked.unpersist(blocking = false)
+    preparedCache.unpersist(blocking = false)
+    stackedCache.unpersist(blocking = false)
     out
   }
 
@@ -234,7 +239,8 @@ object TaylorInference {
       // CoxInfluence internals (risk-set/score columns) — inert zeros
       case n => lit(0.0).as(n)
     }: _*)
-    val allDev = devC.unionByName(surveyAligned).persist()
+    val allDevCache = devC.unionByName(surveyAligned).persist()
+    val allDev = org.apache.spark.sql.GraftSqlBridge.flattenPlan(allDevCache)
 
     // 4. per-m β deviates: ipsw·I⁻¹U + B·Δγ (cross-derivative through
     //    ∂w̃/∂γ = −ipsw·x_ps; survey rows have U = 0)
@@ -263,6 +269,7 @@ object TaylorInference {
       sizeHint = sizeHint,
       passthrough = Seq(col("trt"), col("__pi"), col("__psw")),
       preCollapsed = Some(devFull.collapsed)).persist()
+    val longFlat = org.apache.spark.sql.GraftSqlBridge.flattenPlan(long)
 
     // 6. contractions: Poisson Σ(1−π)Δ² over both samples; PPS
     //    n·cov per sample summed (taylor_deviate.R:109-111)
@@ -270,13 +277,13 @@ object TaylorInference {
     // estimate per t*, plus per-sample variance terms for the PPS form —
     // the chain is job-count bound, so contractions batch their sums
     def contract(dcol: String, ecol: String): Map[Double, Estimand] = {
-      if (!long.columns.contains(dcol)) return Map.empty
-      val pe = long.groupBy(col("t_star"))
+      if (!longFlat.columns.contains(dcol)) return Map.empty
+      val pe = longFlat.groupBy(col("t_star"))
         .agg(sum((lit(1.0) - col("__pi")) * col(dcol) * col(dcol)).as("v"),
           max(col(ecol)).as("e"))
         .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2)))
         .toMap
-      val pps = long.groupBy(col("t_star"), col("trt"))
+      val pps = longFlat.groupBy(col("t_star"), col("trt"))
         .agg((covar_samp(col(dcol), col(dcol)) * count(lit(1))).as("v"))
         .collect()
         .groupBy(_.getDouble(0))
@@ -308,7 +315,7 @@ object TaylorInference {
       if (r.isNullAt(j + 1)) 0.0 else r.getDouble(j + 1)).sum).toArray
 
     long.unpersist(blocking = false)
-    allDev.unpersist(blocking = false)
+    allDevCache.unpersist(blocking = false)
     IpswInference(gamma, fit.coefficients, bPois, bPps,
       lam, gail, absR, absRG)
   }

@@ -115,8 +115,11 @@ object CoxPH {
       maxIter: Int = 25,
       tol: Double = 1e-9): Fit = {
     val p = features.length
-    val base = prepare(df, time, event, weight, features)
+    val cached = prepare(df, time, event, weight, features)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // leaf-plan view of the cache: every NR iteration re-plans a
+    // one-node tree instead of re-analyzing the caller's lineage
+    val base = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cached)
     // one up-front cardinality probe shared by every NR iteration:
     // events must exist, and the distinct-time count decides the scan
     // strategy (single-partition window vs two-phase distributed scan)
@@ -148,7 +151,7 @@ object CoxPH {
       iter += 1
       converged = maxStep < tol
     }
-    base.unpersist(blocking = false)
+    cached.unpersist(blocking = false)
     Fit(beta, iter, converged, lastInfo, lastScoreNorm)
   }
 }

@@ -38,10 +38,13 @@ object CoxPHReplicated {
     val spark = df.sparkSession
     val p = features.length
     val x = features.indices.map(j => features(j).cast("double").as(s"__x$j"))
-    val base = df.select((Seq(rep.cast("int").as("__r"),
+    val cached = df.select((Seq(rep.cast("int").as("__r"),
         time.cast("double").as("__t"), event.cast("double").as("__d"),
         weight.cast("double").as("__w")) ++ x): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // leaf-plan view of the cache (see GraftSqlBridge.flattenPlan):
+    // every joint-NR pass re-plans a one-node tree, not the lineage
+    val base = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cached)
 
     val s2Pairs = for (j <- 0 until p; k <- j until p) yield (j, k)
     var betas: Map[Int, Array[Double]] = (0 until m).map(_ -> new Array[Double](p)).toMap
@@ -116,7 +119,7 @@ object CoxPHReplicated {
       iter += 1
       done = worstStep < tol
     }
-    base.unpersist(blocking = false)
+    cached.unpersist(blocking = false)
     RepFit(betas, iter, maxResid)
   }
 }

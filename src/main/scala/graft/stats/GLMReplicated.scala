@@ -51,10 +51,13 @@ object GLMReplicated {
       maxIter: Int = 25, tol: Double = 1e-9): RepFit = {
     val spark = df.sparkSession
     val p = features.length
-    val base = df.select((Seq(rep.cast("int").as("__r"),
+    val cached = df.select((Seq(rep.cast("int").as("__r"),
         label.cast("double").as("__y"), weight.cast("double").as("__w")) ++
       features.indices.map(j => features(j).cast("double").as(s"__f$j"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // leaf-plan view of the cache (see GraftSqlBridge.flattenPlan):
+    // every joint-IRLS pass re-plans a one-node tree, not the lineage
+    val base = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cached)
 
     val pairs = for (i <- 0 until p; j <- i until p) yield (i, j)
     val tri = pairs.length
@@ -100,7 +103,7 @@ object GLMReplicated {
       iter += 1
       done = worst < tol
     }
-    base.unpersist(blocking = false)
+    cached.unpersist(blocking = false)
     RepFit(gammas, iter, worst)
   }
 }

@@ -51,10 +51,13 @@ object WeightedGLM {
     // pass is a plain codegen'd hash aggregate (the typed-Aggregator
     // formulation paid encoder deserialization per row per iteration —
     // measured several× slower on wide inputs)
-    val flat = df.select(((0 until p).map(i =>
+    val cached = df.select(((0 until p).map(i =>
         features.getItem(i).cast("double").as(s"__f$i")) ++
       Seq(label.cast("double").as("__y"), weight.cast("double").as("__w"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // leaf-plan view of the cache: each IRLS pass re-plans a one-node
+    // tree instead of re-analyzing the caller's full upstream lineage
+    val flat = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cached)
 
     val tri = p * (p + 1) / 2
     val pairs = for (i <- 0 until p; j <- i until p) yield (i, j)
@@ -85,7 +88,7 @@ object WeightedGLM {
       iter += 1
       converged = maxStep < tol
     }
-    flat.unpersist(blocking = false)
+    cached.unpersist(blocking = false)
     Fit(beta, iter, converged, lastHessian)
   }
 
