@@ -50,6 +50,98 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  // ----- IVF (inverted-file) ANN: k-means coarse quantizer + probes ----
+
+  /** Quantization scale for the exact centroid means: per-dimension
+    * sums run over FLOOR(x·1e7 + 0.5) as BIGINT, so the mean is
+    * independent of row order AND engine (float addition is
+    * order-sensitive; a distributed partial aggregate and a single-node
+    * replay would drift in the last ulp and flip boundary
+    * assignments). 1e-7 resolution is far below any embedding noise
+    * floor. */
+  private val MeanQ = 1e7
+
+  /** Squared L2 distance to a fixed centroid, written as
+    * (v·v − 2·v·c) + c·c with the same association order as the SQL
+    * replay (`list_dot_product(v,v) - 2*list_dot_product(v,c) +
+    * list_dot_product(c,c)`). */
+  private def dist2(v: Column, c: Array[Double]): Column = {
+    val cl = array(c.map(lit): _*)
+    var cc = 0.0
+    var i = 0
+    while (i < c.length) { cc += c(i) * c(i); i += 1 }
+    dot(v, v) - lit(2.0) * dot(v, cl) + lit(cc)
+  }
+
+  /** Index of the nearest centroid (ties → smallest index), as a pure
+    * expression: array_min over (dist², cid) structs — no join, no
+    * shuffle, codegen-friendly for small k. */
+  def nearestCentroid(v: Column, centroids: Seq[Array[Double]]): Column =
+    array_min(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(v, c).as("d"), lit(i).as("cid")) }: _*)).getField("cid")
+
+  /** Lloyd k-means with DETERMINISTIC init (the k vectors with the
+    * smallest ids, in id order) and a PINNED iteration count, so a SQL
+    * oracle can replay the identical fixed point. Each iteration is one
+    * distributed pass: an expression-only assignment (no shuffle) into
+    * a single groupBy computing all per-dimension quantized sums; only
+    * k×(dims+1) aggregates come to the driver. Empty clusters keep
+    * their previous centroid. This is the 100-TB shape: O(iters) jobs,
+    * each linear in the corpus, centroids always driver-sized. */
+  def kmeansFit(df: DataFrame, id: Column, vec: Column,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    val base = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+    val init = base.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(init.length == k, s"kmeansFit: corpus has fewer than $k rows")
+    val dims = init(0).length
+    var cents = init
+    for (_ <- 1 to iters) {
+      val assigned = base.withColumn("cell",
+        nearestCentroid(col("v"), cents.toSeq))
+      val aggs = (0 until dims).map(i =>
+        sum(floor(element_at(col("v"), i + 1) * lit(MeanQ) + lit(0.5))
+          .cast("long")).as(s"s$i")) :+ count(lit(1)).as("n")
+      val rows = assigned.groupBy(col("cell"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val cid = r.getInt(0)
+        val n = r.getLong(dims + 1).toDouble
+        next(cid) = (0 until dims).map(i =>
+          r.getLong(i + 1).toDouble / n / MeanQ).toArray
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF top-k: corpus vectors live in their nearest-centroid cell;
+    * each query probes its `nProbe` nearest cells and ranks exact
+    * cosine inside them. Probe selection is expression-only
+    * (array_sort over (dist², cid) structs); the per-query top-k is a
+    * window over the probed cells. Queries are small by contract
+    * (broadcast); the corpus is never paired beyond its probed cells —
+    * O(n·k_centroids) assignment + O(n·nProbe/k_centroids) candidate
+    * stream per query, the IVF trade. */
+  def ivfTopK(corpus: DataFrame, cId: Column, cVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
+    val c = corpus.select(cId.as("c_id"), cVec.cast("array<double>").as("c_v"))
+      .withColumn("cell", nearestCentroid(col("c_v"), centroids.toSeq))
+    val probeArr = array(centroids.zipWithIndex.map { case (cc, i) =>
+      struct(dist2(col("q_v"), cc).as("d"), lit(i).as("cid")) }: _*)
+    val q = queries.select(qId.as("q_id"), qVec.cast("array<double>").as("q_v"))
+      .withColumn("p", explode(slice(array_sort(probeArr), 1, nProbe)))
+      .select(col("q_id"), col("q_v"), col("p").getField("cid").as("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .withColumn("cos", cosine(col("c_v"), col("q_v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
+  }
+
   /** Bucketed ANN top-k: query vectors search only their own bucket.
     * Exact within-bucket; recall depends on planes (recall/speed knob).
     * `queries` is small (broadcast). */

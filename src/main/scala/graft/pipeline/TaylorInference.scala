@@ -276,19 +276,35 @@ object TaylorInference {
     // one grouped aggregate per estimand family: Poisson sum + point
     // estimate per t*, plus per-sample variance terms for the PPS form —
     // the chain is job-count bound, so contractions batch their sums
+    // ALL estimand families contract in TWO jobs (one grouped by t*,
+    // one by (t*, sample)) — the chain is job-count bound, and a
+    // per-family contract() paid 2 jobs × up to 4 families
+    val families = Seq("d_cum_hzd" -> "cum_hzd", "d_cum_gail" -> "cum_gail",
+        "d_abs_risk" -> "abs_risk", "d_abs_risk_gail" -> "abs_risk_gail")
+      .filter { case (dc, _) => longFlat.columns.contains(dc) }
+    val peAggs = families.flatMap { case (dc, ec) => Seq(
+      sum((lit(1.0) - col("__pi")) * col(dc) * col(dc)).as(s"v_$dc"),
+      max(col(ec)).as(s"e_$ec")) }
+    val peRows =
+      if (families.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else longFlat.groupBy(col("t_star"))
+        .agg(peAggs.head, peAggs.tail: _*).collect()
+    val ppsAggs = families.map { case (dc, _) =>
+      (covar_samp(col(dc), col(dc)) * count(lit(1))).as(s"v_$dc") }
+    val ppsRows =
+      if (families.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else longFlat.groupBy(col("t_star"), col("trt"))
+        .agg(ppsAggs.head, ppsAggs.tail: _*).collect()
     def contract(dcol: String, ecol: String): Map[Double, Estimand] = {
-      if (!longFlat.columns.contains(dcol)) return Map.empty
-      val pe = longFlat.groupBy(col("t_star"))
-        .agg(sum((lit(1.0) - col("__pi")) * col(dcol) * col(dcol)).as("v"),
-          max(col(ecol)).as("e"))
-        .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2)))
+      if (!families.exists(_._1 == dcol)) return Map.empty
+      val fi = families.indexWhere(_._1 == dcol)
+      val pe = peRows.map(r =>
+        r.getDouble(0) -> (r.getDouble(1 + 2 * fi), r.getDouble(2 + 2 * fi)))
         .toMap
-      val pps = longFlat.groupBy(col("t_star"), col("trt"))
-        .agg((covar_samp(col(dcol), col(dcol)) * count(lit(1))).as("v"))
-        .collect()
+      val pps = ppsRows
         .groupBy(_.getDouble(0))
         .map { case (t, rs) => t -> rs.map(r =>
-          if (r.isNullAt(2)) 0.0 else r.getDouble(2)).sum }
+          if (r.isNullAt(2 + fi)) 0.0 else r.getDouble(2 + fi)).sum }
       tStar.map(t => t -> Estimand(pe(t)._2, pe(t)._1, pps(t))).toMap
     }
     val lam = contract("d_cum_hzd", "cum_hzd")

@@ -207,6 +207,62 @@ object LlmQueries {
         .orderBy(col("q_id"), col("rn"))
     },
 
+    // ---- IVF ANN: k-means coarse quantizer (3 pinned Lloyd
+    //      iterations, init = 8 smallest ids, exact quantized-BIGINT
+    //      centroid means so both engines agree bit-for-bit regardless
+    //      of aggregation order) + 2-probe cell search with exact
+    //      in-cell cosine. DuckDB replays the whole fixed point. ----
+    sqlChecked("sim_ivf", {
+      val K = 8; val ITERS = 3; val NP = 2; val TOPK = 5; val DIMS = 64
+      val meanList = (1 to DIMS).map(i =>
+        s"CAST(SUM(CAST(FLOOR(v[$i]*10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+          "/CAST(COUNT(*) AS DOUBLE)/10000000.0")
+        .mkString("list_value(", ", ", ")")
+      def assignSql(src: String, cent: String, rnName: String) =
+        s"""SELECT e.vec_id, e.v, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.v)
+           |          + list_dot_product(c.v, c.v), c.cid) AS $rnName
+           |    FROM $src e CROSS JOIN $cent c""".stripMargin
+      val iters = (1 to ITERS).map { it =>
+        s"""a$it AS (SELECT * FROM (${assignSql("emb", s"c${it - 1}", "rn")})
+           |  WHERE rn = 1),
+           |m$it AS (SELECT cid, $meanList AS v FROM a$it GROUP BY cid),
+           |c$it AS (SELECT o.cid, COALESCE(n.v, o.v) AS v
+           |  FROM c${it - 1} o LEFT JOIN m$it n USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+         |  FROM emb ORDER BY vec_id LIMIT $K),
+         |$iters,
+         |cells AS (SELECT vec_id, v, cid AS cell
+         |  FROM (${assignSql("emb", s"c$ITERS", "rn")}) WHERE rn = 1),
+         |qset AS (SELECT vec_id, v FROM emb WHERE vec_id % 101 = 0),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS cell
+         |  FROM (${assignSql("qset", s"c$ITERS", "pr")}) WHERE pr <= $NP),
+         |scored AS (SELECT p.q_id, s.vec_id AS c_id,
+         |    list_dot_product(s.v, p.qv) /
+         |      (SQRT(list_dot_product(s.v, s.v))
+         |       * SQRT(list_dot_product(p.qv, p.qv))) AS cos
+         |  FROM cells s JOIN probes p USING (cell)),
+         |ranked AS (SELECT q_id, c_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rn
+         |  FROM scored)
+         |SELECT q_id, c_id, ROUND(cos, 8) AS cos, rn
+         |FROM ranked WHERE rn <= $TOPK ORDER BY q_id, rn""".stripMargin
+    }) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
+        k = 8, iters = 3)
+      Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") % 101 === 0), col("vec_id"), col("embedding"),
+          cents, nProbe = 2, k = 5)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 8).as("cos"),
+          col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
     // ---- language-ID heuristic (marker words, deterministic argmax) ----
     sqlChecked("t_langid",
       s"""WITH sc AS (SELECT doc_id, lang,

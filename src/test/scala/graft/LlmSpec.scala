@@ -126,6 +126,54 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF: kmeans is deterministic, top-1 is self, recall tracks brute force") {
+    // three well-separated gaussian-ish clusters
+    val emb = (0 until 120).map { i =>
+      val c = i % 3
+      (i.toLong, Array.tabulate(8)(j =>
+        (c * 3.0 + 0.1 * math.sin(i * 1.7 + j) + (if (j == c) 1.0 else 0.0)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val c1 = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 3, iters = 4)
+    val c2 = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 3, iters = 4)
+    // bit-deterministic across runs (quantized-BIGINT means)
+    assert(c1.flatten.toSeq == c2.flatten.toSeq)
+
+    val queries = emb.filter(col("vec_id") % 17 === 0)
+    val ivf = Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), c1, nProbe = 1, k = 5)
+    // the query vector itself lives in the probed cell → rank 1, cos 1
+    ivf.filter(col("rn") === 1).collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(0))
+      assertNear(r.getDouble(2), 1.0, 1e-9)
+    }
+    // on clustered data with nProbe=1, IVF top-5 == brute-force top-5
+    val qIds = queries.select(col("vec_id")).collect().map(_.getLong(0))
+    qIds.foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0).toArray
+      val bf = Similarity.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+        qv, k = 5).collect().map(_.getLong(0)).toSet
+      val iv = ivf.filter(col("q_id") === qid).collect()
+        .map(_.getLong(1)).toSet
+      assert((bf & iv).size >= 4,
+        s"recall@5 too low for query $qid: brute=$bf ivf=$iv")
+    }
+  }
+
+  test("IVF: empty clusters keep their previous centroid") {
+    // 2 distinct points but k=4 → at least 2 clusters go empty
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.0f, 0.0f)),
+      (2L, Array(5.0f, 5.0f)), (3L, Array(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val c = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
+      k = 4, iters = 3)
+    assert(c.length == 4 && c.forall(_.forall(v => !v.isNaN)))
+  }
+
   test("language-ID picks the language with most marker hits") {
     val d = Seq(
       (1L, "the cat and the dog of the house"),
