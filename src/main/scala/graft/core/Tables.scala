@@ -30,10 +30,12 @@ object Tables {
     * what DuckDB's microsecond TIMESTAMP does on the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ns → µs must be INTEGRAL division: `/` promotes the ~1.7e18 nanos
+    // to double, which cannot represent it exactly (53-bit mantissa) and
+    // lands ±1 µs off DuckDB's exact epoch_us truncation
     apply(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000)
-          .cast(org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -196,6 +196,14 @@ object TaylorInference {
     * influence with survey γ-only blocks, per-m β deviates, hazard
     * chain, contractions. `prepared` carries trt, the time/event and
     * feature columns, __wtc/__psw/__pi and q columns each of __gd/__pg. */
+  // a caller-declared Small/Large step-table size lets CoxPH.fit skip
+  // its cardinality-probe job; Auto keeps the probe
+  private def fitHint(h: graft.core.Windows.SizeHint)
+      : Option[graft.core.Windows.SizeHint] = h match {
+    case graft.core.Windows.SizeHint.Auto => None
+    case other => Some(other)
+  }
+
   private def inferenceCore(
       prepared: DataFrame,
       time: Column, event: Column,
@@ -211,8 +219,9 @@ object TaylorInference {
     val feats = featureCols.map(col)
     val fit =
       if (coxIters > 0) CoxPH.fit(cohortF, time, event, col("__wtc"), feats,
-        maxIter = coxIters, tol = 0.0)
-      else CoxPH.fit(cohortF, time, event, col("__wtc"), feats)
+        maxIter = coxIters, tol = 0.0, hint = fitHint(sizeHint))
+      else CoxPH.fit(cohortF, time, event, col("__wtc"), feats,
+        hint = fitHint(sizeHint))
 
     // 3. influence frame: cohort rows carry the direct score influence,
     //    survey rows join as zero-weight γ-only blocks (the reference's

@@ -651,6 +651,18 @@ object RelationalQueries {
         .groupBy(col("user_id"))
         .agg(countDistinct(col("sess")).as("n_sessions"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- stateful first-seen dedup per (user, event_type): the
+    //      mapGroupsWithState op executed on the batch frame; its
+    //      streaming twin is parity-checked in StreamingSpec ----
+    sqlChecked("ev_first_seen",
+      """SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      graft.streaming.EventStreams.firstSeen(Tables.events(s, d))
+        .orderBy(col("user_id"), col("event_type"))
     }
   )
 

@@ -674,6 +674,29 @@ object RelationalQueries3 {
         .orderBy(col("t_star"))
     },
 
+    // ---- skew-salted equi-join: 5 ultra-hot keys over the whole
+    //      lineitem table, salted 8 ways so no reducer owns a key's
+    //      full mass; output must equal the plain join (the oracle IS
+    //      the unsalted join). l_quantity is integer-valued and the
+    //      factors are quarter steps, so the double sums are exact and
+    //      order-free. ----
+    sqlChecked("j_salted",
+      """WITH dim AS (SELECT CAST(range AS BIGINT) AS k,
+        |    1.0 + range * 0.25 AS f FROM range(5))
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity * f), 4) AS wq
+        |FROM lineitem JOIN dim ON l_suppkey % 5 = k
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val dim = (0 until 5).map(i => (i.toLong, 1.0 + i * 0.25)).toDF("k", "f")
+      val big = t(s, d, "lineitem").withColumn("k", col("l_suppkey") % 5)
+      graft.core.Salting.saltedJoin(big, dim, "k", salts = 8)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity") * col("f")), 4).as("wq"))
+        .orderBy(col("k"))
+    },
+
   )
   // §3.1 Monte-Carlo driver (pipeline.Simulation) is exercised by
   // SimulationSpec rather than declared as a query: its ~40 NR/IRLS

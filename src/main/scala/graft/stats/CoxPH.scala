@@ -113,7 +113,8 @@ object CoxPH {
       weight: Column,
       features: Seq[Column],
       maxIter: Int = 25,
-      tol: Double = 1e-9): Fit = {
+      tol: Double = 1e-9,
+      hint: Option[Windows.SizeHint] = None): Fit = {
     val p = features.length
     val cached = prepare(df, time, event, weight, features)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -122,15 +123,20 @@ object CoxPH {
     val base = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cached)
     // one up-front cardinality probe shared by every NR iteration:
     // events must exist, and the distinct-time count decides the scan
-    // strategy (single-partition window vs two-phase distributed scan)
-    val probe = base.agg(
-      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("__d")),
-      org.apache.spark.sql.functions.countDistinct(
-        org.apache.spark.sql.functions.col("__t"))).head()
-    require(probe.getDouble(0) > 0,
-      "CoxPH.fit: no events (d=1) in input — partial likelihood undefined")
-    val sizeHint = if (probe.getLong(1) <= 20000) Windows.SizeHint.Small
-                   else Windows.SizeHint.Large
+    // strategy (single-partition window vs two-phase distributed scan).
+    // A caller that already knows its step-table size (the composed
+    // chains pass their own hint) skips the probe job — the no-events
+    // guard then surfaces as the ANSI divide-by-zero in iteration 1.
+    val sizeHint = hint.getOrElse {
+      val probe = base.agg(
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("__d")),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("__t"))).head()
+      require(probe.getDouble(0) > 0,
+        "CoxPH.fit: no events (d=1) in input — partial likelihood undefined")
+      if (probe.getLong(1) <= 20000) Windows.SizeHint.Small
+      else Windows.SizeHint.Large
+    }
     val beta = new Array[Double](p)
     var iter = 0
     var converged = false

@@ -28,6 +28,34 @@ object EventStreams {
 
   final case class Ev(user_id: Long, tsMicros: Long, value: Double)
   final case class SessionOut(user_id: Long, n_sessions: Int, n_events: Long)
+  final case class KeyEv(user_id: Long, event_type: String, tsMicros: Long)
+  final case class FirstSeen(user_id: Long, event_type: String,
+      first_us: Long, n: Long)
+
+  /** Streaming first-seen / running-count state per (user, event_type):
+    * ONE state row per key via mapGroupsWithState (the streaming twin
+    * of `groupBy.agg(min(ts), count(*))` — batch execution of the same
+    * function is the parity check, and the batch aggregate is the
+    * DuckDB oracle `ev_first_seen`). This is the stateful-dedup shape
+    * for a training-data feed: emit/update each key's earliest sighting
+    * while duplicates stream in unordered. */
+  def firstSeen(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events.select(col("user_id").cast("long"), col("event_type"),
+      unix_micros(col("ts")).as("tsMicros")).as[KeyEv]
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[(Long, Long), FirstSeen](GroupStateTimeout.NoTimeout) {
+        case ((uid, et), rows, state) =>
+          var (mn, n) = state.getOption.getOrElse((Long.MaxValue, 0L))
+          rows.foreach { r =>
+            if (r.tsMicros < mn) mn = r.tsMicros
+            n += 1
+          }
+          state.update((mn, n))
+          FirstSeen(uid, et, mn, n)
+      }.toDF()
+  }
 
   /** Stateful sessionization via flatMapGroupsWithState: counts sessions
     * per user with a 30-minute inactivity gap. For the bounded test

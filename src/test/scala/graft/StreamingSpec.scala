@@ -64,4 +64,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     assert(got == expected, s"stream=$got batch=$expected")
   }
+
+  test("stateful first-seen matches the batch groupBy min/count") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = batchEvents.groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("first_us"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    val schema = batchEvents.schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-first").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(schema).parquet(tmp)
+    val q = EventStreams.firstSeen(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_first_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // update mode may emit a key several times across micro-batches;
+    // the LAST update per key (max n) is the final state
+    val got = spark.table("graft_first_out")
+      .groupBy("user_id", "event_type")
+      .agg(min("first_us").as("first_us"), max("n").as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected, s"stream first-seen state != batch aggregate")
+  }
 }
