@@ -312,6 +312,83 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Connected components over an undirected edge list — the cluster
+    * step of a dedup pipeline (LSH candidate pairs → duplicate GROUPS →
+    * one survivor per group). Returns (id, cluster) for every vertex
+    * that appears in an edge, where `cluster` is the component's
+    * minimum id; vertices in no edge are their own singleton (callers
+    * left-join and coalesce).
+    *
+    * Algorithm: the alternating LARGE-STAR / SMALL-STAR method (the
+    * published MapReduce/Spark CC construction — Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Edges
+    * are kept as (child > parent) pointers:
+    *   large-star — every node links its LARGER neighbors to the
+    *     minimum of its closed neighborhood;
+    *   small-star — every node re-links its (all smaller) parents and
+    *     itself to the minimum parent.
+    * Both are one groupBy + one equi-join over the current edge set;
+    * the pair converges in O(log² n) rounds to per-component stars
+    * rooted at the component minimum. No driver-side graph, no
+    * all-pairs product, and long chains collapse geometrically (a flat
+    * min-propagation or naive contraction needs O(diameter) rounds —
+    * a 100-TB no-go for stringy near-dup chains).
+    *
+    * `maxIter = 0` runs to convergence (edge set stable); a positive
+    * bound pins the round count for replay-style oracles. */
+  def connectedComponents(pairs: DataFrame, idA: Column, idB: Column,
+      maxIter: Int = 0): DataFrame = {
+    val e0 = pairs.select(idA.cast("long").as("c"), idB.cast("long").as("p"))
+    // each round's frame is persisted AND plan-flattened: the loop
+    // re-derives `edges` several times per round, so without the leaf
+    // view the logical plan nests ~4× per round — exponential analysis
+    // cost (and an OOM building plan strings) long before any data cost
+    def pin(df: DataFrame): (DataFrame, DataFrame) = {
+      val cached = df.persist()
+      (cached, org.apache.spark.sql.GraftSqlBridge.flattenPlan(cached))
+    }
+    var (edgesCache, edges) = pin(e0.filter(col("c") =!= col("p"))
+      .select(greatest(col("c"), col("p")).as("c"),
+        least(col("c"), col("p")).as("p"))
+      .dropDuplicates("c", "p"))
+    var edgeCount = edges.count()
+    var iter = 0
+    var done = edgeCount == 0
+    while (!done && (maxIter == 0 || iter < maxIter)) {
+      // large-star: m(x) = min over {x} ∪ Γ(x); link n > x to m(x)
+      val sym = edges.select(col("c").as("x"), col("p").as("n"))
+        .union(edges.select(col("p").as("x"), col("c").as("n")))
+      val mClosed = sym.groupBy(col("x"))
+        .agg(least(min(col("n")), first(col("x"))).as("m"))
+      val (lsCache, ls) = pin(sym.join(mClosed, Seq("x"))
+        .filter(col("n") > col("x") && col("n") =!= col("m"))
+        .select(col("n").as("c"), col("m").as("p"))
+        .dropDuplicates("c", "p"))
+      ls.count()
+      // small-star: parents of c are all < c; re-link them (and c) to
+      // the minimum parent
+      val mSmall = ls.groupBy(col("c")).agg(min(col("p")).as("m"))
+      val (nextCache, next) = pin(ls.join(mSmall, Seq("c"))
+        .filter(col("p") =!= col("m"))
+        .select(col("p").as("c"), col("m").as("p"))
+        .union(mSmall.select(col("c"), col("m").as("p")))
+        .dropDuplicates("c", "p"))
+      val nextCount = next.count()
+      done = nextCount == edgeCount && next.except(edges).isEmpty
+      edgesCache.unpersist(blocking = false)
+      lsCache.unpersist(blocking = false)
+      edgesCache = nextCache
+      edges = next
+      edgeCount = nextCount
+      iter += 1
+    }
+    // converged: edges are (vertex, componentMin) stars; roots map to
+    // themselves
+    edges.select(col("c").as("id"), col("p").as("cluster"))
+      .union(edges.select(col("p").as("id"), col("p").as("cluster")))
+      .dropDuplicates("id")
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key. */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column, block: Column,
       minCos: Double): DataFrame = {

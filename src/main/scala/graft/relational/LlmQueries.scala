@@ -20,6 +20,47 @@ object LlmQueries {
   private val normSql =
     "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
 
+  /** Shared DuckDB replay of the MinHash-LSH pipeline (d3/d6): word
+    * 3-shingles → 60-bit md5 base hash → 32 affine permutations → 8×4
+    * band keys → bucket-join candidates → signature-agreement estimate,
+    * ending in a `pairs(id_a, id_b, jaccard_est)` CTE filtered at the
+    * 0.30 estimate threshold. Mirrors Dedup.minhashPairs with
+    * hasher = md5Hash60 exactly. */
+  private val minhashCtes: String = {
+    val P = 2147483647L
+    val mins = (0 until 32).map { i =>
+      val a = 1103515245L * (i + 1) % P
+      val b = 12345L + 7919L * i
+      s"MIN(($a * h + $b) % $P) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until 8).map { b =>
+      val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ',', ")
+      s"SELECT doc_id, $b AS band, CONCAT($key) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""ws AS (SELECT doc_id, string_split($normSql, ' ') AS w
+       |  FROM documents),
+       |grams AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+       |  FROM ws),
+       |h AS (SELECT doc_id,
+       |    ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS h FROM grams),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM h GROUP BY doc_id),
+       |banded AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT id_a, id_b, ($matches) / 32.0 AS jaccard_est
+       |  FROM cand JOIN sig sa ON sa.doc_id = id_a
+       |            JOIN sig sb ON sb.doc_id = id_b
+       |  WHERE ($matches) / 32.0 >= 0.30)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- exact dedup: hash-groupBy, keep-first ----
@@ -58,45 +99,46 @@ object LlmQueries {
 
     // ---- MinHash-LSH near-dup candidates, full signature pipeline
     //      replayed by DuckDB on the md5-derived 60-bit base hash ----
-    sqlChecked("d3_minhash_lsh", {
-      val P = 2147483647L
-      val mins = (0 until 32).map { i =>
-        val a = 1103515245L * (i + 1) % P
-        val b = 12345L + 7919L * i
-        s"MIN(($a * h + $b) % $P) AS h$i"
-      }.mkString(",\n    ")
-      val bandSelects = (0 until 8).map { b =>
-        val key = (0 until 4).map(r => s"h${b * 4 + r}").mkString(", ',', ")
-        s"SELECT doc_id, $b AS band, CONCAT($key) AS bkey FROM sig"
-      }.mkString("\n  UNION ALL ")
-      val matches = (0 until 32)
-        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH ws AS (SELECT doc_id, string_split($normSql, ' ') AS w
-         |  FROM documents),
-         |grams AS (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(w) - 1),
-         |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
-         |  FROM ws),
-         |h AS (SELECT doc_id,
-         |    ('0x' || substr(md5(sh), 1, 15))::BIGINT % $P AS h FROM grams),
-         |sig AS (SELECT doc_id,
-         |    $mins
-         |  FROM h GROUP BY doc_id),
-         |banded AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT id_a, id_b, ($matches) / 32.0 AS jaccard_est
-         |  FROM cand JOIN sig sa ON sa.doc_id = id_a
-         |            JOIN sig sb ON sb.doc_id = id_b)
+    sqlChecked("d3_minhash_lsh",
+      s"""WITH $minhashCtes
          |SELECT id_a, id_b, jaccard_est FROM pairs
-         |WHERE jaccard_est >= 0.30 ORDER BY id_a, id_b""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), col("doc_id"), col("text"),
           shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30,
           hasher = Dedup.md5Hash60)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- duplicate-cluster assembly: the MinHash-LSH pair stream fed
+    //      through distributed connected components (min-label star
+    //      contraction, O(log diameter) equi-join rounds — no driver
+    //      graph, no all-pairs), then one survivor per cluster. The
+    //      oracle recomputes the identical pair set and closes it with
+    //      a recursive transitive-closure CTE — the converged Spark
+    //      labels must agree exactly. ----
+    sqlChecked("d6_dedup_cluster",
+      s"""WITH RECURSIVE $minhashCtes,
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+         |  FROM reach GROUP BY a)
+         |SELECT d.doc_id AS id, COALESCE(c.cluster, d.doc_id) AS cluster,
+         |  COALESCE(c.cluster, d.doc_id) = d.doc_id AS keep
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30,
+        hasher = Dedup.md5Hash60)
+      val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      docs.select(col("doc_id"))
+        .join(cc, col("doc_id") === col("id"), "left")
+        .select(col("doc_id").as("id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          (coalesce(col("cluster"), col("doc_id")) === col("doc_id")).as("keep"))
+        .orderBy(col("id"))
     },
 
     // ---- SimHash fingerprints + banded-Hamming near-dup pairs. The
@@ -334,6 +376,47 @@ object LlmQueries {
           round(sum(col("tc")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
+    },
+
+    // ---- TF-IDF top terms per document: tokenize → per-doc tf →
+    //      corpus df → tf·ln(N/df) → top-3 per doc (score desc, term
+    //      asc tie-break). The whole thing is two hash aggregates +
+    //      a broadcast df join + one per-doc window — the canonical
+    //      keyword-extraction shape for corpus-scale pipelines. ----
+    sqlChecked("t_tfidf",
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+         |  GROUP BY term),
+         |n(n) AS (SELECT COUNT(*) FROM documents),
+         |scored AS (SELECT doc_id, term, tf,
+         |    CAST(tf AS DOUBLE) * LN(CAST(n AS DOUBLE) / df) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |ranked AS (SELECT doc_id, term, tf, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS rk
+         |  FROM scored)
+         |SELECT doc_id, term, tf, rk, ROUND(score, 8) AS tfidf
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.count().toDouble
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .withColumn("score", col("tf").cast("double") * log(lit(n) / col("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("rk"),
+          round(col("score"), 8).as("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
     },
 
     // ---- document fingerprinting ----

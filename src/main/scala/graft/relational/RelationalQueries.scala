@@ -663,6 +663,25 @@ object RelationalQueries {
         |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
       graft.streaming.EventStreams.firstSeen(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // ---- stream-stream interval join (batch analogue): clicks matched
+    //      to the same user's views in the preceding 5 minutes. Equi-key
+    //      shuffle + in-key time range — the watermark-boundable
+    //      stream-stream join shape; streaming parity in StreamingSpec ----
+    sqlChecked("ev_interval_join",
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events c JOIN events v ON c.user_id = v.user_id
+        |  AND c.event_type = 'click' AND v.event_type = 'view'
+        |  AND epoch_us(v.ts) < epoch_us(c.ts)
+        |  AND epoch_us(v.ts) >= epoch_us(c.ts) - 300000000
+        |ORDER BY click_id, view_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      graft.streaming.EventStreams.viewsBeforeClicks(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "view"))
+        .orderBy(col("click_id"), col("view_id"))
     }
   )
 

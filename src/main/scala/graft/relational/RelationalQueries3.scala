@@ -18,6 +18,30 @@ object RelationalQueries3 {
   private def rnd(x: Double, k: Int): Double =
     BigDecimal(x).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** S4 engine side, exposed for PlanSpec's shuffle-free assertion:
+    * writes lineitem and orders CLUSTERED BY the join key into the same
+    * bucket count (sorted within buckets), registers them in the
+    * session catalog with an explicit LOCATION under a fresh temp dir,
+    * and returns the un-aggregated bucket-scan join. With
+    * `spark.sql.sources.bucketing.enabled` (default on) the join plans
+    * as SortMergeJoin over the bucket layout — NO Exchange on either
+    * side. Table names are session-scoped; re-runs overwrite. */
+  private[graft] def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s4").toString
+    s.sql("DROP TABLE IF EXISTS graft_li_bkt")
+    s.sql("DROP TABLE IF EXISTS graft_ord_bkt")
+    t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$tmp/li").saveAsTable("graft_li_bkt")
+    t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$tmp/ord").saveAsTable("graft_ord_bkt")
+    s.table("graft_li_bkt")
+      .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+  }
+
   /** Unrolled fixed-iteration Cox Newton-Raphson (1 covariate, Breslow
     * ties) as chained DuckDB CTEs — the same pinned-iteration technique
     * as StatQueries.irlsSql: NR is a contraction, so engine ulp
@@ -70,6 +94,26 @@ object RelationalQueries3 {
         .write.mode("overwrite").option("header", "true").csv(s"$tmp/c")
       s.read.option("header", "true").schema(df.schema).csv(s"$tmp/c")
         .orderBy("n_nationkey")
+    },
+
+    // ---- S4: bucketed co-located join — both sides written CLUSTERED
+    //      BY the join key into the same bucket count, then joined with
+    //      NO exchange on either side (PlanSpec asserts the bucket scan
+    //      feeds SortMergeJoin shuffle-free). This is the 100-TB
+    //      co-location strategy: pay the bucketed write once, join
+    //      repeatedly without reshuffling the fact table. Oracle is the
+    //      same join/agg straight off the source parquet. ----
+    sqlChecked("s4_bucketed",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS rev
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      bucketedJoin(s, d).groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("rev"))
+        .orderBy(col("o_orderpriority"))
     },
 
     // ---- A8: kernel-weight Jacobian ∂kw/∂γ (Gaussian closed form) ----

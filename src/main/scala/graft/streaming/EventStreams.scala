@@ -57,6 +57,32 @@ object EventStreams {
       }.toDF()
   }
 
+  /** Stream-stream interval join: each `click` matched to the same
+    * user's `view` events in the preceding `maxGap`. The join condition
+    * is an equi-key (user_id) plus an event-time range, which is
+    * exactly the shape Structured Streaming's stream-stream join can
+    * bound state for: with watermarks on BOTH sides (caller applies
+    * `withWatermark` pre-call on streaming inputs) the range condition
+    * lets Spark expire old view-side state instead of buffering the
+    * full history. Batch execution of the same function is the DuckDB
+    * oracle `ev_interval_join`; streaming parity is in StreamingSpec.
+    *
+    * At 100 TB the equi-key carries the shuffle (hash by user), and the
+    * range predicate is a post-join filter within each key group — no
+    * cross product beyond a user's own click×view window. */
+  def viewsBeforeClicks(clicks: DataFrame, views: DataFrame,
+      maxGapUs: Long = 300000000L): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("cts"))
+    val v = views.select(col("user_id").as("v_user"),
+      col("event_id").as("view_id"), col("ts").as("vts"))
+    c.join(v, col("c_user") === col("v_user") &&
+        col("vts") < col("cts") &&
+        col("vts") >= col("cts") - expr(s"INTERVAL ${maxGapUs} MICROSECOND"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("gap_us"))
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: counts sessions
     * per user with a 30-minute inactivity gap. For the bounded test
     * replay, state finalizes on stream end (batch parity). */

@@ -206,6 +206,37 @@ class LlmSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("connected components: cliques, chains, and singletons cluster to min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // clique {1,2,3}
+      (5L, 6L), (6L, 7L), (7L, 8L), // chain {5,6,7,8}
+      (11L, 10L)                    // reversed pair {10,11}
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 10L -> 10L, 11L -> 10L), cc)
+  }
+
+  test("connected components: a 40-node path converges (log rounds, not O(n))") {
+    val pairs = (1 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    // a bound far below the path length proves contraction is
+    // geometric: flat min-propagation would need 39 rounds
+    val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"),
+      maxIter = 12)
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 40 && labels.values.forall(_ == 1L),
+      s"path did not fully collapse in 8 rounds: ${labels.toSeq.sorted}")
+  }
+
+  test("connected components handle duplicate and self edges") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 2L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L), cc)
+  }
+
   test("token counting and fingerprints are stable") {
     val r = docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n"),

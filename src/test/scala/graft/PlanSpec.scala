@@ -69,4 +69,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("m15_pps")
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
+
+  test("s4_bucketed: co-located bucket join runs with NO exchange") {
+    val joined = graft.relational.RelationalQueries3.bucketedJoin(spark, sf)
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected sort-merge bucket join:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not reshuffle either side:\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan did not use the bucket layout:\n$p")
+  }
 }

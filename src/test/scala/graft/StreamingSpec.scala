@@ -94,4 +94,32 @@ class StreamingSpec extends SparkSpec {
       .toMap
     assert(got == expected, s"stream first-seen state != batch aggregate")
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = EventStreams.viewsBeforeClicks(
+        batchEvents.filter(col("event_type") === "click"),
+        batchEvents.filter(col("event_type") === "view"))
+      .orderBy("click_id", "view_id").collect()
+    assert(expected.nonEmpty, "batch interval join found no pairs at sf0.001")
+
+    val schema = batchEvents.schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ij").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(tmp)
+      .filter(col("event_type") === tpe)
+      .withWatermark("ts", "1 hour")
+    val q = EventStreams.viewsBeforeClicks(side("click"), side("view"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ij_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("graft_ij_out")
+      .orderBy("click_id", "view_id").collect()
+    assert(got.length == expected.length,
+      s"stream rows ${got.length} != batch ${expected.length}")
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
 }
