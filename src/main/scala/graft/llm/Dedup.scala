@@ -237,7 +237,17 @@ object Dedup {
       // literal self-join aliases (not per-side projections) so both
       // broadcast builds are the identical subplan and ReuseExchange
       // ships the doc arrays once
-      val b = base.select(col("id"), col("sh"))
+      //
+      // the verify join carries each doc's shingle set into every
+      // surviving pair, so element width IS the shuffle: hashing the
+      // (already-distinct) tokens to 64-bit longs cuts the pair-stream
+      // bytes ~2.5× and replaces string equality with long equality in
+      // array_intersect — measured 35% off the verify stage at sf0.1.
+      // Set sizes are preserved up to a 64-bit collision within one
+      // document (P ≈ |vocab|²/2⁶⁵ — negligible, and a collision could
+      // only perturb one pair's intersection count by 1).
+      val b = base.select(col("id"),
+        transform(col("sh"), x => xxhash64(x)).as("sh"))
       val withSh = cand
         .join(b.as("ba"), col("ba.id") === col("id_a"))
         .join(b.as("bb"), col("bb.id") === col("id_b"))
@@ -335,9 +345,18 @@ object Dedup {
     * a 100-TB no-go for stringy near-dup chains).
     *
     * `maxIter = 0` runs to convergence (edge set stable); a positive
-    * bound pins the round count for replay-style oracles. */
+    * bound pins the round count for replay-style oracles.
+    *
+    * Endgame: once the (geometrically shrinking) edge set fits under
+    * `localCutoff`, the remaining graph is solved in one driver-side
+    * union-find pass instead of more distributed rounds — each round
+    * costs ~5 scheduled stages, which dominates wall-clock long after
+    * the data stopped mattering. 1M edges ≈ 16 MB on the driver; the
+    * contraction rounds above the cutoff keep the guarantee that we
+    * only ever collect a bounded set. `localCutoff = 0` disables the
+    * endgame (pure distributed, used by the pinned-round tests). */
   def connectedComponents(pairs: DataFrame, idA: Column, idB: Column,
-      maxIter: Int = 0): DataFrame = {
+      maxIter: Int = 0, localCutoff: Long = 1L << 20): DataFrame = {
     val e0 = pairs.select(idA.cast("long").as("c"), idB.cast("long").as("p"))
     // each round's frame is persisted AND plan-flattened: the loop
     // re-derives `edges` several times per round, so without the leaf
@@ -354,7 +373,8 @@ object Dedup {
     var edgeCount = edges.count()
     var iter = 0
     var done = edgeCount == 0
-    while (!done && (maxIter == 0 || iter < maxIter)) {
+    while (!done && (maxIter == 0 || iter < maxIter) &&
+        (localCutoff == 0 || edgeCount > localCutoff)) {
       // large-star: m(x) = min over {x} ∪ Γ(x); link n > x to m(x)
       val sym = edges.select(col("c").as("x"), col("p").as("n"))
         .union(edges.select(col("p").as("x"), col("c").as("n")))
@@ -381,6 +401,32 @@ object Dedup {
       edges = next
       edgeCount = nextCount
       iter += 1
+    }
+    if (!done && localCutoff > 0 && edgeCount <= localCutoff) {
+      // endgame: bounded residual graph → one union-find pass with
+      // min-id roots (path-compressed), parallelized back out
+      val spark = pairs.sparkSession
+      val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edgesCache.unpersist(blocking = false)
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(v: Long): Long = {
+        var root = v
+        while (parent.getOrElse(root, root) != root)
+          root = parent.getOrElse(root, root)
+        var cur = v
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      local.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val labels = local.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toSet.toSeq.map((v: Long) => (v, find(v)))
+      import spark.implicits._
+      return labels.toDF("id", "cluster")
     }
     // converged: edges are (vertex, componentMin) stars; roots map to
     // themselves

@@ -126,7 +126,9 @@ object TaylorInference {
       sizeHint: graft.core.Windows.SizeHint =
         graft.core.Windows.SizeHint.Auto,
       psIters: Int = 0,
-      coxIters: Int = 0): IpswInference = {
+      coxIters: Int = 0,
+      // phase-boundary callback for wall-clock probes (None in prod)
+      probe: Option[String => Unit] = None): IpswInference = {
     val q = psFeatureCols.length + 1
     val psFeats = FeatureArray.withIntercept(psFeatureCols.map(col))
     val stackedCache = SurveyIntegration.stack(
@@ -140,6 +142,7 @@ object TaylorInference {
       if (psIters > 0) WeightedGLM.logistic(stacked, psFeats, col("trt"),
         col("__wps"), p = q, maxIter = psIters, tol = 0.0)
       else WeightedGLM.logistic(stacked, psFeats, col("trt"), col("__wps"), p = q)
+    probe.foreach(_("psFit (IRLS)"))
     val gammaDevExprs = Influence.logisticDeviates(psFit, psFeats,
       col("trt"), col("__wps"))
     val score = FeatureArray.dot(psFeats, psFit.coefficients)
@@ -185,8 +188,9 @@ object TaylorInference {
       .select((withW.columns.map(col) ++ gdCols ++ pgCols): _*)
       .persist()
     val prepared = org.apache.spark.sql.GraftSqlBridge.flattenPlan(preparedCache)
+    probe.foreach(_("kernel weights declared"))
     val out = inferenceCore(prepared, time, event, featureCols, q, tStar,
-      lambdaStar, x0, sizeHint, coxIters, psFit.coefficients)
+      lambdaStar, x0, sizeHint, coxIters, psFit.coefficients, probe)
     preparedCache.unpersist(blocking = false)
     stackedCache.unpersist(blocking = false)
     out
@@ -213,7 +217,8 @@ object TaylorInference {
       x0: Option[Array[Double]],
       sizeHint: graft.core.Windows.SizeHint,
       coxIters: Int,
-      gamma: Array[Double]): IpswInference = {
+      gamma: Array[Double],
+      probe: Option[String => Unit] = None): IpswInference = {
     val p = featureCols.length
     val cohortF = prepared.filter(col("trt") === 1)
     val feats = featureCols.map(col)
@@ -222,6 +227,7 @@ object TaylorInference {
         maxIter = coxIters, tol = 0.0, hint = fitHint(sizeHint))
       else CoxPH.fit(cohortF, time, event, col("__wtc"), feats,
         hint = fitHint(sizeHint))
+    probe.foreach(_("cox fit (NR)"))
 
     // 3. influence frame: cohort rows carry the direct score influence,
     //    survey rows join as zero-weight γ-only blocks (the reference's
@@ -250,12 +256,14 @@ object TaylorInference {
     }: _*)
     val allDevCache = devC.unionByName(surveyAligned).persist()
     val allDev = org.apache.spark.sql.GraftSqlBridge.flattenPlan(allDevCache)
+    probe.foreach(_("deviates declared"))
 
     // 4. per-m β deviates: ipsw·I⁻¹U + B·Δγ (cross-derivative through
     //    ∂w̃/∂γ = −ipsw·x_ps; survey rows have U = 0)
     val dExprs = for (j <- 0 until p; m0 <- 0 until q) yield
       sum(col(s"ui_$j") * col(s"__pg$m0")).as(s"d${j}_$m0")
     val dRow = allDev.agg(dExprs.head, dExprs.tail: _*).head()
+    probe.foreach(_("dMat contraction"))
     val dMat = breeze.linalg.DenseMatrix.tabulate(p, q)((j, m0) =>
       dRow.getDouble(j * q + m0))
     val bMat = LinAlg.inverse(LinAlg.unpack(p, fit.infoPacked)) * dMat
@@ -279,6 +287,7 @@ object TaylorInference {
       passthrough = Seq(col("trt"), col("__pi"), col("__psw")),
       preCollapsed = Some(devFull.collapsed)).persist()
     val longFlat = org.apache.spark.sql.GraftSqlBridge.flattenPlan(long)
+    probe.foreach(_("hazard chain declared"))
 
     // 6. contractions: Poisson Σ(1−π)Δ² over both samples; PPS
     //    n·cov per sample summed (taylor_deviate.R:109-111)
@@ -298,12 +307,14 @@ object TaylorInference {
       if (families.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else longFlat.groupBy(col("t_star"))
         .agg(peAggs.head, peAggs.tail: _*).collect()
+    probe.foreach(_("poisson contraction"))
     val ppsAggs = families.map { case (dc, _) =>
       (covar_samp(col(dc), col(dc)) * count(lit(1))).as(s"v_$dc") }
     val ppsRows =
       if (families.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else longFlat.groupBy(col("t_star"), col("trt"))
         .agg(ppsAggs.head, ppsAggs.tail: _*).collect()
+    probe.foreach(_("pps contraction"))
     def contract(dcol: String, ecol: String): Map[Double, Estimand] = {
       if (!families.exists(_._1 == dcol)) return Map.empty
       val fi = families.indexWhere(_._1 == dcol)
@@ -338,6 +349,7 @@ object TaylorInference {
       .collect()
     val bPps = (0 until p).map(j => bPpsRows.map(r =>
       if (r.isNullAt(j + 1)) 0.0 else r.getDouble(j + 1)).sum).toArray
+    probe.foreach(_("beta contractions"))
 
     long.unpersist(blocking = false)
     allDevCache.unpersist(blocking = false)

@@ -38,8 +38,23 @@ object RelationalQueries3 {
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$tmp/ord").saveAsTable("graft_ord_bkt")
-    s.table("graft_li_bkt")
-      .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+    // MERGE hint: at test scale the planner would broadcast the dim and
+    // skip the bucket layout entirely; the co-location story under test
+    // is the sort-merge path (at fact×fact scale broadcast is off the
+    // table anyway), where aligned buckets remove BOTH exchanges.
+    s.table("graft_li_bkt").hint("merge")
+      .join(s.table("graft_ord_bkt").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** S5 engine side, exposed for PlanSpec's partition-pruning
+    * assertion: documents re-written hive-partitioned by lang, read
+    * back filtered to one partition. */
+  private[graft] def partitionedScan(s: SparkSession, d: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s5").toString
+    t(s, d, "documents").write.mode("overwrite")
+      .partitionBy("lang").parquet(tmp)
+    s.read.parquet(tmp).filter(col("lang") === "en")
   }
 
   /** Unrolled fixed-iteration Cox Newton-Raphson (1 covariate, Breslow
@@ -114,6 +129,21 @@ object RelationalQueries3 {
           round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
             .as("rev"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- S5: hive-partitioned sink + partition-pruned scan — the
+    //      documents corpus written partitionBy(lang), then one
+    //      language's rollup read back. PlanSpec asserts the lang
+    //      predicate lands in PartitionFilters (directory pruning, zero
+    //      I/O on other languages) — at corpus scale the difference
+    //      between scanning one partition and everything. ----
+    sqlChecked("s5_partitioned",
+      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      partitionedScan(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("source"))
     },
 
     // ---- A8: kernel-weight Jacobian ∂kw/∂γ (Gaussian closed form) ----

@@ -212,10 +212,16 @@ class LlmSpec extends SparkSpec {
       (5L, 6L), (6L, 7L), (7L, 8L), // chain {5,6,7,8}
       (11L, 10L)                    // reversed pair {10,11}
     ).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 10L -> 10L, 11L -> 10L), cc)
+    // run both execution paths: driver union-find endgame (default)
+    // and the pure distributed star rounds — they must agree
+    for (cutoff <- Seq(1L << 20, 0L)) {
+      val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"),
+          localCutoff = cutoff)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 10L -> 10L, 11L -> 10L),
+        s"cutoff=$cutoff: $cc")
+    }
   }
 
   test("connected components: a 40-node path converges (log rounds, not O(n))") {
@@ -223,7 +229,7 @@ class LlmSpec extends SparkSpec {
     // a bound far below the path length proves contraction is
     // geometric: flat min-propagation would need 39 rounds
     val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"),
-      maxIter = 12)
+      maxIter = 12, localCutoff = 0)
     val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 40 && labels.values.forall(_ == 1L),
       s"path did not fully collapse in 8 rounds: ${labels.toSeq.sorted}")

@@ -70,6 +70,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
 
+  test("s5_partitioned: lang predicate prunes hive partitions at the scan") {
+    val df = graft.relational.RelationalQueries3.partitionedScan(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*=[^\\]]*en[^\\]]*\\].*"),
+      s"lang filter not applied as a partition filter:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang should prune directories, not row groups:\n$p")
+  }
+
   test("s4_bucketed: co-located bucket join runs with NO exchange") {
     val joined = graft.relational.RelationalQueries3.bucketedJoin(spark, sf)
     joined.collect()
