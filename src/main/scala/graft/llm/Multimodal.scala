@@ -1,21 +1,34 @@
 package graft.llm
 
+import java.nio.{ByteBuffer, ByteOrder}
+
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in
   * partition-batched passes.
   *
-  * The Spark-side shape is real: binary payloads travel as BinaryType
-  * columns; metadata is a typed struct; decode runs via
-  * `mapPartitions` so a real codec would amortize per-partition setup
-  * (model load, decoder init) exactly like a Pandas-UDF batch would in
-  * PySpark. The decode itself is a clearly-marked DETERMINISTIC STUB —
-  * the container has no image/audio codecs — producing fake
-  * width/height/duration from the payload bytes so the pipeline is
-  * testable end-to-end.
+  * The payloads are REAL byte formats parsed by a REAL pure-JVM
+  * decoder — no codec library needed:
+  *   - image: uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up
+  *     rows, 4-byte row padding);
+  *   - audio: RIFF/WAVE, PCM 16-bit mono little-endian;
+  *   - video: a minimal length-prefixed container ("GRV1" magic,
+  *     frame count, one embedded BMP per frame).
+  * `decode` walks the actual headers/chunks and aggregates the actual
+  * pixel/sample bytes. The test corpus has no media files, so
+  * `synthesize` manufactures payloads deterministically from the row
+  * id — which makes every decoded statistic a closed-form integer
+  * function of the id that a DuckDB oracle replays exactly
+  * (`mm_decode` / `mm_frames` are hash-checked, not rows-only).
+  *
+  * Scale shape: payloads travel as BinaryType columns; decode runs via
+  * `mapPartitions` so per-partition setup (a real codec/model init)
+  * amortizes across the batch, exactly like a Pandas-UDF batch would
+  * in PySpark. Swapping `synthesize` for a parquet of real media files
+  * changes no downstream plumbing.
   */
 object Multimodal {
 
@@ -26,37 +39,168 @@ object Multimodal {
     StructField("meta", StructType(Seq(
       StructField("source", StringType), StructField("n_bytes", LongType))))))
 
-  /** Manufacture a deterministic binary payload column from text (the
-    * test corpus has no real media); kind cycles image/audio/video. */
+  // ---- deterministic generators (pure functions of the id) ----
+
+  /** 24-bit BMP, w = 8 + id%8, h = 8 + id%5, gray pixel
+    * v(x,y) = (id·31 + f·101 + 7x + 13y) mod 256 in all channels. */
+  private[llm] def bmpBytes(id: Long, f: Int): Array[Byte] = {
+    val w = (8 + id % 8).toInt
+    val h = (8 + id % 5).toInt
+    val rowBytes = w * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val dataSize = (rowBytes + pad) * h
+    val bb = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // BMP stores rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = ((id * 31 + f * 101 + 7 * x + 13 * y) % 256).toByte
+        bb.put(v).put(v).put(v)
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { bb.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** PCM16 mono WAV at 8 kHz, n = 256 + id%128 samples,
+    * s(i) = ((id·131 + i·17) mod 65536) − 32768. */
+  private[llm] def wavBytes(id: Long): Array[Byte] = {
+    val n = (256 + id % 128).toInt
+    val dataSize = n * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((id * 131 + i * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** "GRV1" container: magic, frame count, then length-prefixed BMP
+    * frames (f = frame index feeds the pixel formula). F = 2 + id%4. */
+  private[llm] def videoBytes(id: Long): Array[Byte] = {
+    val encoded = (0 until (2 + id % 4).toInt).map(f => bmpBytes(id, f))
+    val bb = ByteBuffer.allocate(8 + encoded.map(_.length + 4).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("GRV1".getBytes).putInt(encoded.length)
+    encoded.foreach { fr => bb.putInt(fr.length); bb.put(fr) }
+    bb.array()
+  }
+
+  /** Manufacture a deterministic media payload per row (the test corpus
+    * has no real media); kind cycles image/audio/video by id mod 3. */
   def synthesize(df: DataFrame, id: org.apache.spark.sql.Column,
       text: org.apache.spark.sql.Column,
-      source: org.apache.spark.sql.Column): DataFrame =
-    df.select(
-      id.cast("long").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (id % 3 + 1).cast("int")).as("kind"),
-      encode(text, "UTF-8").as("payload"),
-      struct(source.as("source"),
-        octet_length(text).cast("long").as("n_bytes")).as("meta"))
+      source: org.apache.spark.sql.Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(id.cast("long").as("media_id"),
+      source.cast("string").as("source"))
+      .as[(Long, String)]
+    base.map { case (mid, src) =>
+      val (kind, payload) = (mid % 3) match {
+        case 0 => ("image", bmpBytes(mid, 0))
+        case 1 => ("audio", wavBytes(mid))
+        case _ => ("video", videoBytes(mid))
+      }
+      (mid, kind, payload, src, payload.length.toLong)
+    }.toDF("media_id", "kind", "payload", "source", "n_bytes")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("source"), col("n_bytes")).as("meta"))
+  }
 
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
       source: String, n_bytes: Long)
   final case class DecodedRow(media_id: Long, kind: String, width: Int,
-      height: Int, duration_ms: Long, checksum: Long, n_frames: Int)
+      height: Int, duration_ms: Long, n_frames: Int, mean_val: Double)
 
-  /** STUB decode — stands in for an image/audio/video codec. Pure
-    * function of the payload bytes, so tests are deterministic; swap the
-    * body for a real codec (and keep the batching shape) in production. */
-  private def stubDecode(m: MediaRow): DecodedRow = {
-    val n = m.payload.length
-    var cs = 1125899906842597L
-    var i = 0
-    while (i < n) { cs = 31 * cs + m.payload(i); i += 1 }
-    m.kind match {
-      case "image" => DecodedRow(m.media_id, m.kind, 16 + n % 1024, 16 + (n / 7) % 1024, 0L, cs, 1)
-      case "audio" => DecodedRow(m.media_id, m.kind, 0, 0, n.toLong * 8, cs, 0)
-      case _       => DecodedRow(m.media_id, m.kind, 320, 240, n.toLong * 40, cs, 1 + n / 64)
+  private def le(bytes: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(bytes, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+  private def le16(bytes: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(bytes, off, 2).order(ByteOrder.LITTLE_ENDIAN).getShort & 0xffff
+
+  /** REAL BMP parse: header offsets 10/18/22/28, bottom-up padded rows;
+    * returns (w, h, sum of one channel's pixel values). */
+  private def parseBmp(b: Array[Byte]): (Int, Int, Long) = {
+    require(b(0) == 'B' && b(1) == 'M', "not a BMP payload")
+    val off = le(b, 10); val w = le(b, 18); val h = le(b, 22)
+    require(le16(b, 28) == 24, "expected 24-bit BMP")
+    val rowBytes = w * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sum += b(off + y * stride + x * 3) & 0xff // one of 3 equal channels
+        x += 1
+      }
+      y += 1
     }
+    (w, h, sum)
+  }
+
+  /** REAL WAV parse: walks RIFF chunks to fmt/data; returns
+    * (sampleRate, nSamples, sum |amplitude|). */
+  private def parseWav(b: Array[Byte]): (Int, Int, Long) = {
+    require(new String(b, 0, 4) == "RIFF" && new String(b, 8, 4) == "WAVE",
+      "not a WAV payload")
+    var pos = 12
+    var rate = 0; var nSamples = 0; var sumAbs = 0L
+    while (pos + 8 <= b.length) {
+      val tag = new String(b, pos, 4)
+      val len = le(b, pos + 4)
+      if (tag == "fmt ") rate = le(b, pos + 12)
+      else if (tag == "data") {
+        nSamples = len / 2
+        var i = 0
+        while (i < nSamples) {
+          val s = ByteBuffer.wrap(b, pos + 8 + i * 2, 2)
+            .order(ByteOrder.LITTLE_ENDIAN).getShort
+          sumAbs += math.abs(s.toLong)
+          i += 1
+        }
+      }
+      pos += 8 + len + (len & 1)
+    }
+    (rate, nSamples, sumAbs)
+  }
+
+  /** Decode one media row by actually parsing its bytes. */
+  private def decodeOne(m: MediaRow): DecodedRow = m.kind match {
+    case "image" =>
+      val (w, h, sum) = parseBmp(m.payload)
+      DecodedRow(m.media_id, m.kind, w, h, 0L, 1,
+        sum.toDouble / (w.toLong * h))
+    case "audio" =>
+      val (rate, n, sumAbs) = parseWav(m.payload)
+      DecodedRow(m.media_id, m.kind, 0, 0, n.toLong * 1000 / rate, 0,
+        sumAbs.toDouble / n)
+    case _ =>
+      require(new String(m.payload, 0, 4) == "GRV1", "not a GRV1 payload")
+      val frames = le(m.payload, 4)
+      var pos = 8
+      var w = 0; var h = 0; var sum = 0L; var px = 0L
+      for (_ <- 0 until frames) {
+        val len = le(m.payload, pos)
+        val frame = java.util.Arrays.copyOfRange(m.payload, pos + 4, pos + 4 + len)
+        val (fw, fh, fsum) = parseBmp(frame)
+        w = fw; h = fh; sum += fsum; px += fw.toLong * fh
+        pos += 4 + len
+      }
+      DecodedRow(m.media_id, m.kind, w, h, frames.toLong * 40, frames,
+        sum.toDouble / px)
   }
 
   /** Partition-batched decode: one decoder "init" per partition, then a
@@ -71,12 +215,12 @@ object Multimodal {
       .as[MediaRow]
     ds.mapPartitions { it =>
       // per-partition decoder setup would go here (codec/model init)
-      it.map(stubDecode)
+      it.map(decodeOne)
     }.toDF()
   }
 
-  /** Frame sampling for "video" payloads: every `stride`-th 64-byte
-    * frame, exploded to (media_id, frame_idx, frame_checksum). */
+  /** Frame sampling for "video" payloads: every `stride`-th frame,
+    * decoded to (media_id, frame_idx, width, height, mean_val). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -84,13 +228,19 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .flatMap { case (id, kind, payload) =>
         if (kind != "video") Iterator.empty
-        else payload.grouped(64).zipWithIndex
-          .filter(_._2 % stride == 0)
-          .map { case (frame, idx) =>
-            var cs = 17L
-            frame.foreach(b => cs = 31 * cs + b)
-            (id, idx, cs)
+        else {
+          val frames = le(payload, 4)
+          var pos = 8
+          (0 until frames).iterator.map { f =>
+            val len = le(payload, pos)
+            val frame = java.util.Arrays.copyOfRange(payload, pos + 4, pos + 4 + len)
+            pos += 4 + len
+            (f, frame)
+          }.filter(_._1 % stride == 0).map { case (f, frame) =>
+            val (w, h, sum) = parseBmp(frame)
+            (id, f, w, h, sum.toDouble / (w.toLong * h))
           }
-      }.toDF("media_id", "frame_idx", "frame_checksum")
+        }
+      }.toDF("media_id", "frame_idx", "width", "height", "mean_val")
   }
 }

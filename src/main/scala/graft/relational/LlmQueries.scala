@@ -428,17 +428,70 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    // ---- multimodal: binary payload + partition-batched stub decode ----
-    rowsOnly("mm_decode") { (s, d) =>
+    // ---- multimodal: REAL byte formats (BMP / WAV / framed-BMP
+    //      video), REAL pure-JVM parsing in a partition-batched decode.
+    //      Payloads are deterministic functions of doc_id, so the
+    //      oracle replays the pixel/sample arithmetic as integer SQL
+    //      and the decoded stats must hash-match exactly. ----
+    sqlChecked("mm_decode",
+      """WITH img AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h
+        |    FROM documents WHERE doc_id % 3 = 0),
+        |iy AS (SELECT doc_id, w, h, unnest(range(h)) AS y FROM img),
+        |ipx AS (SELECT doc_id, w, h, y, unnest(range(w)) AS x FROM iy),
+        |istat AS (SELECT doc_id AS media_id, 'image' AS kind,
+        |    MAX(w) AS width, MAX(h) AS height, CAST(0 AS BIGINT) AS duration_ms,
+        |    1 AS n_frames,
+        |    ROUND(CAST(SUM((doc_id*31 + 7*x + 13*y) % 256) AS DOUBLE)
+        |      / (MAX(w) * MAX(h)), 6) AS mean_val
+        |  FROM ipx GROUP BY doc_id),
+        |aud AS (SELECT doc_id, 256 + doc_id % 128 AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |asmp AS (SELECT doc_id, n, unnest(range(n)) AS i FROM aud),
+        |astat AS (SELECT doc_id AS media_id, 'audio' AS kind,
+        |    0 AS width, 0 AS height, MAX(n) * 1000 // 8000 AS duration_ms,
+        |    0 AS n_frames,
+        |    ROUND(CAST(SUM(ABS((doc_id*131 + i*17) % 65536 - 32768)) AS DOUBLE)
+        |      / MAX(n), 6) AS mean_val
+        |  FROM asmp GROUP BY doc_id),
+        |vid AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |    2 + doc_id % 4 AS fr FROM documents WHERE doc_id % 3 = 2),
+        |vf AS (SELECT doc_id, w, h, fr, unnest(range(fr)) AS f FROM vid),
+        |vy AS (SELECT doc_id, w, h, fr, f, unnest(range(h)) AS y FROM vf),
+        |vpx AS (SELECT doc_id, w, h, fr, f, y, unnest(range(w)) AS x FROM vy),
+        |vstat AS (SELECT doc_id AS media_id, 'video' AS kind,
+        |    MAX(w) AS width, MAX(h) AS height, MAX(fr) * 40 AS duration_ms,
+        |    CAST(MAX(fr) AS INT) AS n_frames,
+        |    ROUND(CAST(SUM((doc_id*31 + f*101 + 7*x + 13*y) % 256) AS DOUBLE)
+        |      / (MAX(fr) * MAX(w) * MAX(h)), 6) AS mean_val
+        |  FROM vpx GROUP BY doc_id)
+        |SELECT * FROM (SELECT * FROM istat UNION ALL SELECT * FROM astat
+        |  UNION ALL SELECT * FROM vstat) ORDER BY media_id""".stripMargin) { (s, d) =>
       val media = Multimodal.synthesize(t(s, d, "documents"),
         col("doc_id"), col("text"), col("source"))
-      Multimodal.decode(media).orderBy(col("media_id"))
+      Multimodal.decode(media)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("duration_ms"), col("n_frames"), round(col("mean_val"), 6).as("mean_val"))
+        .orderBy(col("media_id"))
     },
 
-    rowsOnly("mm_frames") { (s, d) =>
+    sqlChecked("mm_frames",
+      """WITH vid AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 5 AS h,
+        |    2 + doc_id % 4 AS fr FROM documents WHERE doc_id % 3 = 2),
+        |vf AS (SELECT doc_id, w, h, unnest(range(fr)) AS f FROM vid),
+        |sampled AS (SELECT * FROM vf WHERE f % 4 = 0),
+        |vy AS (SELECT doc_id, w, h, f, unnest(range(h)) AS y FROM sampled),
+        |vpx AS (SELECT doc_id, w, h, f, y, unnest(range(w)) AS x FROM vy)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  MAX(w) AS width, MAX(h) AS height,
+        |  ROUND(CAST(SUM((doc_id*31 + f*101 + 7*x + 13*y) % 256) AS DOUBLE)
+        |    / (MAX(w) * MAX(h)), 6) AS mean_val
+        |FROM vpx GROUP BY doc_id, f ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
       val media = Multimodal.synthesize(t(s, d, "documents"),
         col("doc_id"), col("text"), col("source"))
-      Multimodal.sampleFrames(media, stride = 4).orderBy(col("media_id"), col("frame_idx"))
+      Multimodal.sampleFrames(media, stride = 4)
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          round(col("mean_val"), 6).as("mean_val"))
+        .orderBy(col("media_id"), col("frame_idx"))
     },
 
     // ---- flagship: end-to-end training-data prep (dedup → quality

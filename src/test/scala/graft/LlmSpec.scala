@@ -190,7 +190,7 @@ class LlmSpec extends SparkSpec {
     assert(r == Map(1L -> "en", 2L -> "de", 3L -> "fr"), r.toString)
   }
 
-  test("multimodal: synthesize→decode roundtrip is deterministic, schema typed") {
+  test("multimodal: real BMP/WAV/video payloads parse back to closed-form stats") {
     val media = Multimodal.synthesize(docs, col("doc_id"), col("text"), lit("src"))
     assert(media.schema("payload").dataType.typeName == "binary")
     assert(media.schema("meta").dataType.typeName == "struct")
@@ -198,12 +198,25 @@ class LlmSpec extends SparkSpec {
     val dec2 = Multimodal.decode(media).orderBy("media_id").collect()
     assert(dec1.sameElements(dec2), "decode must be deterministic")
     assert(dec1.length == 5)
-    // kinds cycle by id
-    val kinds = dec1.map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(Set("image", "audio", "video").contains(kinds(1L)))
-    // video rows produce frames
-    val frames = Multimodal.sampleFrames(media, stride = 2)
-    assert(frames.count() > 0)
+    val byId = dec1.map(r => r.getLong(0) -> r).toMap
+    // id 3 → image, 8+3%8 × 8+3%5 = 11×11; mean replays the pixel formula
+    val img = byId(3L)
+    assert(img.getString(1) == "image" && img.getInt(2) == 11 && img.getInt(3) == 11)
+    val expMean = (for (x <- 0 until 11; y <- 0 until 11)
+      yield (3 * 31 + 7 * x + 13 * y) % 256).sum.toDouble / 121
+    assertNear(img.getDouble(6), expMean, 1e-9)
+    // id 1 → audio, n = 257 samples at 8 kHz
+    val aud = byId(1L)
+    assert(aud.getString(1) == "audio" && aud.getLong(4) == 257L * 1000 / 8000)
+    // id 2 → video, 2 + 2%4 = 4 frames at 40 ms/frame
+    val vid = byId(2L)
+    assert(vid.getString(1) == "video" && vid.getInt(5) == 4 &&
+      vid.getLong(4) == 160L)
+    // frame sampling decodes the embedded BMPs (stride 2 → frames 0, 2)
+    val fr = Multimodal.sampleFrames(media, stride = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(fr.map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .startsWith(Seq((2L, 0), (2L, 2))), fr.mkString(","))
   }
 
   test("connected components: cliques, chains, and singletons cluster to min id") {
