@@ -91,4 +91,44 @@ class ScaleSpec extends SparkSpec {
       .head().getDouble(0)
     assertNear(ok, 11.0, 1e-12)
   }
+
+  test("connected components: 50k-edge random graph matches local union-find") {
+    // deterministic random graph over 20k vertices — many components of
+    // mixed shapes (chains, bushy stars, isolated pairs)
+    val rnd = new scala.util.Random(1234)
+    val edges = (0 until 50000).map { _ =>
+      val a = rnd.nextInt(20000).toLong
+      val b = rnd.nextInt(20000).toLong
+      (a, b)
+    }
+    // reference: local union-find with min roots
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(v: Long): Long = {
+      var r = v
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = v
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    val wantMap = edges.iterator
+      .flatMap { case (a, b) => if (a == b) Iterator.empty else Iterator(a, b) }
+      .toSet[Long].map(v => v -> find(v)).toMap
+
+    val df = edges.toDF("id_a", "id_b")
+    // cutoff 2000 forces SEVERAL distributed star rounds before the
+    // endgame kicks in — both code paths exercised at once
+    val got = graft.llm.Dedup.connectedComponents(df, col("id_a"), col("id_b"),
+        localCutoff = 2000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == wantMap.keySet,
+      s"vertex sets differ: ${got.keySet.size} vs ${wantMap.keySet.size}")
+    val bad = wantMap.collect { case (v, c) if got(v) != c => (v, c, got(v)) }
+    assert(bad.isEmpty, s"${bad.size} mislabeled, first: ${bad.take(3)}")
+  }
 }
