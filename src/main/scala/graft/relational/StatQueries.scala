@@ -680,6 +680,56 @@ object StatQueries {
       Seq((rnd(alloc.aCohort, 10), rnd(alloc.aSurvey, 10))).toDF("a_cohort", "a_survey")
     },
 
+    // ---- M18: raking / iterative proportional fitting — the
+    //      multiplicative calibration loop (alternating
+    //      post-stratification over two margins, 3 pinned sweeps,
+    //      equal-share cell targets). DuckDB replays every sweep as an
+    //      unrolled CTE chain; IPF is a contraction, so engine ulp
+    //      differences decay across sweeps. ----
+    sqlChecked("m18_raking", {
+      val sweeps = (1 to 3).map { k =>
+        s"""r${k}a AS (SELECT r.rf, r.ls, r.w * t.tgt / m.hat AS w
+           |  FROM r${k - 1}b r
+           |  JOIN (SELECT rf, SUM(w) AS hat FROM r${k - 1}b GROUP BY rf) m
+           |    ON r.rf = m.rf
+           |  JOIN trf t ON t.rf = r.rf),
+           |r${k}b AS (SELECT r.rf, r.ls, r.w * t.tgt / m.hat AS w
+           |  FROM r${k}a r
+           |  JOIN (SELECT ls, SUM(w) AS hat FROM r${k}a GROUP BY ls) m
+           |    ON r.ls = m.ls
+           |  JOIN tls t ON t.ls = r.ls)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+         |    1.0 + (l_orderkey % 5) AS w FROM lineitem),
+         |tot(t) AS (SELECT SUM(w) FROM b),
+         |trf AS (SELECT rf, (SELECT t FROM tot)
+         |    / (SELECT COUNT(DISTINCT rf) FROM b) AS tgt
+         |  FROM (SELECT DISTINCT rf FROM b)),
+         |tls AS (SELECT ls, (SELECT t FROM tot)
+         |    / (SELECT COUNT(DISTINCT ls) FROM b) AS tgt
+         |  FROM (SELECT DISTINCT ls FROM b)),
+         |r0b AS (SELECT rf, ls, w FROM b),
+         |$sweeps
+         |SELECT rf, ls, ROUND(SUM(w), 6) AS wsum, COUNT(*) AS n
+         |FROM r3b GROUP BY rf, ls ORDER BY rf, ls""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val b = t(s, d, "lineitem").select(
+        col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"))
+      val tot = b.agg(sum(col("w"))).head().getDouble(0)
+      def equalShares(dim: String) = {
+        val cells = b.select(col(dim)).distinct().collect().map(_.getString(0))
+        cells.toSeq.map(c => (c, tot / cells.length)).toDF(dim, "tgt")
+      }
+      graft.weights.Raking.rake(b, col("w"),
+          Seq(col("rf") -> equalShares("rf"), col("ls") -> equalShares("ls")),
+          sweeps = 3)
+        .groupBy(col("rf"), col("ls"))
+        .agg(round(sum(col("rake_wt")), 6).as("wsum"), count(lit(1)).as("n"))
+        .orderBy(col("rf"), col("ls"))
+    },
+
     // ---- S3: deterministic synthetic population (cross-engine RNG) ----
     sqlChecked("s3_population", {
       // salts must match Population.generate: x1 uses (1, 1+1000003), etc.

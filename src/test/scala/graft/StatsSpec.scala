@@ -135,4 +135,24 @@ class StatsSpec extends SparkSpec {
     val g1 = g.orderBy("id").collect().map(_.getInt(1)).toSeq
     assert(g1 == g2)
   }
+
+  test("M18 raking converges both margins to their targets") {
+    val df = Seq(
+      ("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 1.0),
+      ("b", "x", 3.0), ("b", "y", 2.0), ("b", "y", 1.0),
+      ("c", "x", 1.0), ("c", "y", 4.0)
+    ).toDF("r", "s", "w")
+    val tr = Seq(("a", 6.0), ("b", 5.0), ("c", 4.0)).toDF("r", "t")
+    val ts = Seq(("x", 9.0), ("y", 6.0)).toDF("s", "t")
+    val raked = graft.weights.Raking.rake(df, col("w"),
+      Seq(col("r") -> tr, col("s") -> ts), sweeps = 30).persist()
+    val rm = raked.groupBy("r").agg(sum("rake_wt").as("m"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val sm = raked.groupBy("s").agg(sum("rake_wt").as("m"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assertNear(rm("a"), 6.0, 1e-6); assertNear(rm("b"), 5.0, 1e-6)
+    assertNear(rm("c"), 4.0, 1e-6)
+    assertNear(sm("x"), 9.0, 1e-6); assertNear(sm("y"), 6.0, 1e-6)
+    raked.unpersist(blocking = false)
+  }
 }
