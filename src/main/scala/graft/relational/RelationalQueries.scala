@@ -554,6 +554,41 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("mavg"))
     },
 
+    // ---- windows: value-based RANGE frame (peers by value, not row
+    //      position) — same-customer orders within ±100.0 of each
+    //      order's total ----
+    sqlChecked("w_range_frame",
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING) AS n_near
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-100L, 100L)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_near"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // ---- explicit GROUPING SETS (beyond rollup/cube): two single-dim
+    //      margins + grand total in one pass ----
+    sqlChecked("agg_grouping_sets",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |  COALESCE(l_linestatus, 'ALL') AS ls,
+          |  COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS qty
+          |FROM graft_li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    },
+
     // ---- scalar function battery: math ----
     sqlChecked("f_math",
       """SELECT l_orderkey, l_linenumber,
