@@ -52,11 +52,17 @@ object Raking {
           .withColumn("rake_wt", col("rake_wt") * col("__f"))
           .drop("__f")
       }
-      val cache = cur.persist()
-      cache.count()
-      if (pinned != null) pinned.unpersist(blocking = false)
-      pinned = cache
-      cur = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cache)
+      // pin every second sweep (and the last): the plan quadruples per
+      // unpinned sweep, so a 2-sweep gap stays tiny while halving the
+      // materialization passes; the eager count is what makes releasing
+      // the previous pin safe (the new cache no longer needs it)
+      if (k % 2 == 0 || k == sweeps) {
+        val cache = cur.persist()
+        cache.count()
+        if (pinned != null) pinned.unpersist(blocking = false)
+        pinned = cache
+        cur = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cache)
+      }
     }
     dims.foldLeft(cur) { case (d, (_, i)) => d.drop(s"__rk$i") }
   }
