@@ -419,6 +419,27 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // ---- corpus bigram frequency: top-20 word bigrams — the n-gram
+    //      LM / contamination-check staple; explode + lead window +
+    //      hash aggregate + TakeOrdered ----
+    sqlChecked("t_bigrams",
+      s"""WITH ws AS (SELECT doc_id, string_split($normSql, ' ') AS w
+         |  FROM documents),
+         |bi AS (SELECT unnest(list_transform(range(1, len(w)),
+         |    i -> w[i] || ' ' || w[i + 1])) AS bigram FROM ws)
+         |SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      val words = t(s, d, "documents").select(col("doc_id"),
+        posexplode(split(Dedup.normalize(col("text")), " ")).as(Seq("pos", "w")))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      words.withColumn("nx", lead(col("w"), 1).over(byDoc))
+        .filter(col("nx").isNotNull)
+        .select(concat_ws(" ", col("w"), col("nx")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    },
+
     // ---- document fingerprinting ----
     sqlChecked("t_fingerprint",
       s"""SELECT doc_id, SUBSTR(md5($normSql), 1, 16) AS fp

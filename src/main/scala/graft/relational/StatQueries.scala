@@ -730,6 +730,93 @@ object StatQueries {
         .orderBy(col("rf"), col("ls"))
     },
 
+    // ---- M19: Poisson bootstrap replicate weights — the with-
+    //      replacement sibling of the delete-a-group jackknife (M14):
+    //      every unit draws an independent Poisson(1) multiplier per
+    //      replicate (inverse-CDF over the cross-engine RNG stream), so
+    //      replication is ONE exploded shuffle with no resampling join;
+    //      replicate variance estimates the design variance. Exactly
+    //      replayable: DuckDB computes the identical integer RNG and
+    //      CDF thresholds. ----
+    sqlChecked("m19_bootstrap", {
+      val B = 20
+      // Poisson(1) CDF, 17 significant digits (both engines parse the
+      // same IEEE double)
+      val thr = Seq(
+        "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+        "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+        "0.999916758850712")
+      val cases = thr.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+      val uSql = graft.core.Rng.uniformSql("uid * 131 + r")
+      s"""WITH b AS (SELECT l_orderkey * 10 + l_linenumber AS uid,
+         |    l_quantity AS q, 1.0 + (l_orderkey % 5) AS w
+         |  FROM lineitem WHERE l_orderkey % 10 = 0),
+         |reps AS (SELECT CAST(range AS BIGINT) AS r FROM range($B)),
+         |u AS (SELECT uid, q, w, r, $uSql AS u FROM b CROSS JOIN reps),
+         |m AS (SELECT uid, q, w, r,
+         |    CAST(CASE $cases ELSE 7 END AS DOUBLE) AS m FROM u),
+         |est AS (SELECT r, SUM(w * m * q) / SUM(w * m) AS est
+         |  FROM m GROUP BY r)
+         |SELECT ROUND(AVG(est), 8) AS boot_mean,
+         |  ROUND(var_samp(est), 12) AS boot_var,
+         |  COUNT(*) AS b
+         |FROM est""".stripMargin
+    }) { (s, d) =>
+      import s.implicits._
+      val B = 20
+      val thr = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
+        0.9994058151824183, 0.999916758850712)
+      val b = t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 0).select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("uid"),
+        col("l_quantity").cast("double").as("q"),
+        (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"))
+      val withR = b.withColumn("r", explode(sequence(lit(0L), lit(B - 1L))))
+      val u = graft.core.Rng.uniform(col("uid") * 131 + col("r"))
+      val m = thr.zipWithIndex.foldRight(lit(7.0): Column) {
+        case ((t, k), e) => when(u < t, k.toDouble).otherwise(e)
+      }
+      val est = withR.withColumn("m", m)
+        .groupBy(col("r"))
+        .agg((sum(col("w") * col("m") * col("q")) /
+          sum(col("w") * col("m"))).as("est"))
+      est.agg(round(avg(col("est")), 8).as("boot_mean"),
+          round(var_samp(col("est")), 12).as("boot_var"),
+          count(lit(1)).as("b"))
+    },
+
+    // ---- M20: stratified fixed-size sampling — n=50 per stratum drawn
+    //      by ranking the deterministic RNG stream within each stratum
+    //      (the distributed equivalent of per-stratum SRSWOR; one
+    //      window per stratum, no global sort). Oracle replays the same
+    //      integer RNG and ranking. ----
+    sqlChecked("m20_stratified", {
+      val uSql = graft.core.Rng.uniformSql("uid", 77L)
+      s"""WITH b AS (SELECT l_orderkey * 10 + l_linenumber AS uid,
+         |    l_returnflag AS rf, l_quantity AS q FROM lineitem),
+         |keyed AS (SELECT uid, rf, q, $uSql AS u FROM b),
+         |ranked AS (SELECT rf, q,
+         |    ROW_NUMBER() OVER (PARTITION BY rf ORDER BY u, uid) AS rk
+         |  FROM keyed)
+         |SELECT rf, COUNT(*) AS n,
+         |  CAST(SUM(CAST(q AS BIGINT)) AS BIGINT) AS qty
+         |FROM ranked WHERE rk <= 50 GROUP BY rf ORDER BY rf""".stripMargin
+    }) { (s, d) =>
+      val b = t(s, d, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("uid"),
+        col("l_returnflag").as("rf"), col("l_quantity").as("q"))
+      val keyed = b.withColumn("u", graft.core.Rng.uniform(col("uid"), 77L))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("rf")).orderBy(col("u"), col("uid"))
+      keyed.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .groupBy(col("rf"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q").cast("bigint")).as("qty"))
+        .orderBy(col("rf"))
+    },
+
     // ---- S3: deterministic synthetic population (cross-engine RNG) ----
     sqlChecked("s3_population", {
       // salts must match Population.generate: x1 uses (1, 1+1000003), etc.
