@@ -378,6 +378,63 @@ object LlmQueries {
         .orderBy(col("lang"))
     },
 
+    // ---- benchmark decontamination: flag training docs sharing any
+    //      word 5-gram with a (small) eval set — the standard n-gram
+    //      overlap check before training. Eval grams broadcast into an
+    //      equi-join on the gram; nothing quadratic, train side streams.
+    //      ----
+    sqlChecked("d7_decontaminate",
+      s"""WITH ws AS (SELECT doc_id, string_split($normSql, ' ') AS w
+         |  FROM documents),
+         |grams AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |      || ' ' || w[i+4])) AS g
+         |  FROM ws),
+         |eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+         |tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+         |SELECT tg.doc_id, COUNT(*) AS n_shared
+         |FROM tg JOIN eg ON tg.g = eg.g
+         |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin) { (s, d) =>
+      val words = t(s, d, "documents").select(col("doc_id"),
+        posexplode(split(Dedup.normalize(col("text")), " ")).as(Seq("pos", "w")))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val parts = col("w") +: (1 until 5).map(o => lead(col("w"), o).over(byDoc))
+      // gram and completeness flag in ONE select: window expressions in
+      // a select AFTER a filter would re-evaluate over the already-
+      // filtered partition and emit truncated tail grams
+      val grams = words
+        .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"),
+          lead(col("w"), 4).over(byDoc).isNotNull.as("full"))
+        .filter(col("full")).drop("full")
+      val eg = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+      val tg = grams.filter(col("doc_id") % 97 =!= 0).distinct()
+      tg.join(broadcast(eg), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- deterministic train/valid/test split: the cross-engine RNG
+    //      keyed by doc id gives a reproducible 80/10/10 assignment
+    //      with no shuffle beyond the final rollup ----
+    sqlChecked("d8_split", {
+      val uSql = graft.core.Rng.uniformSql("doc_id", 2024L)
+      s"""WITH s AS (SELECT doc_id, n_chars,
+         |    CASE WHEN $uSql < 0.8 THEN 'train'
+         |         WHEN $uSql < 0.9 THEN 'valid' ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, COUNT(*) AS n, SUM(n_chars) AS chars
+         |FROM s GROUP BY split ORDER BY split""".stripMargin
+    }) { (s, d) =>
+      val u = graft.core.Rng.uniform(col("doc_id"), 2024L)
+      t(s, d, "documents")
+        .withColumn("split", when(u < 0.8, "train")
+          .when(u < 0.9, "valid").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"))
+    },
+
     // ---- TF-IDF top terms per document: tokenize → per-doc tf →
     //      corpus df → tf·ln(N/df) → top-3 per doc (score desc, term
     //      asc tie-break). The whole thing is two hash aggregates +
