@@ -476,6 +476,34 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("rk"))
     },
 
+    // ---- PII scrubbing: regex redaction of email-like and long-digit
+    //      tokens with per-doc redaction counts — the standard scrub
+    //      stage before training. Patterns stay in the common subset of
+    //      Java and RE2 regex so both engines transform identically. ----
+    sqlChecked("t_redact",
+      """WITH r AS (SELECT doc_id,
+        |    regexp_replace(regexp_replace(text,
+        |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g') AS red,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+'))
+        |      AS n_emails,
+        |    len(regexp_extract_all(text, '[0-9]{6,}')) AS n_longnums
+        |  FROM documents)
+        |SELECT doc_id, n_emails, n_longnums, LENGTH(red) AS red_len,
+        |  md5(red) AS red_hash
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val email = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+"
+      val num = "[0-9]{6,}"
+      val red = regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), num, "<NUM>")
+      t(s, d, "documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(num), lit(0))).as("n_longnums"),
+          length(red).as("red_len"),
+          md5(red).as("red_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- corpus bigram frequency: top-20 word bigrams — the n-gram
     //      LM / contamination-check staple; explode + lead window +
     //      hash aggregate + TakeOrdered ----
