@@ -70,6 +70,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
 
+  test("ev_interval_join: equi-key carries the join (never a nested loop)") {
+    val p = plan("ev_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join must hash/merge on user_id, not cross:\n$p")
+  }
+
+  test("t_tfidf / d7_decontaminate: dimension-sized sides broadcast") {
+    assert(plan("t_tfidf").contains("BroadcastHashJoin"),
+      "tf-idf df join should broadcast")
+    assert(plan("d7_decontaminate").contains("BroadcastHashJoin"),
+      "eval-gram join should broadcast")
+  }
+
   test("s5_partitioned: lang predicate prunes hive partitions at the scan") {
     val df = graft.relational.RelationalQueries3.partitionedScan(spark, sf)
     df.collect()
