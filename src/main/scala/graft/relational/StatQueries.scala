@@ -730,6 +730,47 @@ object StatQueries {
         .orderBy(col("rf"), col("ls"))
     },
 
+    // ---- M21: heteroskedasticity-robust (HC0) sandwich variance for
+    //      WLS — (X'WX)⁻¹[Σw²e²xx'](X'WX)⁻¹, closed-form 2×2 replay in
+    //      the oracle. Integer-valued x/y/w keep the normal-equation
+    //      sums exact across engines. ----
+    sqlChecked("m21_wls_sandwich",
+      """WITH b AS (SELECT CAST(l_quantity AS DOUBLE) AS y,
+        |    CAST(ROUND(l_discount * 100, 0) AS DOUBLE) AS x,
+        |    1.0 + (l_orderkey % 5) AS w
+        |  FROM lineitem WHERE l_orderkey % 3 = 0),
+        |g AS (SELECT SUM(w) AS s00, SUM(w*x) AS s01, SUM(w*x*x) AS s11,
+        |    SUM(w*y) AS t0, SUM(w*x*y) AS t1 FROM b),
+        |bt AS (SELECT (s11*t0 - s01*t1)/(s00*s11 - s01*s01) AS b0,
+        |    (s00*t1 - s01*t0)/(s00*s11 - s01*s01) AS b1,
+        |    s00, s01, s11, s00*s11 - s01*s01 AS det FROM g),
+        |m AS (SELECT SUM(w*w*e*e) AS m00, SUM(w*w*e*e*x) AS m01,
+        |    SUM(w*w*e*e*x*x) AS m11, MAX(b0) AS b0, MAX(b1) AS b1,
+        |    MAX(s00) AS s00, MAX(s01) AS s01, MAX(s11) AS s11,
+        |    MAX(det) AS det
+        |  FROM (SELECT b.w, b.x, b.y - (bt.b0 + bt.b1*b.x) AS e,
+        |      bt.b0, bt.b1, bt.s00, bt.s01, bt.s11, bt.det
+        |    FROM b CROSS JOIN bt))
+        |SELECT ROUND(b0, 8) AS beta0, ROUND(b1, 8) AS beta1,
+        |  ROUND(SQRT((s11*s11*m00 - 2*s11*s01*m01 + s01*s01*m11)
+        |    / (det*det)), 6) AS se0,
+        |  ROUND(SQRT((s01*s01*m00 - 2*s01*s00*m01 + s00*s00*m11)
+        |    / (det*det)), 6) AS se1
+        |FROM m""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val b = t(s, d, "lineitem").filter(col("l_orderkey") % 3 === 0).select(
+        col("l_quantity").cast("double").as("y"),
+        round(col("l_discount") * 100, 0).cast("double").as("x"),
+        (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"))
+      val feats = array(lit(1.0), col("x"))
+      val fit = graft.stats.WeightedGLM.wls(b, feats, col("y"), col("w"), p = 2)
+      val v = graft.variance.Influence.wlsSandwich(b, fit, feats,
+        col("y"), col("w"))
+      Seq((rnd(fit.coefficients(0), 8), rnd(fit.coefficients(1), 8),
+        rnd(math.sqrt(v(0, 0)), 6), rnd(math.sqrt(v(1, 1)), 6)))
+        .toDF("beta0", "beta1", "se0", "se1")
+    },
+
     // ---- M19: Poisson bootstrap replicate weights — the with-
     //      replacement sibling of the delete-a-group jackknife (M14):
     //      every unit draws an independent Poisson(1) multiplier per

@@ -65,4 +65,23 @@ object Influence {
     val hinv = LinAlg.inverse(LinAlg.unpack(p, fit.hessianPacked))
     hinv * m * hinv
   }
+
+  /** HC0 heteroskedasticity-robust sandwich for a WLS fit:
+    * (X'WX)⁻¹ [Σ w²e² x x'] (X'WX)⁻¹ with e = y − x'β. Same
+    * distributed-Σ / driver-side-k×k split as `logisticSandwich`. */
+  def wlsSandwich(df: DataFrame, fit: WeightedGLM.Fit, features: Column,
+      y: Column, weight: Column): DenseMatrix[Double] = {
+    val p = fit.coefficients.length
+    val e = y.cast("double") -
+      graft.core.FeatureArray.dot(features, fit.coefficients)
+    val w = weight.cast("double")
+    val exprs = for (i <- 0 until p; j <- i until p)
+      yield sum(w * w * e * e * features.getItem(i) * features.getItem(j))
+        .as(s"m${i}_$j")
+    val row = df.agg(exprs.head, exprs.tail: _*).head()
+    val packed = exprs.indices.map(row.getDouble).toArray
+    val m = LinAlg.unpack(p, packed)
+    val binv = LinAlg.inverse(LinAlg.unpack(p, fit.hessianPacked))
+    binv * m * binv
+  }
 }
