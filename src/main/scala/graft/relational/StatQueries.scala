@@ -717,13 +717,20 @@ object StatQueries {
       val b = t(s, d, "lineitem").select(
         col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
         (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"))
-      val tot = b.agg(sum(col("w"))).head().getDouble(0)
-      def equalShares(dim: String) = {
-        val cells = b.select(col(dim)).distinct().collect().map(_.getString(0))
-        cells.toSeq.map(c => (c, tot / cells.length)).toDF(dim, "tgt")
+      // grand total + both margins' cell lists in ONE grouping-sets
+      // pass (three separate jobs otherwise); rf/ls are never null in
+      // the data, so the cube's null markers identify the margin rows
+      val gs = b.cube(col("rf"), col("ls")).agg(sum(col("w")).as("s"))
+        .filter(col("rf").isNull || col("ls").isNull).collect()
+      val tot = gs.find(r => r.isNullAt(0) && r.isNullAt(1)).get.getDouble(2)
+      def equalShares(dim: String, idx: Int) = {
+        import s.implicits._
+        val cs = gs.filter(r => !r.isNullAt(idx) && r.isNullAt(1 - idx))
+          .map(_.getString(idx)).toSeq
+        cs.map(c => (c, tot / cs.length)).toDF(dim, "tgt")
       }
       graft.weights.Raking.rake(b, col("w"),
-          Seq(col("rf") -> equalShares("rf"), col("ls") -> equalShares("ls")),
+          Seq(col("rf") -> equalShares("rf", 0), col("ls") -> equalShares("ls", 1)),
           sweeps = 3)
         .groupBy(col("rf"), col("ls"))
         .agg(round(sum(col("rake_wt")), 6).as("wsum"), count(lit(1)).as("n"))
