@@ -426,10 +426,9 @@ object LlmQueries {
          |SELECT split, COUNT(*) AS n, SUM(n_chars) AS chars
          |FROM s GROUP BY split ORDER BY split""".stripMargin
     }) { (s, d) =>
-      val u = graft.core.Rng.uniform(col("doc_id"), 2024L)
       t(s, d, "documents")
-        .withColumn("split", when(u < 0.8, "train")
-          .when(u < 0.9, "valid").otherwise("test"))
+        .withColumn("split", graft.sampling.Resample.assignSplit(col("doc_id"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), salt = 2024L))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy(col("split"))

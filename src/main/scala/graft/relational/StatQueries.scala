@@ -811,24 +811,15 @@ object StatQueries {
          |  COUNT(*) AS b
          |FROM est""".stripMargin
     }) { (s, d) =>
-      import s.implicits._
       val B = 20
-      val thr = Seq(0.36787944117144233, 0.7357588823428847,
-        0.9196986029286058, 0.9810118431238463, 0.9963401531726563,
-        0.9994058151824183, 0.999916758850712)
       val b = t(s, d, "lineitem").filter(col("l_orderkey") % 10 === 0).select(
         (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("uid"),
         col("l_quantity").cast("double").as("q"),
         (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"))
-      val withR = b.withColumn("r", explode(sequence(lit(0L), lit(B - 1L))))
-      val u = graft.core.Rng.uniform(col("uid") * 131 + col("r"))
-      val m = thr.zipWithIndex.foldRight(lit(7.0): Column) {
-        case ((t, k), e) => when(u < t, k.toDouble).otherwise(e)
-      }
-      val est = withR.withColumn("m", m)
-        .groupBy(col("r"))
-        .agg((sum(col("w") * col("m") * col("q")) /
-          sum(col("w") * col("m"))).as("est"))
+      val est = graft.sampling.Resample
+        .bootstrapReplicates(b, col("uid"), col("w"), B)
+        .groupBy(col("boot_r"))
+        .agg((sum(col("boot_wt") * col("q")) / sum(col("boot_wt"))).as("est"))
       est.agg(round(avg(col("est")), 8).as("boot_mean"),
           round(var_samp(col("est")), 12).as("boot_var"),
           count(lit(1)).as("b"))
@@ -854,11 +845,8 @@ object StatQueries {
       val b = t(s, d, "lineitem").select(
         (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("uid"),
         col("l_returnflag").as("rf"), col("l_quantity").as("q"))
-      val keyed = b.withColumn("u", graft.core.Rng.uniform(col("uid"), 77L))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("rf")).orderBy(col("u"), col("uid"))
-      keyed.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 50)
+      graft.sampling.Resample
+        .stratifiedFixed(b, col("rf"), col("uid"), n = 50, salt = 77L)
         .groupBy(col("rf"))
         .agg(count(lit(1)).as("n"),
           sum(col("q").cast("bigint")).as("qty"))

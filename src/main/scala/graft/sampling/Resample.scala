@@ -1,0 +1,61 @@
+package graft.sampling
+
+import graft.core.Rng
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Replicate-weight and sampling helpers beyond the reference's
+  * jackknife: Poisson bootstrap, stratified fixed-size draws, and
+  * deterministic dataset splits — all driven by the cross-engine RNG
+  * (`core.Rng`), so every one of them is DuckDB-oracle-checkable and
+  * bit-reproducible across runs and engines.
+  */
+object Resample {
+
+  /** Poisson(1) CDF thresholds (17 significant digits — both engines
+    * parse the identical IEEE double). */
+  val poissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712)
+
+  /** Poisson(1) bootstrap multiplier for one (unit, replicate) pair via
+    * inverse CDF over the deterministic uniform stream. Mixing the
+    * replicate into the key keeps draws independent across replicates. */
+  def poissonMultiplier(unitKey: Column, replicate: Column): Column = {
+    val u = Rng.uniform(unitKey.cast("long") * 131 + replicate.cast("long"))
+    poissonCdf.zipWithIndex.foldRight(lit(7.0): Column) {
+      case ((t, k), e) => when(u < t, k.toDouble).otherwise(e)
+    }
+  }
+
+  /** Explode `b` bootstrap replicates: returns df + (boot_r,
+    * boot_wt = weight · m_ir). One shuffle-free explode — the
+    * with-replacement sibling of `Jackknife.replicated`. */
+  def bootstrapReplicates(df: DataFrame, unitKey: Column, weight: Column,
+      b: Int): DataFrame =
+    df.withColumn("boot_r", explode(sequence(lit(0L), lit(b - 1L))))
+      .withColumn("boot_wt",
+        weight.cast("double") * poissonMultiplier(unitKey, col("boot_r")))
+
+  /** Deterministic per-stratum fixed-size sample (distributed SRSWOR):
+    * rank the RNG stream within each stratum, keep the first `n`. */
+  def stratifiedFixed(df: DataFrame, stratum: Column, unitKey: Column,
+      n: Int, salt: Long = 0L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(Rng.uniform(unitKey, salt), unitKey)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n).drop("__rk")
+  }
+
+  /** Deterministic dataset split by cumulative fractions, e.g.
+    * Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1). */
+  def assignSplit(unitKey: Column, splits: Seq[(String, Double)],
+      salt: Long = 0L): Column = {
+    val u = Rng.uniform(unitKey, salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), c), e) => when(u < c, name).otherwise(e)
+    }
+  }
+}

@@ -136,6 +136,33 @@ class StatsSpec extends SparkSpec {
     assert(g1 == g2)
   }
 
+  test("Resample: bootstrap multipliers ~Poisson(1), stratified n exact, splits deterministic") {
+    val df = (1L to 4000L).toDF("id")
+      .withColumn("stratum", (col("id") % 4).cast("int"))
+    // Poisson(1): mean ≈ 1, var ≈ 1 over units × replicates
+    val boot = graft.sampling.Resample.bootstrapReplicates(
+      df.withColumn("w", lit(1.0)), col("id"), col("w"), b = 5)
+    val stats = boot.agg(avg("boot_wt"), var_samp("boot_wt")).head()
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.05, s"mean=${stats.getDouble(0)}")
+    assert(math.abs(stats.getDouble(1) - 1.0) < 0.1, s"var=${stats.getDouble(1)}")
+    // stratified: exactly n per stratum, deterministic under same salt
+    val s1 = graft.sampling.Resample.stratifiedFixed(df, col("stratum"),
+      col("id"), n = 25, salt = 5L)
+    val sizes = s1.groupBy("stratum").count().collect().map(_.getLong(1))
+    assert(sizes.length == 4 && sizes.forall(_ == 25L), sizes.mkString(","))
+    val ids1 = s1.orderBy("id").collect().map(_.getLong(0)).toSeq
+    val ids2 = graft.sampling.Resample.stratifiedFixed(df, col("stratum"),
+      col("id"), n = 25, salt = 5L).orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2, "stratified draw must be deterministic")
+    // splits: ~80/10/10 and total preserved
+    val sp = df.withColumn("s", graft.sampling.Resample.assignSplit(col("id"),
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sp.values.sum == 4000L)
+    assert(math.abs(sp("train") - 3200.0) < 150, sp.toString)
+    assert(math.abs(sp("valid") - 400.0) < 80, sp.toString)
+  }
+
   test("M18 raking converges both margins to their targets") {
     val df = Seq(
       ("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 1.0),
