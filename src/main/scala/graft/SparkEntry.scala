@@ -22,6 +22,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** All declared query names in declaration order — exposed so tests
+    * can assert the catalog has no duplicate names (`queries`' Map
+    * would silently drop one). */
+  def names: Seq[String] = catalog.map(_.name)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     catalog.map(q => q.name -> q.fn).toMap

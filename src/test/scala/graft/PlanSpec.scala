@@ -93,6 +93,14 @@ class PlanSpec extends SparkSpec {
       s"lang should prune directories, not row groups:\n$p")
   }
 
+  test("query catalog: no duplicate names; every oracle belongs to a query") {
+    val names = SparkEntry.names
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"duplicate query names (Map would drop one): $dups")
+    val orphans = SparkEntry.oracleSql.keySet -- names.toSet
+    assert(orphans.isEmpty, s"oracles without a query: $orphans")
+  }
+
   test("s4_bucketed: co-located bucket join runs with NO exchange") {
     val joined = graft.relational.RelationalQueries3.bucketedJoin(spark, sf)
     joined.collect()
