@@ -64,8 +64,17 @@ object Bench {
       queries.map { case (name, fn) => name -> timeOnce(fn) }
     val p1 = pass().toMap
     val p2 = pass().toMap
+    // adaptive third sample: when the two interleaved passes disagree
+    // by >30% the smaller one may still carry transient load — re-time
+    // just those queries so a noisy machine doesn't inflate the min
+    val unstable = queries.filter { case (name, _) =>
+      val (a, aOk) = p1(name); val (b, bOk) = p2(name)
+      aOk && bOk && math.abs(a - b) / math.min(a, b) > 0.3
+    }
+    val p3 = unstable.map { case (name, fn) => name -> timeOnce(fn) }.toMap
     val results: Seq[(String, Double)] = queries.map { case (name, _) =>
-      val samples = Seq(p1(name), p2(name)).filter(_._2).map(_._1)
+      val samples = (Seq(p1(name), p2(name)) ++ p3.get(name))
+        .filter(_._2).map(_._1)
       name -> (if (samples.isEmpty) -1.0 else samples.min)
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
