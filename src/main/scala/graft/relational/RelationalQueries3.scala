@@ -139,6 +139,39 @@ object RelationalQueries3 {
         .orderBy(col("o_orderpriority"))
     },
 
+    // ---- S6: JSON-lines sink/scan roundtrip — write the documents
+    //      table as JSONL, read it back schema-enforced, roll up; the
+    //      oracle aggregates the source directly, so the roundtrip must
+    //      be lossless ----
+    sqlChecked("s6_json_sink",
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s6").toString
+      val src = t(s, d, "documents")
+      src.write.mode("overwrite").json(s"$tmp/j")
+      s.read.schema(src.schema).json(s"$tmp/j")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- S7: ORC sink/scan roundtrip (same contract, columnar
+    //      format #2) ----
+    sqlChecked("s7_orc_sink",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s7").toString
+      t(s, d, "orders").write.mode("overwrite").orc(s"$tmp/o")
+      s.read.orc(s"$tmp/o")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // ---- S5: hive-partitioned sink + partition-pruned scan — the
     //      documents corpus written partitionBy(lang), then one
     //      language's rollup read back. PlanSpec asserts the lang
