@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Link-graph analytics for corpus curation — the PageRank-style
+  * quality signal used to filter web-scale training corpora (rank the
+  * host/document link graph, keep high-centrality sources).
+  *
+  * Distributed shape: ranks live as a (node, rank) frame; one iteration
+  * is a join with the (weighted, pre-aggregated) edge list + a groupBy
+  * on the destination — pure equi-join/aggregate work that scales with
+  * the edge count. Dangling mass (nodes with no out-edges) is collected
+  * as one scalar per iteration and redistributed uniformly, the
+  * standard correction. Plans are pinned per iteration (persist + leaf
+  * view) — the loop re-derives ranks twice per step.
+  *
+  * Pinned `iters` makes the fixed point exactly replayable by a DuckDB
+  * oracle (`g_pagerank`); PageRank is a contraction (damping < 1), so
+  * engine ulp differences decay across iterations.
+  */
+object LinkGraph {
+
+  /** @param edges   (src, dst, weight) — pre-aggregated multiplicities
+    * @param damping d in [0,1); rank = (1−d)/N + d·(inflow + dangling/N)
+    * @param iters   fixed iteration count (pinned for oracles)
+    * @return (node, rank) for every node appearing as src or dst
+    */
+  def pageRank(edges: DataFrame, src: Column, dst: Column, weight: Column,
+      damping: Double, iters: Int): DataFrame = {
+    val e = edges.select(src.cast("long").as("src"),
+        dst.cast("long").as("dst"), weight.cast("double").as("wt"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
+      .persist()
+    val out = e.groupBy(col("src")).agg(sum(col("wt")).as("outw"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(out.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .persist()
+    val n = nodes.count()
+    var ranksCache = nodes.withColumn("rank", lit(1.0 / n)).persist()
+    ranksCache.count()
+    var ranks = org.apache.spark.sql.GraftSqlBridge.flattenPlan(ranksCache)
+    for (_ <- 1 to iters) {
+      val dangling = ranks.filter(col("outw").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val inflow = e
+        .join(ranks.select(col("node").as("src"), col("rank"), col("outw")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outw") * col("wt")).as("in"))
+      val next = nodes
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"), col("outw"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("in"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+      val cache = next.persist()
+      cache.count()
+      ranksCache.unpersist(blocking = false)
+      ranksCache = cache
+      ranks = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cache)
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    ranks.select(col("node"), col("rank"))
+  }
+}

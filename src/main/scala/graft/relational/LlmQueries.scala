@@ -378,6 +378,43 @@ object LlmQueries {
         .orderBy(col("lang"))
     },
 
+    // ---- link-graph PageRank (corpus-quality signal): 5 pinned
+    //      damped iterations over a synthetic 150-node weighted link
+    //      graph (nodes 100-149 are dangling — never a source — so the
+    //      dangling-mass redistribution is exercised). Each DuckDB CTE
+    //      replays one iteration; PageRank contracts, so ulps decay. ----
+    sqlChecked("g_pagerank", {
+      val iters = (1 to 5).map { k =>
+        s"""d$k(dang) AS (SELECT COALESCE(SUM(r.rank), 0) FROM r${k - 1} r
+           |  LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+           |i$k AS (SELECT e.dst AS node, SUM(r.rank / o.outw * e.wt) AS inflow
+           |  FROM e JOIN r${k - 1} r ON e.src = r.node
+           |  JOIN outw o ON o.src = e.src GROUP BY e.dst),
+           |r$k AS (SELECT nodes.node,
+           |    0.15 / (SELECT n FROM n)
+           |    + 0.85 * (COALESCE(i.inflow, 0)
+           |              + (SELECT dang FROM d$k) / (SELECT n FROM n)) AS rank
+           |  FROM nodes LEFT JOIN i$k i ON nodes.node = i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT o_custkey % 100 AS src, o_orderkey % 150 AS dst,
+         |    CAST(COUNT(*) AS DOUBLE) AS wt FROM orders GROUP BY 1, 2),
+         |outw AS (SELECT src, SUM(wt) AS outw FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |n(n) AS (SELECT COUNT(*) FROM nodes),
+         |r0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS rank FROM nodes),
+         |$iters
+         |SELECT node, ROUND(rank, 10) AS rank FROM r5 ORDER BY node""".stripMargin
+    }) { (s, d) =>
+      val edges = t(s, d, "orders").select(
+        (col("o_custkey") % 100).as("src"),
+        (col("o_orderkey") % 150).as("dst"), lit(1.0).as("w"))
+      graft.llm.LinkGraph.pageRank(edges, col("src"), col("dst"), col("w"),
+          damping = 0.85, iters = 5)
+        .select(col("node"), round(col("rank"), 10).as("rank"))
+        .orderBy(col("node"))
+    },
+
     // ---- benchmark decontamination: flag training docs sharing any
     //      word 5-gram with a (small) eval set — the standard n-gram
     //      overlap check before training. Eval grams broadcast into an

@@ -256,6 +256,22 @@ class LlmSpec extends SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L), cc)
   }
 
+  test("PageRank: mass conserved, dangling handled, star center ranks highest") {
+    // star: everyone links to 1; 99 is isolated-dangling (only a dst)
+    val edges = ((2L to 6L).map(v => (v, 1L, 1.0)) :+ ((1L, 99L, 1.0)))
+      .toDF("src", "dst", "w")
+    val r = graft.llm.LinkGraph.pageRank(edges, col("src"), col("dst"),
+        col("w"), damping = 0.85, iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"rank mass must be conserved: ${r.values.sum}")
+    // 99 absorbs the center's ENTIRE outflow, so it ranks above the
+    // center, which ranks far above the five leaves
+    assert(r(99L) == r.values.max && r(1L) > 4 * r(2L),
+      s"expected 99 > 1 >> leaves: $r")
+    assert((2L to 6L).map(r).distinct.size == 1, "leaves must tie exactly")
+  }
+
   test("token counting and fingerprints are stable") {
     val r = docs.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n"),
