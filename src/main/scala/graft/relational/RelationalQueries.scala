@@ -700,6 +700,37 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // ---- ordered funnel: view → first click after the view → first
+    //      purchase after that click, per user; stage conversion counts.
+    //      Three dimension-sized min-aggregates chained by equi-joins —
+    //      no sequence scan, no window over the full event stream ----
+    sqlChecked("ev_funnel",
+      """WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+        |    WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+        |    JOIN v ON e.user_id = v.user_id AND epoch_us(e.ts) > v.t1
+        |    WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+        |    JOIN c ON e.user_id = c.user_id AND epoch_us(e.ts) > c.t2
+        |    WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_view_click,
+        |  (SELECT COUNT(*) FROM p) AS n_view_click_purchase""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").as("e")
+        .join(v, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      Seq((v.count(), c.count(), p.count()))
+        .toDF("n_view", "n_view_click", "n_view_click_purchase")
+    },
+
     // ---- stream-stream interval join (batch analogue): clicks matched
     //      to the same user's views in the preceding 5 minutes. Equi-key
     //      shuffle + in-key time range — the watermark-boundable
