@@ -39,11 +39,17 @@ object LinkGraph {
       .persist()
     val n = nodes.count()
     var ranksCache = nodes.withColumn("rank", lit(1.0 / n)).persist()
-    ranksCache.count()
     var ranks = org.apache.spark.sql.GraftSqlBridge.flattenPlan(ranksCache)
+    // deferred materialization: each iteration's dangling-mass scalar is
+    // the FIRST action on the current rank cache, so it fills the cache
+    // in the same pass that computes the scalar — one job per iteration
+    // instead of a separate eager count. The PREVIOUS cache can only be
+    // released after that fill (the fill computes through it).
+    var prevCache: DataFrame = null
     for (_ <- 1 to iters) {
       val dangling = ranks.filter(col("outw").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      if (prevCache != null) prevCache.unpersist(blocking = false)
       val inflow = e
         .join(ranks.select(col("node").as("src"), col("rank"), col("outw")),
           Seq("src"))
@@ -55,12 +61,12 @@ object LinkGraph {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("in"), lit(0.0)) + lit(dangling / n)))
             .as("rank"))
-      val cache = next.persist()
-      cache.count()
-      ranksCache.unpersist(blocking = false)
-      ranksCache = cache
-      ranks = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cache)
+      prevCache = ranksCache
+      ranksCache = next.persist()
+      ranks = org.apache.spark.sql.GraftSqlBridge.flattenPlan(ranksCache)
     }
+    ranksCache.count() // fill the final cache, then release its parent
+    if (prevCache != null) prevCache.unpersist(blocking = false)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     ranks.select(col("node"), col("rank"))
