@@ -54,7 +54,11 @@ object Bench {
       val ok =
         try { blackhole += fn(spark, sfDir).collect().length; true }
         catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // residual caches from iterative queries would otherwise pile up
+      // across 100+ queries × passes; cleared OUTSIDE the timed region
+      spark.catalog.clearCache()
+      (dt, ok)
     }
     // optional comma-separated filter for local iteration on hot queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)

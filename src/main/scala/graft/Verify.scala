@@ -21,12 +21,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (keep(name))
+      if (keep(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // queries with iterative internals legitimately leave their
+        // final frame cached; across the whole catalog those add up —
+        // drop them between queries (catalog TABLES, e.g. the bucketed
+        // layout, survive clearCache)
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
