@@ -700,6 +700,50 @@ object RelationalQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // ---- equi-width histogram: 10 fixed buckets over order totals
+    //      (clamped tails) — one arithmetic projection + hash agg ----
+    sqlChecked("a_histogram",
+      """SELECT LEAST(GREATEST(CAST(FLOOR((o_totalprice - 1000.0) / 30000.0)
+        |    AS BIGINT), 0), 9) AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS mass
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(least(greatest(floor((col("o_totalprice") - 1000.0) / 30000.0)
+          .cast("bigint"), lit(0L)), lit(9L)).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+            .as("mass"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- cohort retention: users first seen in hour h0 (their cohort)
+    //      and the count still active k hours later — one first-seen
+    //      aggregate + an hour-bucketed activity join ----
+    sqlChecked("ev_retention",
+      """WITH f AS (SELECT user_id,
+        |    MIN(epoch_us(ts) // 3600000000) AS h0 FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 3600000000 AS h FROM events)
+        |SELECT CAST(a.h - f.h0 AS BIGINT) AS k,
+        |  COUNT(DISTINCT a.user_id) AS active_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |WHERE a.h - f.h0 <= 5
+        |GROUP BY 1 ORDER BY k""".stripMargin) { (s, d) =>
+      // `div`, not `/`: Column `/` is double division, and the ~1.7e18
+      // micros overflow a double's 53-bit mantissa (same trap as the
+      // events ns→µs conversion in Tables.events)
+      val ev = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) div 3600000000").as("h"))
+      val f = ev.groupBy(col("user_id")).agg(min(col("h")).as("h0"))
+      ev.distinct().join(f, Seq("user_id"))
+        .filter(col("h") - col("h0") <= 5)
+        .groupBy((col("h") - col("h0")).as("k"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("k"))
+    },
+
     // ---- ordered funnel: view → first click after the view → first
     //      purchase after that click, per user; stage conversion counts.
     //      Three dimension-sized min-aggregates chained by equi-joins —
