@@ -460,7 +460,7 @@ object LlmQueries {
          |    CASE WHEN $uSql < 0.8 THEN 'train'
          |         WHEN $uSql < 0.9 THEN 'valid' ELSE 'test' END AS split
          |  FROM documents)
-         |SELECT split, COUNT(*) AS n, SUM(n_chars) AS chars
+         |SELECT split, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
          |FROM s GROUP BY split ORDER BY split""".stripMargin
     }) { (s, d) =>
       t(s, d, "documents")

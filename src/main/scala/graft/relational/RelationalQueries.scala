@@ -575,7 +575,7 @@ object RelationalQueries {
     sqlChecked("agg_grouping_sets",
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |  COALESCE(l_linestatus, 'ALL') AS ls,
-        |  COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS qty
+        |  COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin) { (s, d) =>

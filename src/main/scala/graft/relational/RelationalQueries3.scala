@@ -144,7 +144,7 @@ object RelationalQueries3 {
     //      oracle aggregates the source directly, so the roundtrip must
     //      be lossless ----
     sqlChecked("s6_json_sink",
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_s6").toString
       val src = t(s, d, "documents")
@@ -179,7 +179,7 @@ object RelationalQueries3 {
     //      I/O on other languages) — at corpus scale the difference
     //      between scanning one partition and everything. ----
     sqlChecked("s5_partitioned",
-      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE lang = 'en'
         |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
       partitionedScan(s, d).groupBy(col("source"))

@@ -27,6 +27,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def compare(name, spark_df, duck_df):
+    # the driver hashes raw stringified values, so an int column on one
+    # side vs a float column on the other ("5" vs "5.0") is a hash FAIL
+    # even when numerically equal — catch dtype-kind drift before canon
+    # coerces it away. DuckDB SUM(BIGINT) → HUGEINT → float64 is the
+    # classic trigger; cast the oracle to BIGINT to fix.
+    kind_errs = []
+    for c in set(spark_df.columns) & set(duck_df.columns):
+        ka, kb = spark_df[c].dtype.kind, duck_df[c].dtype.kind
+        if (ka in "iu") != (kb in "iu"):
+            kind_errs.append(f"{c}: spark={spark_df[c].dtype} duck={duck_df[c].dtype}")
+    if kind_errs:
+        return "DTYPE-KIND " + "; ".join(kind_errs)
     a, b = canon(spark_df), canon(duck_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols spark={list(a.columns)} duck={list(b.columns)}"
