@@ -429,10 +429,14 @@ object Dedup {
       return labels.toDF("id", "cluster")
     }
     // converged: edges are (vertex, componentMin) stars; roots map to
-    // themselves
+    // themselves. min() instead of dropDuplicates: on a non-converged
+    // exit (positive maxIter, localCutoff = 0) the edge set need not be
+    // a star, so a vertex can appear as both child and parent —
+    // arbitrary-row dedup would pick a nondeterministic label; the min
+    // is deterministic and identical to the star labels once converged.
     edges.select(col("c").as("id"), col("p").as("cluster"))
       .union(edges.select(col("p").as("id"), col("p").as("cluster")))
-      .dropDuplicates("id")
+      .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key. */

@@ -456,9 +456,13 @@ object LlmQueries {
     //      with no shuffle beyond the final rollup ----
     sqlChecked("d8_split", {
       val uSql = graft.core.Rng.uniformSql("doc_id", 2024L)
+      // thresholds generated from the SAME scanLeft doubles assignSplit
+      // uses (0.8 + 0.1 ≠ 0.9 in IEEE arithmetic)
+      val cases = graft.sampling.Resample
+        .splitThresholds(Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .map { case (n, c) => s"WHEN $uSql < $c THEN '$n'" }.mkString(" ")
       s"""WITH s AS (SELECT doc_id, n_chars,
-         |    CASE WHEN $uSql < 0.8 THEN 'train'
-         |         WHEN $uSql < 0.9 THEN 'valid' ELSE 'test' END AS split
+         |    CASE $cases ELSE 'test' END AS split
          |  FROM documents)
          |SELECT split, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
          |FROM s GROUP BY split ORDER BY split""".stripMargin

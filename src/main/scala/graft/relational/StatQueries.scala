@@ -796,7 +796,8 @@ object StatQueries {
         "0.999916758850712")
       val cases = thr.zipWithIndex
         .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
-      val uSql = graft.core.Rng.uniformSql("uid * 131 + r")
+      val uSql = graft.core.Rng.uniformSql(
+        graft.sampling.Resample.mixedKeySql("uid", "r"))
       s"""WITH b AS (SELECT l_orderkey * 10 + l_linenumber AS uid,
          |    l_quantity AS q, 1.0 + (l_orderkey % 5) AS w
          |  FROM lineitem WHERE l_orderkey % 10 = 0),

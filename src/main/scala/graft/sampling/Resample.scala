@@ -19,11 +19,24 @@ object Resample {
     0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
     0.999916758850712)
 
+  /** Stride for mixing (unit, replicate) into one RNG key. Reducing the
+    * unit mod P first bounds the product at (P−1)·stride ≈ 2.1e18 < 2⁶³
+    * (exact, no ANSI overflow), and r < stride keeps the map injective
+    * for any replicate count a bootstrap would ever use. */
+  val replicateStride = 1000000007L
+
+  /** The mixed key as DuckDB SQL — oracle queries must use exactly this
+    * expression so both engines draw the same uniform stream. */
+  def mixedKeySql(unitExpr: String, repExpr: String): String =
+    s"((($unitExpr) % ${Rng.P}) * $replicateStride + ($repExpr))"
+
   /** Poisson(1) bootstrap multiplier for one (unit, replicate) pair via
-    * inverse CDF over the deterministic uniform stream. Mixing the
-    * replicate into the key keeps draws independent across replicates. */
+    * inverse CDF over the deterministic uniform stream. The replicate is
+    * mixed injectively (see [[replicateStride]]) so no (unit, replicate)
+    * pair shares a draw with any other. */
   def poissonMultiplier(unitKey: Column, replicate: Column): Column = {
-    val u = Rng.uniform(unitKey.cast("long") * 131 + replicate.cast("long"))
+    val u = Rng.uniform((unitKey.cast("long") % Rng.P) * replicateStride
+      + replicate.cast("long"))
     poissonCdf.zipWithIndex.foldRight(lit(7.0): Column) {
       case ((t, k), e) => when(u < t, k.toDouble).otherwise(e)
     }
@@ -48,14 +61,22 @@ object Resample {
       .filter(col("__rk") <= n).drop("__rk")
   }
 
+  /** Cumulative split thresholds, computed ONCE here so an oracle can
+    * be generated from the identical IEEE doubles (floating summation
+    * makes 0.8 + 0.1 = 0.9000000000000001 — a hand-written 0.9 literal
+    * would classify u in [0.9, 0.9000000000000001) differently). */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Double)] = {
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.map(_._1).zip(cum.init)
+  }
+
   /** Deterministic dataset split by cumulative fractions, e.g.
     * Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1). */
   def assignSplit(unitKey: Column, splits: Seq[(String, Double)],
       salt: Long = 0L): Column = {
     val u = Rng.uniform(unitKey, salt)
-    val cum = splits.scanLeft(0.0)(_ + _._2).tail
-    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
-      case (((name, _), c), e) => when(u < c, name).otherwise(e)
+    splitThresholds(splits).foldRight(lit(splits.last._1): Column) {
+      case ((name, c), e) => when(u < c, name).otherwise(e)
     }
   }
 }

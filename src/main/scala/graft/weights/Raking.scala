@@ -44,12 +44,19 @@ object Raking {
       for (((_, targets), i) <- dims) {
         val hat = cur.groupBy(col(s"__rk$i"))
           .agg(sum(col("rake_wt")).as("__hat"))
+        // LEFT join + factor 1.0 for cells absent (or null) in the
+        // targets frame: an inner join here would silently delete every
+        // sample row of an uncovered margin cell, changing the weighted
+        // population with no signal
         val f = hat.join(targets.select(
             col(targets.columns.head).as(s"__rk$i"),
-            col(targets.columns(1)).cast("double").as("__target")), Seq(s"__rk$i"))
-          .select(col(s"__rk$i"), (col("__target") / col("__hat")).as("__f"))
-        cur = cur.join(broadcast(f), Seq(s"__rk$i"))
-          .withColumn("rake_wt", col("rake_wt") * col("__f"))
+            col(targets.columns(1)).cast("double").as("__target")),
+            Seq(s"__rk$i"), "left")
+          .select(col(s"__rk$i"),
+            coalesce(col("__target") / col("__hat"), lit(1.0)).as("__f"))
+        cur = cur.join(broadcast(f), Seq(s"__rk$i"), "left")
+          .withColumn("rake_wt",
+            col("rake_wt") * coalesce(col("__f"), lit(1.0)))
           .drop("__f")
       }
       // pin every second sweep (and the last): the plan quadruples per
