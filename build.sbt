@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked run's stdout straight through instead of logging it
+// with an "[info] " prefix: the bench contract is ONE bare JSON line,
+// and a log-framework prefix makes that line unparseable to a strict
+// consumer (r4: the full line was captured yet still not parsed)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
