@@ -15,6 +15,7 @@ object SparkEntry {
     graft.relational.RelationalQueries.all ++
       graft.relational.RelationalQueries2.all ++
       graft.relational.RelationalQueries3.all ++
+      graft.relational.RelationalQueries4.all ++
       graft.relational.StatQueries.all ++
       graft.relational.LlmQueries.all
 

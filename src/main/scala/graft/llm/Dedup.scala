@@ -439,6 +439,30 @@ object Dedup {
       .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
   }
 
+  /** Cross-document repeated-passage detection: word n-gram shingles
+    * that occur in [minDocs, maxDocs] distinct documents, returned as
+    * one row per (id, passage hash, document spread). This is exact
+    * substring-level dedup — the signal MinHash's whole-document
+    * similarity misses when two long documents share only a paragraph.
+    *
+    * 100 TB shape: distinct (doc, gram-hash) pairs → one hash groupBy
+    * per gram → equi-join back. `maxDocs` is the skew guard: a
+    * boilerplate gram present in a huge fraction of the corpus would
+    * make its hash a shuffle hot key and a quadratic join-back while
+    * carrying no dedup signal (the d2 prefix-filter discipline); it is
+    * capped out BEFORE the join. */
+  def repeatedPassages(df: DataFrame, id: Column, text: Column, n: Int,
+      minDocs: Int = 2, maxDocs: Int = Int.MaxValue,
+      hasher: Column => Column = xxHash): DataFrame = {
+    // shingles() is per-document distinct already, so count(*) per hash
+    // is the distinct-document frequency
+    val grams = df.select(id.as("id"), explode(shingles(text, n)).as("__g"))
+      .select(col("id"), hasher(col("__g")).as("h"))
+    val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs && col("n_docs") <= maxDocs)
+    grams.join(hot, Seq("h"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking key. */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column, block: Column,
       minCos: Double): DataFrame = {

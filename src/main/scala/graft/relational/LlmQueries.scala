@@ -675,6 +675,73 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
           round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"))
         .orderBy(col("lang"))
+    },
+
+    // ---- intra-document repetition score: duplicate-trigram mass and
+    //      the single most-repeated trigram's share — the classic
+    //      looping-text quality signal. Per-doc grouped counts only;
+    //      nothing global, so it scales like any grouped aggregate. ----
+    sqlChecked("t_repetition",
+      s"""WITH ws AS (SELECT doc_id, string_split($normSql, ' ') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM ws),
+         |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |    COUNT(*) AS n_distinct, MAX(c) AS top FROM c GROUP BY doc_id)
+         |SELECT doc_id, n_grams,
+         |  ROUND(1 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 8)
+         |    AS rep_ratio,
+         |  ROUND(CAST(top AS DOUBLE) / CAST(n_grams AS DOUBLE), 8) AS top_ratio
+         |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val words = t(s, d, "documents").select(col("doc_id"),
+        posexplode(split(Dedup.normalize(col("text")), " ")).as(Seq("pos", "w")))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      // gram + completeness flag in ONE select (the d7 lesson: a window
+      // expression in a select AFTER a filter re-evaluates over the
+      // filtered partition and emits truncated tail grams)
+      val grams = words.select(col("doc_id"),
+          concat_ws(" ", col("w"), lead(col("w"), 1).over(byDoc),
+            lead(col("w"), 2).over(byDoc)).as("g"),
+          lead(col("w"), 2).over(byDoc).isNotNull.as("full"))
+        .filter(col("full"))
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top"))
+        .select(col("doc_id"), col("n_grams"),
+          round(lit(1) - col("n_distinct").cast("double")
+            / col("n_grams").cast("double"), 8).as("rep_ratio"),
+          round(col("top").cast("double")
+            / col("n_grams").cast("double"), 8).as("top_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- cross-document repeated-passage detection: exact 6-gram
+    //      shingles shared by 2..50 distinct documents, rolled up per
+    //      doc. The 50-doc cap is the skew guard (boilerplate grams
+    //      carry no dedup signal and would be shuffle hot keys); the
+    //      md5-derived hash makes the whole pipeline DuckDB-replayable. ----
+    sqlChecked("d9_passage_dup",
+      s"""WITH ws AS (SELECT doc_id, string_split($normSql, ' ') AS w
+         |  FROM documents),
+         |grams AS (SELECT DISTINCT doc_id,
+         |    ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(range(1, greatest(len(w) - 5, 1) + 1),
+         |        i -> array_to_string(w[i:i+5], ' '))) AS g FROM ws)),
+         |hot AS (SELECT h, COUNT(*) AS n_docs FROM grams GROUP BY h
+         |  HAVING COUNT(*) BETWEEN 2 AND 50)
+         |SELECT doc_id, COUNT(*) AS n_dup, MAX(n_docs) AS max_spread
+         |FROM grams JOIN hot USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.repeatedPassages(t(s, d, "documents"), col("doc_id"), col("text"),
+          n = 6, minDocs = 2, maxDocs = 50, hasher = Dedup.md5Hash60)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_dup"), max(col("n_docs")).as("max_spread"))
+        .select(col("id").as("doc_id"), col("n_dup"), col("max_spread"))
+        .orderBy(col("doc_id"))
     }
   )
 }

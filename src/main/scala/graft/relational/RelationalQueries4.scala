@@ -1,0 +1,128 @@
+package graft.relational
+
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fourth relational batch: bivariate regression aggregates, ordered
+  * string aggregation, pivot/unpivot reshaping, and array explode with
+  * ordinality — the remaining SQL-surface families a user migrating
+  * analytic workloads would reach for.
+  */
+object RelationalQueries4 {
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- bivariate regression/correlation aggregates: one hash
+    //      aggregate computes the full co-moment family per group
+    //      (partial+final merge, the same 100 TB shape as any grouped
+    //      sum). Rounding digits sized to each statistic's magnitude
+    //      so engine-side summation-order ulps cannot flip a digit. ----
+    sqlChecked("a_regr",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(corr(l_extendedprice, l_quantity), 8) AS r,
+        |  ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS cov,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 8) AS r2
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val (y, x) = (col("l_extendedprice"), col("l_quantity"))
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(y, x), 8).as("r"),
+          round(covar_samp(y, x), 4).as("cov"),
+          round(regr_slope(y, x), 6).as("slope"),
+          round(regr_intercept(y, x), 4).as("icept"),
+          round(regr_r2(y, x), 8).as("r2"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- ordered string aggregation (listagg): deterministic via an
+    //      explicit ORDER BY inside the aggregate; the Spark side sorts
+    //      the collected array so the result is partitioning-independent
+    //      (collect_list order is otherwise nondeterministic) ----
+    sqlChecked("a_string_agg",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      t(s, d, "nation")
+        .join(t(s, d, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy(col("r_name"))
+    },
+
+    // ---- PIVOT long→wide with an EXPLICIT value list: naming the
+    //      pivot values skips the extra distinct-scan job Spark
+    //      otherwise runs to discover them, and fixes the output schema
+    //      regardless of which values a partition happens to hold ----
+    sqlChecked("p_pivot",
+      """SELECT l_returnflag,
+        |  ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS qty_f,
+        |  ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+        .select(col("l_returnflag"),
+          round(col("F").cast("double"), 2).as("qty_f"),
+          round(col("O").cast("double"), 2).as("qty_o"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- UNPIVOT wide→long (melt): the inverse reshape; NULL cells
+    //      dropped explicitly on both sides (engines differ on the
+    //      default) ----
+    sqlChecked("p_unpivot",
+      """WITH p AS (
+        |  SELECT l_returnflag,
+        |    ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS qty_f,
+        |    ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |      THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 2) AS qty_o
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, ls, qty FROM (
+        |  SELECT l_returnflag, 'qty_f' AS ls, qty_f AS qty FROM p
+        |  UNION ALL
+        |  SELECT l_returnflag, 'qty_o' AS ls, qty_o AS qty FROM p)
+        |WHERE qty IS NOT NULL
+        |ORDER BY l_returnflag, ls""".stripMargin) { (s, d) =>
+      val wide = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+        .select(col("l_returnflag"),
+          round(col("F").cast("double"), 2).as("qty_f"),
+          round(col("O").cast("double"), 2).as("qty_o"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty_f"), col("qty_o")), "ls", "qty")
+        .filter(col("qty").isNotNull)
+        .orderBy(col("l_returnflag"), col("ls"))
+    },
+
+    // ---- array explode WITH ORDINALITY: posexplode keeps the element
+    //      index (0-based; the oracle's 1-based subscripts shifted to
+    //      match), the lateral-view building block for any
+    //      array-of-features table ----
+    sqlChecked("f_explode",
+      """SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |  ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS v
+        |FROM embeddings WHERE vec_id % 53 = 0
+        |ORDER BY vec_id, i""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings").filter(col("vec_id") % 53 === 0)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "v")))
+        .select(col("vec_id"), col("i"),
+          round(col("v").cast("double"), 6).as("v"))
+        .orderBy(col("vec_id"), col("i"))
+    },
+  )
+}

@@ -282,4 +282,27 @@ class LlmSpec extends SparkSpec {
       "identical docs share fingerprints")
     assert(r.map(_._3).forall(_.length == 16))
   }
+
+  test("repeated passages: shared grams found, maxDocs skew guard excludes boilerplate") {
+    // docs 1, 2, 4 share the 12-word prefix → plenty of shared 6-grams;
+    // doc 3 and 5 share nothing 6 words long with anyone
+    val rp = Dedup.repeatedPassages(docs, col("doc_id"), col("text"), n = 6)
+    val byDoc = rp.groupBy(col("id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 4L).subsetOf(byDoc.keySet), s"sharers missing: $byDoc")
+    assert(!byDoc.contains(3L) && !byDoc.contains(5L),
+      s"unique docs must not be flagged: $byDoc")
+    // identical docs 1 and 4 flag the same gram set
+    assert(byDoc(1L) == byDoc(4L))
+    // spread: the prefix grams live in all three docs
+    assert(rp.agg(max(col("n_docs"))).head.getLong(0) == 3L)
+
+    // skew guard: capping maxDocs below the spread removes those grams
+    val capped = Dedup.repeatedPassages(docs, col("doc_id"), col("text"),
+      n = 6, minDocs = 2, maxDocs = 2)
+    assert(capped.filter(col("n_docs") > 2).count() == 0L)
+    // grams shared by exactly 2 docs (1-2 and 2-4 overlap in the
+    // 13-word variants' tails) survive the cap
+    assert(capped.count() < rp.count())
+  }
 }
