@@ -718,6 +718,32 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // ---- per-source language-distribution entropy: the corpus-mix
+    //      diversity signal (a source whose language histogram is
+    //      near-deterministic scores ~0). Two grouped aggregates; the
+    //      share comes from a window sum so no self-join. ----
+    sqlChecked("t_entropy",
+      """WITH c AS (SELECT source, lang, COUNT(*) AS n
+        |  FROM documents GROUP BY source, lang),
+        |p AS (SELECT source,
+        |    CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY source)
+        |      AS DOUBLE) AS p
+        |  FROM c)
+        |SELECT source, ROUND(-SUM(p * LN(p)), 8) AS h, COUNT(*) AS n_langs
+        |FROM p GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      t(s, d, "documents").groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"),
+          (col("n").cast("double")
+            / sum(col("n")).over(wSrc).cast("double")).as("p"))
+        .groupBy(col("source"))
+        .agg(round(-sum(col("p") * log(col("p"))), 8).as("h"),
+          count(lit(1)).as("n_langs"))
+        .orderBy(col("source"))
+    },
+
     // ---- cross-document repeated-passage detection: exact 6-gram
     //      shingles shared by 2..50 distinct documents, rolled up per
     //      doc. The 50-doc cap is the skew guard (boilerplate grams

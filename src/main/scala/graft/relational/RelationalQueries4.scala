@@ -108,6 +108,61 @@ object RelationalQueries4 {
         .orderBy(col("l_returnflag"), col("ls"))
     },
 
+    // ---- grouped exact percentiles: per-group interpolated quantiles
+    //      + median, the reference's quantile/bandwidth machinery (O6)
+    //      grouped — one hash aggregate, sort only within each group's
+    //      collected values ----
+    sqlChecked("a_pctile_grouped",
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS med_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice").cast("double"), lit(0.5)), 6)
+            .as("p50"),
+          round(percentile(col("l_extendedprice").cast("double"), lit(0.9)), 6)
+            .as("p90"),
+          round(percentile(col("l_quantity").cast("double"), lit(0.5)), 6)
+            .as("med_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ---- boolean / conditional aggregates: count_if + bool_and/bool_or
+    //      (every one folds into the same partial+final hash aggregate) ----
+    sqlChecked("f_bool_agg",
+      """SELECT o_orderpriority,
+        |  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+        |  bool_and(o_totalprice > 900) AS all_above,
+        |  bool_or(o_orderstatus = 'F') AS any_f
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(count_if(col("o_totalprice") > 150000).as("n_big"),
+          bool_and(col("o_totalprice") > 900).as("all_above"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- rolling windowed median: an exact percentile aggregate over
+    //      a moving ROWS frame (order-statistic smoothing per key) ----
+    sqlChecked("w_rolling_median",
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS med3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, 0)
+      t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+          round(percentile(col("o_totalprice").cast("double"), lit(0.5)).over(w), 4)
+            .as("med3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // ---- array explode WITH ORDINALITY: posexplode keeps the element
     //      index (0-based; the oracle's 1-based subscripts shifted to
     //      match), the lateral-view building block for any

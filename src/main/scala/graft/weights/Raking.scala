@@ -10,11 +10,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   * margins until all match — the classic survey weighting loop).
   *
   * Each sweep, for each margin dimension: N̂_h = Σ_{i∈h} w_i per cell,
-  * factor f_h = N_h / N̂_h, w ← w·f_h. Every step is one dimension-sized
-  * groupBy + a broadcast join against cell targets — nothing wider than
-  * the margin tables ever shuffles, so the loop is margin-count ×
-  * sweep-count small aggregates over the (cached) sample: the same
-  * O(iterations) job shape as the IRLS/NR fits and just as 100-TB-safe.
+  * factor f_h = N_h / N̂_h, w ← w·f_h.
+  *
+  * Distributed shape: margin tables are CONTROL totals — inherently
+  * dimension-sized (thousands of cells, not rows) — so the factors live
+  * on the DRIVER as map literals and each step is ONE tiny grouped
+  * aggregate plus a narrow map-lookup expression. No join, no shuffle
+  * of the sample, no plan pinning: the whole multi-sweep adjustment
+  * compiles to nested codegen'd expressions over the input, and the
+  * aggregates run against a single cached narrow projection. (The
+  * previous broadcast-join formulation re-derived the sample frame
+  * twice per step and needed persist pins every other sweep; at 100 TB
+  * the factor map is kilobytes while the joins were full-width
+  * shuffles-worth of plan.)
   *
   * Pinned `sweeps` makes the fixed point replayable by a DuckDB oracle
   * (`m18_raking`); IPF is a contraction on the log-weights, so engine
@@ -32,45 +40,44 @@ object Raking {
   def rake(df: DataFrame, weight: Column,
       margins: Seq[(Column, DataFrame)], sweeps: Int): DataFrame = {
     val dims = margins.zipWithIndex
-    var cur = df.withColumn("rake_wt", weight.cast("double"))
-    dims.foreach { case ((cell, _), i) => cur = cur.withColumn(s"__rk$i", cell) }
-    // each step derives `cur` twice (margin aggregate + the join back),
-    // so the unpinned plan doubles per step; pin each sweep — persist +
-    // leaf view — and release the previous one (the CC loop discipline).
-    // The FINAL sweep's cache is left in place: releasing it would make
-    // the caller's first action replay every sweep.
-    var pinned: DataFrame = null
-    for (k <- 1 to sweeps) {
-      for (((_, targets), i) <- dims) {
-        val hat = cur.groupBy(col(s"__rk$i"))
-          .agg(sum(col("rake_wt")).as("__hat"))
-        // LEFT join + factor 1.0 for cells absent (or null) in the
-        // targets frame: an inner join here would silently delete every
-        // sample row of an uncovered margin cell, changing the weighted
-        // population with no signal
-        val f = hat.join(targets.select(
-            col(targets.columns.head).as(s"__rk$i"),
-            col(targets.columns(1)).cast("double").as("__target")),
-            Seq(s"__rk$i"), "left")
-          .select(col(s"__rk$i"),
-            coalesce(col("__target") / col("__hat"), lit(1.0)).as("__f"))
-        cur = cur.join(broadcast(f), Seq(s"__rk$i"), "left")
-          .withColumn("rake_wt",
-            col("rake_wt") * coalesce(col("__f"), lit(1.0)))
-          .drop("__f")
-      }
-      // pin every second sweep (and the last): the plan quadruples per
-      // unpinned sweep, so a 2-sweep gap stays tiny while halving the
-      // materialization passes; the eager count is what makes releasing
-      // the previous pin safe (the new cache no longer needs it)
-      if (k % 2 == 0 || k == sweeps) {
-        val cache = cur.persist()
-        cache.count()
-        if (pinned != null) pinned.unpersist(blocking = false)
-        pinned = cache
-        cur = org.apache.spark.sql.GraftSqlBridge.flattenPlan(cache)
+    // narrow working projection: original columns + string cell keys;
+    // cached because every step's aggregate re-scans it (released
+    // before returning — the result recomputes one narrow pass)
+    var base = df.withColumn("rake_wt", weight.cast("double"))
+    dims.foreach { case ((cell, _), i) =>
+      base = base.withColumn(s"__rk$i", cell.cast("string"))
+    }
+    val cached = base.persist()
+
+    // control totals to the driver, once per dimension; a missing (or
+    // null) cell keeps factor 1.0 — a partial targets table must not
+    // silently delete sample rows (inner-join semantics would)
+    val targetMaps: Seq[Map[String, Double]] = margins.map { case (_, tg) =>
+      tg.select(col(tg.columns.head).cast("string"),
+          col(tg.columns(1)).cast("double"))
+        .collect().filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+
+    // rake_wt as a growing expression: sweeps × dims map-lookup factors
+    var wt: Column = col("rake_wt")
+    for (_ <- 1 to sweeps; ((_, _), i) <- dims) {
+      val hat = cached.groupBy(col(s"__rk$i")).agg(sum(wt).as("hat"))
+        .collect().filter(!_.isNullAt(0))
+        .map(r => r.getString(0) -> r.getDouble(1))
+      val factors = hat.flatMap { case (cell, h) =>
+        targetMaps(i).get(cell).map(t => cell -> t / h)
+      }.toMap
+      wt = if (factors.isEmpty) wt
+      else {
+        val m = map(factors.toSeq.flatMap { case (k, v) =>
+          Seq(lit(k), lit(v)) }: _*)
+        wt * coalesce(element_at(m, col(s"__rk$i")), lit(1.0))
       }
     }
-    dims.foldLeft(cur) { case (d, (_, i)) => d.drop(s"__rk$i") }
+    val result = base.withColumn("rake_wt", wt)
+      .drop(dims.map { case (_, i) => s"__rk$i" }: _*)
+    cached.unpersist(blocking = false)
+    result
   }
 }
