@@ -111,4 +111,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
       s"scan did not use the bucket layout:\n$p")
   }
+
+  test("rake: factor application is join-free (map-literal lookups only)") {
+    import spark.implicits._
+    val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
+      .toDF("r", "s", "w")
+    val raked = graft.weights.Raking.rake(df, org.apache.spark.sql.functions.col("w"),
+      Seq(org.apache.spark.sql.functions.col("r") ->
+          Seq(("a", 4.0), ("b", 2.0)).toDF("r", "t"),
+        org.apache.spark.sql.functions.col("s") ->
+          Seq(("x", 3.0), ("y", 3.0)).toDF("s", "t")),
+      sweeps = 2)
+    val p = raked.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"),
+      s"raked weights must be pure expressions over the sample:\n$p")
+    assert(!p.contains("Exchange"),
+      s"factor application must not shuffle the sample:\n$p")
+  }
 }
