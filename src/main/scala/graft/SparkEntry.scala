@@ -17,7 +17,8 @@ object SparkEntry {
       graft.relational.RelationalQueries3.all ++
       graft.relational.RelationalQueries4.all ++
       graft.relational.StatQueries.all ++
-      graft.relational.LlmQueries.all
+      graft.relational.LlmQueries.all ++
+      graft.relational.LlmQueries2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

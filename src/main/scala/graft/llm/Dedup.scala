@@ -140,6 +140,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard_est"))
   }
 
+  /** Incremental near-dup screen: match each `batch` document against
+    * `corpus` via the MinHash band join — no batch×batch or
+    * corpus×corpus pairs. This is the shape of deduplicating a new
+    * crawl increment against an existing corpus WITHOUT re-clustering
+    * the corpus: signatures for the (small) increment are computed
+    * fresh, the corpus side would be a precomputed signature table at
+    * scale, and the band join touches only colliding buckets.
+    *
+    * Returns one row per batch id: `n_matches` corpus partners with
+    * estimated Jaccard ≥ threshold and the best estimate (null when
+    * none). Both sides use the identical hash family, so
+    * batch-vs-corpus estimates equal the corresponding
+    * [[minhashPairs]] estimates over the union.
+    */
+  def minhashMatchesAgainst(corpus: DataFrame, batch: DataFrame,
+      id: Column, text: Column, shingleK: Int, numHashes: Int,
+      bands: Int, threshold: Double,
+      hasher: Column => Column = xxHash): DataFrame = {
+    val rows = numHashes / bands
+    val bSig = minhashSignatures(batch, id, text, shingleK, numHashes, hasher)
+      .persist()
+    val cSig = minhashSignatures(corpus, id, text, shingleK, numHashes, hasher)
+    def bandKeys(sig: DataFrame, out: String): DataFrame =
+      sig.select(col("id").as(out),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), concat_ws(",",
+            slice(col("sig"), b * rows + 1, lit(rows))).as("bkey")))).as("bk"))
+        .select(col(out), col("bk.band"), col("bk.bkey"))
+    // pair dedup carries only the two ids; signatures rejoin afterwards
+    val cand = bandKeys(bSig, "b_id")
+      .join(bandKeys(cSig, "c_id"), Seq("band", "bkey"))
+      .select(col("b_id"), col("c_id"))
+      .dropDuplicates("b_id", "c_id")
+      .join(bSig.select(col("id").as("b_id"), col("sig").as("sig_b")), Seq("b_id"))
+      .join(cSig.select(col("id").as("c_id"), col("sig").as("sig_c")), Seq("c_id"))
+    val matches = cand.withColumn("jaccard_est",
+        aggregate(zip_with(col("sig_b"), col("sig_c"), (x, y) =>
+          when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) / numHashes.toDouble)
+      .filter(col("jaccard_est") >= threshold)
+      .groupBy(col("b_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard_est")).as("best"))
+    bSig.select(col("id"))
+      .join(matches, col("id") === col("b_id"), "left")
+      .select(col("id"), coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("best"))
+  }
+
   /** Exact word-level n-gram Jaccard similarity over candidate pairs
     * produced by a cheap blocking key — the oracle-checkable exact-math
     * sibling of minhashPairs.

@@ -26,7 +26,7 @@ object LlmQueries {
     * ending in a `pairs(id_a, id_b, jaccard_est)` CTE filtered at the
     * 0.30 estimate threshold. Mirrors Dedup.minhashPairs with
     * hasher = md5Hash60 exactly. */
-  private val minhashCtes: String = {
+  private[relational] val minhashCtes: String = {
     val P = 2147483647L
     val mins = (0 until 32).map { i =>
       val a = 1103515245L * (i + 1) % P
