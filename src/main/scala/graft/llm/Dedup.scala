@@ -501,10 +501,27 @@ object Dedup {
   def repeatedPassages(df: DataFrame, id: Column, text: Column, n: Int,
       minDocs: Int = 2, maxDocs: Int = Int.MaxValue,
       hasher: Column => Column = xxHash): DataFrame = {
-    // shingles() is per-document distinct already, so count(*) per hash
-    // is the distinct-document frequency
-    val grams = df.select(id.as("id"), explode(shingles(text, n)).as("__g"))
+    // gram construction via posexplode + lead windows (codegen'd), not
+    // the transform/slice higher-order form — and persisted, because
+    // the gram stream feeds BOTH the frequency aggregate and the
+    // join-back (recomputing the shingling was ~2x the query cost)
+    val spread = df.select(id.as("id"), text.as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val words = spread.select(col("id"),
+      posexplode(split(normalize(col("__text")), " ")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = col("w") +: (1 until n).map(o => lead(col("w"), o).over(byDoc))
+    val nWords = count(lit(1)).over(Window.partitionBy(col("id")))
+    // full n-grams; a doc shorter than n words keeps its pos-0 row,
+    // where concat_ws drops the null leads -> one whole-text gram
+    val grams = words
+      .select(col("id"), concat_ws(" ", parts: _*).as("__g"),
+        (lead(col("w"), n - 1).over(byDoc).isNotNull ||
+          (col("pos") === 0 && nWords < n)).as("__keep"))
+      .filter(col("__keep"))
       .select(col("id"), hasher(col("__g")).as("h"))
+      .dropDuplicates("id", "h")
+      .persist()
     val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs && col("n_docs") <= maxDocs)
     grams.join(hot, Seq("h"))
