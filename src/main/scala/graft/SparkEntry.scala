@@ -16,6 +16,7 @@ object SparkEntry {
       graft.relational.RelationalQueries2.all ++
       graft.relational.RelationalQueries3.all ++
       graft.relational.RelationalQueries4.all ++
+      graft.relational.RelationalQueries5.all ++
       graft.relational.StatQueries.all ++
       graft.relational.LlmQueries.all ++
       graft.relational.LlmQueries2.all

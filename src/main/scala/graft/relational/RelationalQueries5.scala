@@ -1,0 +1,161 @@
+package graft.relational
+
+import graft.core.Tables
+import graft.llm.{Dedup, LinkGraph}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.SparkSession
+
+/** Fifth batch: graph triangle counting, BM25 term scoring, and the
+  * messy-ingestion source surface (schema evolution across parquet
+  * batches, corrupt-record JSON handling) — what a long-lived 100 TB
+  * corpus actually throws at an engine.
+  */
+object RelationalQueries5 {
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val normSql =
+    "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- exact triangle counts on the order graph via the
+    //      degree-ordered oriented wedge join (out-degree O(sqrt m)
+    //      after orientation — no hot-vertex wedge blowup). The oracle
+    //      replays the identical orientation and closure. ----
+    sqlChecked("g_triangles",
+      """WITH e0 AS (SELECT DISTINCT o_custkey % 100 AS a, o_orderkey % 150 AS b
+        |  FROM orders WHERE o_custkey % 100 <> o_orderkey % 150),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM e0),
+        |deg AS (SELECT n, COUNT(*) AS d FROM
+        |  (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n),
+        |ori AS (SELECT CASE WHEN (da.d, u) < (db.d, v) THEN u ELSE v END AS s,
+        |               CASE WHEN (da.d, u) < (db.d, v) THEN v ELSE u END AS t
+        |        FROM und JOIN deg da ON da.n = u JOIN deg db ON db.n = v),
+        |tri AS (SELECT e1.s AS x, e1.t AS y, e2.t AS z
+        |        FROM ori e1 JOIN ori e2 ON e1.t = e2.s
+        |        JOIN ori e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |corners AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |SELECT node, COUNT(*) AS n_tri FROM corners
+        |GROUP BY node ORDER BY node""".stripMargin) { (s, d) =>
+      val edges = t(s, d, "orders").select(
+        (col("o_custkey") % 100).as("a"), (col("o_orderkey") % 150).as("b"))
+      LinkGraph.triangleCounts(edges, col("a"), col("b"))
+        .orderBy(col("node"))
+    },
+
+    // ---- BM25 top terms per document (k1=1.2, b=0.75): the ranking
+    //      twin of t_tfidf with document-length normalization — tf,
+    //      df, and doc length all come from the one token stream, the
+    //      dimension-sized df table broadcasts back. ----
+    sqlChecked("t_bm25",
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+         |  GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+         |  GROUP BY term),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl
+         |  FROM dl),
+         |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |    LN(1.0 + (n - df + 0.5) / (df + 0.5))
+         |      * (tf * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats),
+         |ranked AS (SELECT doc_id, term, tf, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, term) AS rk FROM scored)
+         |SELECT doc_id, term, tf, rk, ROUND(score, 8) AS bm25
+         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val df = toks.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val Array(nDocs, avgdl) = dl
+        .agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+        .toSeq.map(_.asInstanceOf[Double]).toArray
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .withColumn("score",
+          log(lit(1.0) + (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("rk"),
+          round(col("score"), 8).as("bm25"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // ---- schema evolution across parquet batches: an early batch
+    //      lacks the `source` column a later batch carries; the
+    //      mergeSchema scan unions them losslessly (missing column
+    //      null-filled). The oracle derives the same split from the
+    //      source table, so the evolved read must reconstruct it
+    //      exactly. ----
+    sqlChecked("s8_evolution",
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS with_src
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s8").toString
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$tmp/b1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+        .write.mode("overwrite").parquet(s"$tmp/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+          sum(when(col("source").isNotNull, 1L).otherwise(0L)).as("with_src"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- corrupt-record JSON ingestion: a deterministic 1-in-7 of
+    //      the corpus is mangled into invalid JSON, read back
+    //      PERMISSIVE with a corrupt-record column; good rows keep
+    //      their payload, bad rows are counted, nothing is dropped
+    //      silently. The oracle knows exactly which rows were mangled. ----
+    sqlChecked("s9_corrupt",
+      """SELECT
+        |  CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_good,
+        |  CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_corrupt,
+        |  CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS good_chars
+        |FROM documents""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_s9").toString
+      val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+      t(s, d, "documents")
+        .select(when(col("doc_id") % 7 === 3,
+            concat(substring(line, 1, 20), lit("###")))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(s"$tmp/j")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType), StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(s"$tmp/j")
+        .agg(sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("_bad").isNull, col("n_chars")).otherwise(0L))
+            .as("good_chars"))
+    }
+  )
+}

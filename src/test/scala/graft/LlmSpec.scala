@@ -305,4 +305,19 @@ class LlmSpec extends SparkSpec {
     // 13-word variants' tails) survive the cap
     assert(capped.count() < rp.count())
   }
+
+  test("triangleCounts: K4 closed form; stars and paths have none") {
+    // complete graph on 4 vertices: C(4,3)=4 triangles, each vertex in 3
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val tri = graft.llm.LinkGraph.triangleCounts(k4, col("a"), col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a star has wedges but no closures; duplicate/reversed edges and
+    // self-loops must not fabricate any
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L), (0L, 1L), (2L, 2L))
+      .toDF("a", "b")
+    assert(graft.llm.LinkGraph.triangleCounts(star, col("a"), col("b"))
+      .count() == 0L)
+  }
 }
