@@ -142,6 +142,67 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
   }
 
+  /** Product-quantization codebooks: the vector space is split into
+    * `m` contiguous subspaces and each gets its own pinned-Lloyd
+    * codebook ([[kmeansFit]] — deterministic init, quantized means, so
+    * a SQL oracle replays the identical fixed point). Returns
+    * m × k × (dims/m) centroids.
+    *
+    * 100 TB shape: m independent k-means over SLICED vectors — each
+    * iteration is one linear pass; codebooks are driver-sized
+    * (m·k·subdim doubles), never a join side. */
+  def pqFit(df: DataFrame, id: Column, vec: Column,
+      m: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val base = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+    val dims = base.select(size(col("v"))).head().getInt(0)
+    require(dims % m == 0, s"pqFit: $dims dims not divisible into $m subspaces")
+    val sub = dims / m
+    (0 until m).map { j =>
+      kmeansFit(base.select(col("id"), slice(col("v"), j * sub + 1, sub).as("v")),
+        col("id"), col("v"), k, iters)
+    }.toArray
+  }
+
+  /** PQ/ADC top-k: corpus vectors are ENCODED to m small code ids (the
+    * compressed representation — the full vectors never enter the
+    * scoring join), queries compute per-subspace distance tables to
+    * the codebooks as pure expressions, and the approximate distance
+    * is the sum of m table lookups. Exactly the asymmetric-distance
+    * computation of Jégou et al.'s PQ, with the lookup expressed as
+    * `element_at` over a literal distance array — codegen'd, no UDF.
+    *
+    * Returns (q_id, c_id, adist, rn) — the k smallest approximate
+    * distances per query (ties → smaller c_id). */
+  def pqTopK(corpus: DataFrame, cId: Column, cVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column,
+      codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    val enc = corpus
+      .select(cId.as("c_id"), cVec.cast("array<double>").as("c_v"))
+      .withColumn("codes", array((0 until m).map(j =>
+        nearestCentroid(slice(col("c_v"), j * sub + 1, sub),
+          codebooks(j).toSeq)): _*))
+      .select(col("c_id"), col("codes"))
+    val q = queries.select(qId.as("q_id"), qVec.cast("array<double>").as("q_v"))
+    // adist = Σ_j dist²(q_j, codebook_j[code_j]) — per-code distances
+    // are literal-centroid expressions over the query subvector; the
+    // code id picks one via element_at. Summed in subspace order so
+    // the oracle's d1+d2+...+dm matches bit-for-bit.
+    val adist = (0 until m).map { j =>
+      val qsub = slice(col("q_v"), j * sub + 1, sub)
+      element_at(
+        array(codebooks(j).map(c => dist2(qsub, c)): _*),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id"))
+    enc.crossJoin(broadcast(q))
+      .withColumn("adist", adist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("adist"), col("rn"))
+  }
+
   /** Bucketed ANN top-k: query vectors search only their own bucket.
     * Exact within-bucket; recall depends on planes (recall/speed knob).
     * `queries` is small (broadcast). */

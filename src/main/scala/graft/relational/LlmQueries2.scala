@@ -81,6 +81,73 @@ object LlmQueries2 {
         .orderBy(col("doc_id"))
     },
 
+    // ---- product-quantization ANN (Jégou et al. PQ/ADC): 4 subspace
+    //      codebooks from pinned-Lloyd k-means, corpus encoded to 4
+    //      code ids (the compressed representation — full vectors
+    //      never enter the scoring join), queries rank by the sum of
+    //      per-subspace lookup distances. The oracle replays all four
+    //      sub-k-means, the encoding, and the ADC sum. ----
+    sqlChecked("sim_pq", {
+      val M = 4; val SUB = 16; val K = 8; val ITERS = 2; val TOPK = 5
+      def meanList(dims: Int) = (1 to dims).map(i =>
+        s"CAST(SUM(CAST(FLOOR(v[$i]*10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+          "/CAST(COUNT(*) AS DOUBLE)/10000000.0")
+        .mkString("list_value(", ", ", ")")
+      def assignSql(src: String, cent: String, rnName: String) =
+        s"""SELECT e.vec_id, e.v, c.cid,
+           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.v)
+           |          + list_dot_product(c.v, c.v), c.cid) AS $rnName
+           |    FROM $src e CROSS JOIN $cent c""".stripMargin
+      val subCtes = (0 until M).map { j =>
+        val off = j * SUB
+        val iters = (1 to ITERS).map { it =>
+          s"""a${j}_$it AS (SELECT * FROM
+             |  (${assignSql(s"emb$j", s"c${j}_${it - 1}", "rn")}) WHERE rn = 1),
+             |m${j}_$it AS (SELECT cid, ${meanList(SUB)} AS v FROM a${j}_$it
+             |  GROUP BY cid),
+             |c${j}_$it AS (SELECT o.cid, COALESCE(n.v, o.v) AS v
+             |  FROM c${j}_${it - 1} o LEFT JOIN m${j}_$it n USING (cid))""".stripMargin
+        }.mkString(",\n")
+        s"""emb$j AS (SELECT vec_id, v[${off + 1}:${off + SUB}] AS v FROM emb),
+           |c${j}_0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+           |  FROM emb$j ORDER BY vec_id LIMIT $K),
+           |$iters,
+           |cells$j AS (SELECT vec_id, cid
+           |  FROM (${assignSql(s"emb$j", s"c${j}_$ITERS", "rn")}) WHERE rn = 1),
+           |d$j AS (SELECT q.vec_id AS q_id, s.vec_id AS c_id,
+           |    list_dot_product(q.v[${off + 1}:${off + SUB}],
+           |                     q.v[${off + 1}:${off + SUB}])
+           |      - 2*list_dot_product(q.v[${off + 1}:${off + SUB}], c.v)
+           |      + list_dot_product(c.v, c.v) AS d
+           |  FROM qset q CROSS JOIN cells$j s
+           |  JOIN c${j}_$ITERS c ON c.cid = s.cid)""".stripMargin
+      }.mkString(",\n")
+      val dSum = (0 until M).map(j => s"d$j.d").mkString(" + ")
+      val dJoins = (1 until M)
+        .map(j => s"JOIN d$j USING (q_id, c_id)").mkString(" ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |qset AS (SELECT vec_id, v FROM emb WHERE vec_id % 101 = 0),
+         |$subCtes,
+         |total AS (SELECT d0.q_id, d0.c_id, $dSum AS adist FROM d0 $dJoins),
+         |ranked AS (SELECT q_id, c_id, adist,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY adist, c_id) AS rn FROM total)
+         |SELECT q_id, c_id, ROUND(adist, 8) AS adist, rn
+         |FROM ranked WHERE rn <= $TOPK ORDER BY q_id, rn""".stripMargin
+    }) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val books = graft.llm.Similarity.pqFit(emb, col("vec_id"),
+        col("embedding"), m = 4, k = 8, iters = 2)
+      graft.llm.Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") % 101 === 0), col("vec_id"), col("embedding"),
+          books, k = 5)
+        .select(col("q_id"), col("c_id"), round(col("adist"), 8).as("adist"),
+          col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
     // ---- incremental dedup: screen the "new crawl" quarter of the
     //      corpus (doc_id % 4 = 3) against the existing three quarters
     //      via the MinHash band join — batch×corpus candidates only,

@@ -28,6 +28,27 @@ class ApproxSpec extends SparkSpec {
       s"exact=${r.getDouble(0)} approx=${r.getDouble(1)}")
   }
 
+  test("pq codes compress losslessly-enough: top-1 recall vs exact L2") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val books = graft.llm.Similarity.pqFit(emb, col("vec_id"),
+      col("embedding"), m = 4, k = 8, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 8)
+      && books.forall(_.forall(_.length == 16)))
+    val queries = emb.filter(col("vec_id") % 101 === 0)
+    val pq = graft.llm.Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), books, k = 10)
+      .filter(col("rn") <= 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every query's own vector has ADC distance = quantization error,
+    // near-minimal: the query itself must appear in its own top-10
+    val selfHits = pq.count { case (q, cands) => cands.contains(q) }
+    assert(selfHits >= pq.size * 8 / 10,
+      s"only $selfHits/${pq.size} queries retrieved themselves in PQ top-10")
+  }
+
   test("a_approx_sketches query shape is stable") {
     val df = SparkEntry.queries("a_approx_sketches")(spark, sf)
     val rows = df.collect()
