@@ -124,6 +124,51 @@ object RelationalQueries5 {
         .orderBy(col("lang"))
     },
 
+    // ---- MERGE-style upsert: a derived I/U/D changeset applied to
+    //      the orders snapshot in ONE full-outer equi-join (CDC
+    //      application / re-crawl refresh shape); the rollup of the
+    //      merged state must match the oracle's set-algebra replay.
+    //      Update and delete predicates are disjoint by construction
+    //      so each key carries at most one change row. ----
+    sqlChecked("s10_upsert",
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, 'U' AS op, o_totalprice * 2.0 AS price
+        |    FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT o_orderkey, 'D', 0.0 FROM orders
+        |    WHERE o_orderkey % 10 <> 0 AND o_orderkey % 17 = 3
+        |  UNION ALL SELECT o_orderkey + 100000000, 'I', 55.5 FROM orders
+        |    WHERE o_orderkey % 1000 = 7),
+        |snap AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_totalprice AS price FROM orders),
+        |merged AS (SELECT COALESCE(s.st, 'NEW') AS st,
+        |    COALESCE(c.price, s.price) AS price
+        |  FROM snap s FULL OUTER JOIN ch c ON s.k = c.k
+        |  WHERE c.op IS NULL OR c.op <> 'D')
+        |SELECT st, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM merged GROUP BY st ORDER BY st""".stripMargin) { (s, d) =>
+      val o = t(s, d, "orders")
+      val snap = o.select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"), col("o_totalprice").as("price"))
+      val ch = o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"), lit("U").as("op"),
+          (col("o_totalprice") * 2.0).as("price"))
+        .unionByName(o
+          .filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") % 17 === 3)
+          .select(col("o_orderkey").as("k"), lit("D").as("op"),
+            lit(0.0).as("price")))
+        .unionByName(o.filter(col("o_orderkey") % 1000 === 7)
+          .select((col("o_orderkey") + 100000000L).as("k"), lit("I").as("op"),
+            lit(55.5).as("price")))
+      graft.core.Upsert(snap, ch, key = "k")
+        .select(coalesce(col("st"), lit("NEW")).as("st"), col("price"))
+        .groupBy(col("st"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("price").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy(col("st"))
+    },
+
     // ---- corrupt-record JSON ingestion: a deterministic 1-in-7 of
     //      the corpus is mangled into invalid JSON, read back
     //      PERMISSIVE with a corrupt-record column; good rows keep

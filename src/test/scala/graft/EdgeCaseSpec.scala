@@ -48,4 +48,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.llm.Dedup.minhashPairs(docs, col("doc_id"), col("text"))
       .collect().isEmpty)
   }
+
+  test("upsert: update keeps uncarried columns, insert null-fills them, delete drops") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "tag", "price")
+    val ch = Seq((2L, "U", 99.0), (3L, "D", 0.0), (4L, "I", 55.0))
+      .toDF("k", "op", "price")
+    val out = graft.core.Upsert(snap, ch, key = "k")
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(out == Set(
+      (1L, Some("a"), 10.0),   // untouched
+      (2L, Some("b"), 99.0),   // price updated, tag kept
+      (4L, None, 55.0)))       // inserted, snapshot-only column null
+  }
+
+  test("upsert: empty changeset is identity; empty snapshot keeps inserts only") {
+    val snap = Seq((1L, 1.0)).toDF("k", "v")
+    val none = Seq.empty[(Long, String, Double)].toDF("k", "op", "v")
+    assert(graft.core.Upsert(snap, none, "k").collect().toSeq ==
+      snap.collect().toSeq)
+    val onlyIns = Seq((9L, "I", 2.0), (8L, "D", 0.0)).toDF("k", "op", "v")
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val out = graft.core.Upsert(empty, onlyIns, "k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out == Set((9L, 2.0)))
+  }
 }
