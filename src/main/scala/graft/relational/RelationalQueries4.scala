@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.core.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -178,6 +179,63 @@ object RelationalQueries4 {
         .select(col("vec_id"), col("i"),
           round(col("v").cast("double"), 6).as("v"))
         .orderBy(col("vec_id"), col("i"))
+    },
+
+    // ---- ntile + cume_dist: equi-count bucketing and empirical CDF
+    //      within each priority partition, fully deterministic via the
+    //      (price, key) tiebreak; partitioned windows, no global sort ----
+    sqlChecked("w_ntile",
+      """SELECT o_orderkey,
+        |  NTILE(7) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS bucket,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey), 10) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderkey"), ntile(7).over(w).as("bucket"),
+          round(cume_dist().over(w), 10).as("cd"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // ---- higher central moments from EXACT integral power sums:
+    //      l_quantity is integer-valued, so Σx²/Σx³/Σx⁴ are exact in
+    //      either engine in any summation order — skewness/kurtosis
+    //      derived from the same closed form on both sides (built-in
+    //      skewness() definitions differ across engines; the moment
+    //      algebra doesn't) ----
+    sqlChecked("a_moments",
+      """WITH s AS (SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |    SUM(l_quantity) AS s1, SUM(l_quantity*l_quantity) AS s2,
+        |    SUM(l_quantity*l_quantity*l_quantity) AS s3,
+        |    SUM(l_quantity*l_quantity*l_quantity*l_quantity) AS s4
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, n,
+        |  ROUND(s1 / n, 8) AS mean,
+        |  ROUND((s2 / n - (s1 / n) * (s1 / n)), 8) AS m2,
+        |  ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 8) AS skew,
+        |  ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+        |      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+        |    / POW(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3.0, 8) AS ex_kurt
+        |FROM s ORDER BY flag""".stripMargin) { (s, d) =>
+      val x = col("l_quantity").cast("double")
+      val g = t(s, d, "lineitem").groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      val n = col("n").cast("double")
+      val (m1, r2, r3, r4) = (col("s1") / n, col("s2") / n, col("s3") / n,
+        col("s4") / n)
+      g.select(col("flag"), col("n"), round(m1, 8).as("mean"),
+          round(r2 - m1 * m1, 8).as("m2"),
+          round((r3 - lit(3) * m1 * r2 + lit(2) * m1 * m1 * m1)
+            / pow(r2 - m1 * m1, 1.5), 8).as("skew"),
+          round((r4 - lit(4) * m1 * r3 + lit(6) * m1 * m1 * r2
+              - lit(3) * m1 * m1 * m1 * m1)
+            / pow(r2 - m1 * m1, 2.0) - 3.0, 8).as("ex_kurt"))
+        .orderBy(col("flag"))
     },
   )
 }
