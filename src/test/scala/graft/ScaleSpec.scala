@@ -131,4 +131,29 @@ class ScaleSpec extends SparkSpec {
     val bad = wantMap.collect { case (v, c) if got(v) != c => (v, c, got(v)) }
     assert(bad.isEmpty, s"${bad.size} mislabeled, first: ${bad.take(3)}")
   }
+
+  test("packChunks on 25k docs takes the two-phase scan and matches the local prefix sum") {
+    // 25k rows exceeds Windows.scan's small-input threshold (20k), so
+    // the prefix sum runs the distributed two-phase path
+    val n = 25000
+    val docs = spark.range(n).selectExpr("id AS doc_id",
+      "CAST(1 + (id * 2654435761) % 997 AS LONG) AS n_tok")
+    val got = graft.llm.Mixing.packChunks(docs, col("doc_id"), col("n_tok"),
+        capacity = 4096L)
+      .orderBy("id")
+      .select("id", "chunk_first", "chunk_last", "n_chunks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // local replay
+    val toks = (0 until n).map(i => 1L + (i.toLong * 2654435761L) % 997L)
+    var cum = 0L
+    val want = toks.zipWithIndex.map { case (t, i) =>
+      val first = cum / 4096L
+      cum += t
+      val last = (cum - 1) / 4096L
+      (i.toLong, first, last, last - first + 1)
+    }
+    assert(got.length == n)
+    val mism = got.zip(want).filter { case (g, w) => g != w }
+    assert(mism.isEmpty, s"${mism.size} mismatches, first: ${mism.take(3)}")
+  }
 }
