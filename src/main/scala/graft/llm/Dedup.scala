@@ -157,11 +157,21 @@ object Dedup {
   def minhashMatchesAgainst(corpus: DataFrame, batch: DataFrame,
       id: Column, text: Column, shingleK: Int, numHashes: Int,
       bands: Int, threshold: Double,
-      hasher: Column => Column = xxHash): DataFrame = {
+      hasher: Column => Column = xxHash): DataFrame =
+    minhashMatchesFromSigs(
+      minhashSignatures(corpus, id, text, shingleK, numHashes, hasher),
+      minhashSignatures(batch, id, text, shingleK, numHashes, hasher)
+        .persist(),
+      numHashes, bands, threshold)
+
+  /** [[minhashMatchesAgainst]] on PRECOMPUTED signature tables
+    * (id, sig) — the production shape, where the corpus signature
+    * index is built once and re-probed by every increment (and both
+    * sides of one call may be filtered slices of a single shared
+    * signature pass). */
+  def minhashMatchesFromSigs(cSig: DataFrame, bSig: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val rows = numHashes / bands
-    val bSig = minhashSignatures(batch, id, text, shingleK, numHashes, hasher)
-      .persist()
-    val cSig = minhashSignatures(corpus, id, text, shingleK, numHashes, hasher)
     def bandKeys(sig: DataFrame, out: String): DataFrame =
       sig.select(col("id").as(out),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>

@@ -165,11 +165,13 @@ object LlmQueries2 {
          |FROM documents d LEFT JOIN m ON m.b_id = d.doc_id
          |WHERE d.doc_id % 4 = 3 ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      Dedup.minhashMatchesAgainst(
-          corpus = docs.filter(col("doc_id") % 4 =!= 3),
-          batch = docs.filter(col("doc_id") % 4 === 3),
-          col("doc_id"), col("text"), shingleK = 3, numHashes = 32,
-          bands = 8, threshold = 0.30, hasher = Dedup.md5Hash60)
+      // one shared signature pass; both sides are filtered slices of it
+      val sig = Dedup.minhashSignatures(docs, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 32, hasher = Dedup.md5Hash60).persist()
+      Dedup.minhashMatchesFromSigs(
+          cSig = sig.filter(col("id") % 4 =!= 3),
+          bSig = sig.filter(col("id") % 4 === 3),
+          numHashes = 32, bands = 8, threshold = 0.30)
         .select(col("id").as("doc_id"), col("n_matches"),
           round(coalesce(col("best"), lit(0.0)), 6).as("best_est"))
         .orderBy(col("doc_id"))
