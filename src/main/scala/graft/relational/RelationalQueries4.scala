@@ -119,14 +119,19 @@ object RelationalQueries4 {
         |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90,
         |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS med_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // both price quantiles come from ONE percentile buffer (array
+      // percentages) — a per-group value-count map is the aggregate's
+      // whole cost, so don't build it twice for the same column
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_extendedprice").cast("double"), lit(0.5)), 6)
-            .as("p50"),
-          round(percentile(col("l_extendedprice").cast("double"), lit(0.9)), 6)
-            .as("p90"),
+          percentile(col("l_extendedprice").cast("double"),
+            array(lit(0.5), lit(0.9))).as("pp"),
           round(percentile(col("l_quantity").cast("double"), lit(0.5)), 6)
             .as("med_qty"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pp"), 1), 6).as("p50"),
+          round(element_at(col("pp"), 2), 6).as("p90"),
+          col("med_qty"))
         .orderBy(col("l_returnflag"))
     },
 
