@@ -2,6 +2,7 @@ package graft.relational
 
 import graft.core.Tables
 import graft.llm.{Dedup, LinkGraph}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.SparkSession
@@ -167,6 +168,74 @@ object RelationalQueries5 {
           round(sum(col("price").cast("decimal(18,2)")).cast("double"), 2)
             .as("total"))
         .orderBy(col("st"))
+    },
+
+    // ---- per-group z-score standardization: the feature-normalization
+    //      pass every embedding/quality pipeline runs before modeling.
+    //      Window aggregates (no join-back); moments are exact integral
+    //      sums so both engines agree bit-for-bit ----
+    sqlChecked("w_zscore",
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND((l_quantity - s1 / n)
+        |    / SQRT(s2 / n - (s1 / n) * (s1 / n)), 8) AS z
+        |FROM (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE)
+        |    AS l_quantity,
+        |    SUM(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag)
+        |      AS s1,
+        |    SUM(CAST(l_quantity AS DOUBLE) * l_quantity)
+        |      OVER (PARTITION BY l_returnflag) AS s2,
+        |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
+        |  FROM lineitem WHERE l_orderkey % 7 = 0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      // moments from EXACT integral power sums (not Welford stddev,
+      // whose merge order differs across engines)
+      val w = Window.partitionBy(col("l_returnflag"))
+      val x = col("l_quantity").cast("double")
+      t(s, d, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), x.as("l_quantity"),
+          sum(x).over(w).as("s1"), sum(x * col("l_quantity")).over(w).as("s2"),
+          count(lit(1)).over(w).cast("double").as("n"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round((col("l_quantity") - col("s1") / col("n")) /
+            sqrt(col("s2") / col("n") -
+              (col("s1") / col("n")) * (col("s1") / col("n"))), 8).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- percentile winsorization: clip each group's tail values at
+    //      its own exact [p05, p95] — outlier taming before any
+    //      moment-based estimator. One percentile aggregate per group
+    //      (dimension-sized), broadcast back as a join-free lookup
+    //      would be ideal; the group frame is tiny so the equi-join
+    //      broadcasts anyway ----
+    sqlChecked("p_winsor",
+      """WITH b AS (SELECT l_returnflag AS flag,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo,
+        |  CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi,
+        |  ROUND(AVG(GREATEST(LEAST(CAST(l_extendedprice AS DOUBLE), hi), lo)), 6)
+        |    AS wins_mean
+        |FROM lineitem JOIN b ON l_returnflag = flag
+        |GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val x = col("l_extendedprice").cast("double")
+      val b = li.groupBy(col("l_returnflag").as("flag"))
+        .agg(percentile(x, array(lit(0.05), lit(0.95))).as("pp"))
+        .select(col("flag"), element_at(col("pp"), 1).as("lo"),
+          element_at(col("pp"), 2).as("hi"))
+      li.join(broadcast(b), col("l_returnflag") === col("flag"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(x < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+          sum(when(x > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+          round(avg(greatest(least(x, col("hi")), col("lo"))), 6)
+            .as("wins_mean"))
+        .orderBy(col("flag"))
     },
 
     // ---- corrupt-record JSON ingestion: a deterministic 1-in-7 of

@@ -112,6 +112,24 @@ class PlanSpec extends SparkSpec {
       s"scan did not use the bucket layout:\n$p")
   }
 
+  test("sim_pq: scoring runs over the compressed code index, never the raw vectors") {
+    val df = SparkEntry.queries("sim_pq")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    val mem = p.linesIterator.filter(_.contains("InMemoryTableScan")).mkString("\n")
+    assert(mem.contains("codes"), s"encoded index not cached:\n$p")
+    assert(!mem.contains("c_v"), s"raw vectors leaked into the scoring join:\n$mem")
+  }
+
+  test("g_triangles / d11_incremental: equi-joins carry the wedge/band keys, no cartesian") {
+    for (q <- Seq("g_triangles", "d11_incremental")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        .exists(p.contains), s"$q has no equi-join operator:\n$p")
+    }
+  }
+
   test("rake: factor application is join-free (map-literal lookups only)") {
     import spark.implicits._
     val df = Seq(("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0))
