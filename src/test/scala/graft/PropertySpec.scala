@@ -86,6 +86,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts matches brute force on a random 200-vertex graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val edges = (0 until 1500).map(_ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+    // local brute force over the deduped undirected edge set
+    val und = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((u, v) <- und; w <- adj.getOrElse(v, Set.empty) if und((u, w))) {
+      // u < v < w by construction of adj over (min, max) pairs
+      want(u) += 1; want(v) += 1; want(w) += 1
+    }
+    val got = graft.llm.LinkGraph.triangleCounts(
+        edges.toDF("a", "b"), org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want.toMap, s"per-node triangle counts differ: " +
+      s"${(got.keySet ++ want.keySet).find(k => got.getOrElse(k, 0L) != want(k))}")
+  }
+
+  test("upsert matches a local map-based reference on random changesets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val snap = (0 until 200).map(i => (i.toLong, rnd.nextDouble()))
+      val keys = rnd.shuffle((0 until 260).toList).take(120)
+      val ch = keys.map { k =>
+        val op = if (k >= 200) "I" else Seq("U", "D")(rnd.nextInt(2))
+        (k.toLong, op, rnd.nextDouble())
+      }
+      val want = {
+        val m = scala.collection.mutable.LinkedHashMap(snap.map {
+          case (k, v) => k -> v }: _*)
+        ch.foreach {
+          case (k, "D", _) => m.remove(k)
+          case (k, _, v) => m(k) = v
+        }
+        m.toMap
+      }
+      val got = graft.core.Upsert(snap.toDF("k", "v"),
+          ch.toDF("k", "op", "v"), key = "k")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == want)
+    }
+  }
+
   test("deterministic RNG: uniform in (0,1), reproducible, salt-decorrelated") {
     val df = spark.range(1, 2001).toDF("id")
     val r = df.select(
