@@ -320,6 +320,66 @@ object Dedup {
     }
   }
 
+  /** Directional n-gram containment screen: blocked pairs with
+    * max(|A∩B|/|A|, |A∩B|/|B|) ≥ threshold — the subset-duplicate
+    * signal symmetric Jaccard misses (a short doc quoted wholesale
+    * inside a long one has low Jaccard but containment ≈ 1 on the
+    * short side).
+    *
+    * One-sided prefix filtering: C_max ≥ t ⟹ |A∩B| ≥ t·min(|A|,|B|),
+    * so the smaller side's size-based prefix (its n − ⌈t·n⌉ + 1 rarest
+    * tokens) must intersect the other side's FULL posting list. Every
+    * doc indexes its own prefix; candidates come from prefix ×
+    * full-list joins. The skew guard holds one-sidedly: a block-wide
+    * stopword has huge df in the full lists but (sorting last by df)
+    * almost never enters a prefix, so the join never goes df².
+    * Surviving candidates verify exactly on hashed shingle arrays.
+    * Returns (id_a, id_b, cmax), id_a < id_b.
+    */
+  def ngramContainment(df: DataFrame, id: Column, text: Column,
+      block: Column, k: Int = 1, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0, "containment screen needs a positive threshold")
+    val raw = df.select(id.as("id"), block.as("blk"), text.as("__text"))
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (raw.rdd.getNumPartitions < para) raw.repartition(para) else raw
+    val base = spread.select(col("id"), col("blk"),
+      shingles(col("__text"), k).as("sh"))
+    val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"))
+    val byTok = Window.partitionBy(col("blk"), col("w"))
+    val byDocOrd = Window.partitionBy(col("blk"), col("id"))
+      .orderBy(col("df"), col("w"))
+    val byDocAll = Window.partitionBy(col("blk"), col("id"))
+    val prefix = tok
+      .withColumn("df", count(lit(1)).over(byTok))
+      .withColumn("r", row_number().over(byDocOrd))
+      .withColumn("n", count(lit(1)).over(byDocAll))
+      .filter(col("r") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+      .select(col("blk"), col("w"), col("id"))
+    val cand = prefix.as("pa").join(tok.as("pb"),
+        col("pa.blk") === col("pb.blk") && col("pa.w") === col("pb.w") &&
+          col("pa.id") =!= col("pb.id"))
+      .select(least(col("pa.id"), col("pb.id")).as("id_a"),
+        greatest(col("pa.id"), col("pb.id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    // exact verify on hashed shingle sets (the d2 discipline)
+    val b = base.select(col("id"),
+      transform(col("sh"), x => xxhash64(x)).as("sh"))
+    val cmax = greatest(col("i").cast("double") / col("n_a"),
+      col("i").cast("double") / col("n_b"))
+    cand
+      .join(b.as("ba"), col("ba.id") === col("id_a"))
+      .join(b.as("bb"), col("bb.id") === col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("ba.sh"), col("bb.sh"))).cast("long").as("i"),
+        size(col("ba.sh")).cast("long").as("n_a"),
+        size(col("bb.sh")).cast("long").as("n_b"))
+      .withColumn("cmax", cmax)
+      .filter(col("cmax") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cmax"))
+  }
+
   /** 64-bit SimHash per document: explode tokens, hash each ONCE with
     * xxhash64, sign-aggregate every bit in one codegen'd hash aggregate
     * (64 sum columns), then assemble the fingerprint. Same

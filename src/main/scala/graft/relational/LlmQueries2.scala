@@ -81,6 +81,34 @@ object LlmQueries2 {
         .orderBy(col("doc_id"))
     },
 
+    // ---- directional containment screen: blocked pairs where the
+    //      SMALLER side is ≥90% contained in the other — the
+    //      subset-duplicate signal symmetric Jaccard misses. Engine
+    //      side uses one-sided prefix filtering + exact verify; the
+    //      oracle brute-forces the blocked pairs and must agree. ----
+    sqlChecked("d12_containment",
+      s"""WITH base AS (
+         |  SELECT doc_id, lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS blk,
+         |    list_distinct(string_split(
+         |      TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g')), ' ')) AS sh
+         |  FROM documents),
+         |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+         |    len(a.sh) AS n_a, len(b.sh) AS n_b
+         |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  ROUND(GREATEST(CAST(i AS DOUBLE) / n_a, CAST(i AS DOUBLE) / n_b), 8)
+         |    AS cmax
+         |FROM j
+         |WHERE GREATEST(CAST(i AS DOUBLE) / n_a, CAST(i AS DOUBLE) / n_b) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.ngramContainment(t(s, d, "documents"), col("doc_id"), col("text"),
+          concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("string")),
+          k = 1, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("cmax"), 8).as("cmax"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ---- product-quantization ANN (Jégou et al. PQ/ADC): 4 subspace
     //      codebooks from pinned-Lloyd k-means, corpus encoded to 4
     //      code ids (the compressed representation — full vectors

@@ -306,6 +306,31 @@ class LlmSpec extends SparkSpec {
     assert(capped.count() < rp.count())
   }
 
+  test("ngramContainment finds short-doc-inside-long across length buckets") {
+    // doc 11 is wholly quoted inside doc 10 (plus much more): Jaccard is
+    // low (~0.2) but containment on the short side is 1.0
+    val longText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    val corpus = Seq(
+      (10L, longText, "en"),
+      (11L, "one two three four five six seven", "en"),
+      (12L, "unrelated words entirely different content here", "en"),
+      (13L, longText, "de") // other block: must not pair with 10
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.llm.Dedup.ngramContainment(corpus, col("doc_id"),
+        col("text"), col("lang"), k = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((10L, 11L)),
+      s"expected exactly the (10,11) containment pair, got ${got.toSeq}")
+    assert(got.head._3 == 1.0)
+    // and the symmetric Jaccard screen at the same threshold misses it
+    val jac = graft.llm.Dedup.ngramJaccard(corpus, col("doc_id"),
+        col("text"), col("lang"), k = 1, threshold = 0.9)
+      .filter(col("id_a") === 10 && col("id_b") === 11).count()
+    assert(jac == 0L)
+  }
+
   test("triangleCounts: K4 closed form; stars and paths have none") {
     // complete graph on 4 vertices: C(4,3)=4 triangles, each vertex in 3
     val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
