@@ -170,6 +170,80 @@ object RelationalQueries5 {
         .orderBy(col("st"))
     },
 
+    // ---- time-spine densification + gap fill: sparse monthly totals
+    //      per priority densified onto the full month spine, missing
+    //      months filled BOTH ways (LOCF and linear interpolation
+    //      between the surrounding observations) — the standard
+    //      time-series regularization before any windowed model. The
+    //      spine is generated, not scanned; fills are per-group
+    //      windows over the (tiny) month grid. ----
+    sqlChecked("o8_densify",
+      """WITH m AS (SELECT o_orderpriority AS grp,
+        |    date_trunc('month', o_orderdate) AS mth,
+        |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |      AS v
+        |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1, 2),
+        |b AS (SELECT MIN(mth) AS lo, MAX(mth) AS hi FROM m),
+        |spine AS (SELECT grp, unnest(generate_series(lo, hi,
+        |    INTERVAL 1 MONTH)) AS mth FROM (SELECT DISTINCT grp FROM m), b),
+        |j AS (SELECT s.grp, s.mth, m.v, ROW_NUMBER() OVER (PARTITION BY s.grp
+        |    ORDER BY s.mth) AS rn
+        |  FROM spine s LEFT JOIN m ON m.grp = s.grp AND m.mth = s.mth),
+        |f AS (SELECT grp, mth, v, rn,
+        |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY grp ORDER BY mth
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        |    LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY grp ORDER BY mth
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY grp ORDER BY mth
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER (PARTITION BY grp ORDER BY mth
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY grp ORDER BY mth
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni
+        |  FROM j)
+        |SELECT grp, CAST(epoch(mth) AS BIGINT) AS mth, v IS NULL AS is_gap,
+        |  locf,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         ROUND(pv + (nv - pv) * CAST(rn - pi AS DOUBLE)
+        |           / CAST(ni - pi AS DOUBLE), 6)
+        |  END AS lerp
+        |FROM f ORDER BY grp, mth""".stripMargin) { (s, d) =>
+      val m = t(s, d, "orders").filter(col("o_orderkey") % 5 === 0)
+        .groupBy(col("o_orderpriority").as("grp"),
+          date_trunc("month", col("o_orderdate")).as("mth"))
+        .agg(round(sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double"), 2).as("v"))
+      val bnd = m.agg(min(col("mth")).as("lo"), max(col("mth")).as("hi"))
+      val spine = m.select(col("grp")).distinct()
+        .crossJoin(broadcast(bnd))
+        .select(col("grp"), explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 month"))).as("mth"))
+      val ord = Window.partitionBy(col("grp")).orderBy(col("mth"))
+      val j = spine.join(m, Seq("grp", "mth"), "left")
+        .withColumn("rn", row_number().over(ord))
+      val wCur = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+      val obsRn = when(col("v").isNotNull, col("rn"))
+      j.withColumn("locf", last(col("v"), ignoreNulls = true).over(wCur))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+        .withColumn("pi", last(obsRn, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+        .withColumn("ni", first(obsRn, ignoreNulls = true).over(wNext))
+        .select(col("grp"), unix_timestamp(col("mth")).as("mth"),
+          col("v").isNull.as("is_gap"), col("locf"),
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNotNull && col("nv").isNotNull,
+              round(col("pv") + (col("nv") - col("pv")) *
+                (col("rn") - col("pi")).cast("double") /
+                (col("ni") - col("pi")).cast("double"), 6))
+            .as("lerp"))
+        .orderBy(col("grp"), col("mth"))
+    },
+
     // ---- per-group z-score standardization: the feature-normalization
     //      pass every embedding/quality pipeline runs before modeling.
     //      Window aggregates (no join-back); moments are exact integral
