@@ -334,7 +334,9 @@ object Dedup {
     * stopword has huge df in the full lists but (sorting last by df)
     * almost never enters a prefix, so the join never goes df².
     * Surviving candidates verify exactly on hashed shingle arrays.
-    * Returns (id_a, id_b, cmax), id_a < id_b.
+    * Returns (id_a, id_b, cmax, c_ab, c_ba), id_a < id_b, where c_ab =
+    * |A∩B|/|A| (how much of A sits inside B) and cmax = max(c_ab, c_ba)
+    * ≥ threshold.
     */
   def ngramContainment(df: DataFrame, id: Column, text: Column,
       block: Column, k: Int = 1, threshold: Double = 0.9): DataFrame = {
@@ -377,7 +379,9 @@ object Dedup {
         size(col("bb.sh")).cast("long").as("n_b"))
       .withColumn("cmax", cmax)
       .filter(col("cmax") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cmax"))
+      .select(col("id_a"), col("id_b"), col("cmax"),
+        (col("i").cast("double") / col("n_a")).as("c_ab"),
+        (col("i").cast("double") / col("n_b")).as("c_ba"))
   }
 
   /** 64-bit SimHash per document: explode tokens, hash each ONCE with

@@ -95,18 +95,26 @@ object LlmQueries2 {
          |j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
          |    len(a.sh) AS n_a, len(b.sh) AS n_b
-         |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  ROUND(GREATEST(CAST(i AS DOUBLE) / n_a, CAST(i AS DOUBLE) / n_b), 8)
-         |    AS cmax
-         |FROM j
-         |WHERE GREATEST(CAST(i AS DOUBLE) / n_a, CAST(i AS DOUBLE) / n_b) >= 0.9
-         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.ngramContainment(t(s, d, "documents"), col("doc_id"), col("text"),
-          concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("string")),
-          k = 1, threshold = 0.9)
-        .select(col("id_a"), col("id_b"), round(col("cmax"), 8).as("cmax"))
-        .orderBy(col("id_a"), col("id_b"))
+         |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+         |sym AS (SELECT id_a AS id, CAST(i AS DOUBLE) / n_a AS c FROM j
+         |  UNION ALL SELECT id_b, CAST(i AS DOUBLE) / n_b FROM j)
+         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_containers,
+         |  ROUND(MAX(c), 8) AS best
+         |FROM sym WHERE c >= 0.9 GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.ngramContainment(t(s, d, "documents"), col("doc_id"),
+        col("text"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("string")),
+        k = 1, threshold = 0.9)
+      // per-doc rollup: how often (and how fully) each doc is contained
+      // in a same-block partner — the actionable dedup signal, and the
+      // compact output (pairs stay an engine-internal stream)
+      pairs.select(col("id_a").as("id"), col("c_ab").as("c"))
+        .unionByName(pairs.select(col("id_b").as("id"), col("c_ba").as("c")))
+        .filter(col("c") >= 0.9)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_containers"), round(max(col("c")), 8).as("best"))
+        .select(col("id").as("doc_id"), col("n_containers"), col("best"))
+        .orderBy(col("doc_id"))
     },
 
     // ---- product-quantization ANN (Jégou et al. PQ/ADC): 4 subspace
