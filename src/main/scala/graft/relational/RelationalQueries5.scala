@@ -170,6 +170,52 @@ object RelationalQueries5 {
         .orderBy(col("st"))
     },
 
+    // ---- correlated scalar subquery through the spark.sql entry path
+    //      (Catalyst rewrites it to an aggregated left outer join —
+    //      asserted by result parity with the oracle's identical
+    //      query); exercises the SQL-string surface a migrating user
+    //      hits first ----
+    sqlChecked("j_scalar_subquery",
+      """SELECT o_orderkey,
+        |  COALESCE((SELECT MAX(l_quantity) FROM lineitem l
+        |            WHERE l.l_orderkey = o.o_orderkey), 0.0) AS max_qty,
+        |  COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+        |            WHERE l.l_orderkey = o.o_orderkey), 0) AS n_lines
+        |FROM orders o WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey,
+          |  COALESCE((SELECT MAX(l_quantity) FROM lineitem l
+          |            WHERE l.l_orderkey = o.o_orderkey), 0.0) AS max_qty,
+          |  COALESCE((SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          |            WHERE l.l_orderkey = o.o_orderkey), 0) AS n_lines
+          |FROM orders o WHERE o_orderkey % 100 = 0
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ---- EXCEPT ALL / INTERSECT ALL: bag semantics with duplicate
+    //      multiplicity (the distinct variants live in set_*) ----
+    sqlChecked("set_bag_ops",
+      """WITH a AS (SELECT l_orderkey % 50 AS k FROM lineitem),
+        |b AS (SELECT o_orderkey % 50 AS k FROM orders),
+        |ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+        |ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |SELECT k, CAST(SUM(src) AS BIGINT) AS n_except,
+        |  CAST(SUM(1 - src) AS BIGINT) AS n_intersect
+        |FROM (SELECT k, 1 AS src FROM ea UNION ALL SELECT k, 0 FROM ia)
+        |GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      val a = t(s, d, "lineitem").select((col("l_orderkey") % 50).as("k"))
+      val b = t(s, d, "orders").select((col("o_orderkey") % 50).as("k"))
+      a.exceptAll(b).withColumn("src", lit(1))
+        .unionByName(a.intersectAll(b).withColumn("src", lit(0)))
+        .groupBy(col("k"))
+        .agg(sum(col("src")).cast("long").as("n_except"),
+          sum(lit(1) - col("src")).cast("long").as("n_intersect"))
+        .orderBy(col("k"))
+    },
+
     // ---- time-spine densification + gap fill: sparse monthly totals
     //      per priority densified onto the full month spine, missing
     //      months filled BOTH ways (LOCF and linear interpolation
