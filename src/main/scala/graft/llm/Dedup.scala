@@ -345,8 +345,13 @@ object Dedup {
     val para = df.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (raw.rdd.getNumPartitions < para) raw.repartition(para) else raw
+    // shingles hashed ONCE up front (the exploded posting stream carries
+    // 8-byte longs, not shingle strings) and persisted: candidate
+    // generation and exact verify both consume this table, and the
+    // shingling + hashing pass was the dominant cost when recomputed
     val base = spread.select(col("id"), col("blk"),
-      shingles(col("__text"), k).as("sh"))
+      transform(shingles(col("__text"), k), x => xxhash64(x)).as("sh"))
+      .persist()
     val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"))
     val byTok = Window.partitionBy(col("blk"), col("w"))
     val byDocOrd = Window.partitionBy(col("blk"), col("id"))
@@ -365,9 +370,10 @@ object Dedup {
       .select(least(col("pa.id"), col("pb.id")).as("id_a"),
         greatest(col("pa.id"), col("pb.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verify on hashed shingle sets (the d2 discipline)
-    val b = base.select(col("id"),
-      transform(col("sh"), x => xxhash64(x)).as("sh"))
+    // exact verify on the same hashed shingle sets (the d2 discipline);
+    // prefix choice is ordering-free-correct (ANY prefix of that size
+    // works), so ordering by hashed-token df keeps the guarantee
+    val b = base.select(col("id"), col("sh"))
     val cmax = greatest(col("i").cast("double") / col("n_a"),
       col("i").cast("double") / col("n_b"))
     cand
