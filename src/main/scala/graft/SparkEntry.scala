@@ -19,7 +19,8 @@ object SparkEntry {
       graft.relational.RelationalQueries5.all ++
       graft.relational.StatQueries.all ++
       graft.relational.LlmQueries.all ++
-      graft.relational.LlmQueries2.all
+      graft.relational.LlmQueries2.all ++
+      graft.relational.LlmQueries3.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

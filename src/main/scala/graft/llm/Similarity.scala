@@ -268,4 +268,50 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
   }
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the pinned-Lloyd
+    * coarse quantizer, then call any two SAME-CLUSTER vectors with
+    * cosine ≥ `minCos` semantic duplicates and keep only the
+    * smallest id of each duplicate neighborhood. (The paper keeps the
+    * item farthest from the centroid; min-id is the deterministic,
+    * order-free choice — the pruned COUNT is the same, membership of
+    * the kept set differs only within a duplicate group.)
+    *
+    * Returns one row per corpus vector: (id, cell, n_near, best_cos,
+    * kept) where n_near counts same-cell neighbors with cos ≥ minCos,
+    * best_cos is the strongest of them (0.0 when none) and kept = 0
+    * iff some SMALLER id sits within minCos — a one-pass verdict, no
+    * iterative clustering of the duplicate graph.
+    *
+    * 100 TB shape: the pair stream is blocked by k-means cell (never
+    * all-pairs — O(Σ|cell|²) with driver-sized centroids and an
+    * expression-only assignment), and the verdict is a single
+    * aggregate over the symmetric pair stream. Skew knob = k: more
+    * centroids → smaller cells. */
+  def semDedup(df: DataFrame, id: Column, vec: Column,
+      centroids: Array[Array[Double]], minCos: Double): DataFrame = {
+    val base = df.select(id.cast("long").as("id"),
+        vec.cast("array<double>").as("v"))
+      .withColumn("cell", nearestCentroid(col("v"), centroids.toSeq))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"), col("a.cell").as("cell"))
+      .filter(col("cos") >= minCos)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"),
+        col("cos"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"),
+        col("cos")))
+    val verdict = sym.groupBy(col("id")).agg(
+      count(lit(1)).as("n_near"),
+      max(col("cos")).as("best_cos"),
+      max(when(col("nb") < col("id"), 1).otherwise(0)).as("dominated"))
+    base.select(col("id"), col("cell"))
+      .join(verdict, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("best_cos"), lit(0.0)).as("best_cos"),
+        (lit(1) - coalesce(col("dominated"), lit(0))).as("kept"))
+  }
 }

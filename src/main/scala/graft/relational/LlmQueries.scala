@@ -256,30 +256,8 @@ object LlmQueries {
     //      in-cell cosine. DuckDB replays the whole fixed point. ----
     sqlChecked("sim_ivf", {
       val K = 8; val ITERS = 3; val NP = 2; val TOPK = 5; val DIMS = 64
-      val meanList = (1 to DIMS).map(i =>
-        s"CAST(SUM(CAST(FLOOR(v[$i]*10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
-          "/CAST(COUNT(*) AS DOUBLE)/10000000.0")
-        .mkString("list_value(", ", ", ")")
-      def assignSql(src: String, cent: String, rnName: String) =
-        s"""SELECT e.vec_id, e.v, c.cid,
-           |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-           |        list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.v)
-           |          + list_dot_product(c.v, c.v), c.cid) AS $rnName
-           |    FROM $src e CROSS JOIN $cent c""".stripMargin
-      val iters = (1 to ITERS).map { it =>
-        s"""a$it AS (SELECT * FROM (${assignSql("emb", s"c${it - 1}", "rn")})
-           |  WHERE rn = 1),
-           |m$it AS (SELECT cid, $meanList AS v FROM a$it GROUP BY cid),
-           |c$it AS (SELECT o.cid, COALESCE(n.v, o.v) AS v
-           |  FROM c${it - 1} o LEFT JOIN m$it n USING (cid))""".stripMargin
-      }.mkString(",\n")
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |  FROM embeddings),
-         |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
-         |  FROM emb ORDER BY vec_id LIMIT $K),
-         |$iters,
-         |cells AS (SELECT vec_id, v, cid AS cell
-         |  FROM (${assignSql("emb", s"c$ITERS", "rn")}) WHERE rn = 1),
+      import KmeansReplay.assignSql
+      s"""WITH ${KmeansReplay.ctes(K, ITERS, DIMS)},
          |qset AS (SELECT vec_id, v FROM emb WHERE vec_id % 101 = 0),
          |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS cell
          |  FROM (${assignSql("qset", s"c$ITERS", "pr")}) WHERE pr <= $NP),
@@ -770,4 +748,46 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     }
   )
+}
+
+/** Shared DuckDB replay of the pinned-Lloyd k-means fixed point
+  * (Similarity.kmeansFit: init = k smallest ids, quantized-BIGINT
+  * centroid means, fixed iteration count) over the embeddings table.
+  * Consumed by `sim_ivf` and `d13_semdedup` — both end at a `cells`
+  * CTE holding every vector's final cell assignment. */
+private[relational] object KmeansReplay {
+
+  /** Nearest-centroid assignment of `src` rows against the `cent`
+    * centroid CTE, ranked by the same (v·v − 2 v·c) + c·c association
+    * order the engine's dist2 expression uses. */
+  def assignSql(src: String, cent: String, rnName: String): String =
+    s"""SELECT e.vec_id, e.v, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.v)
+       |          + list_dot_product(c.v, c.v), c.cid) AS $rnName
+       |    FROM $src e CROSS JOIN $cent c""".stripMargin
+
+  /** The emb → c0 → (a_i, m_i, c_i)* → cells CTE stack (no leading
+    * WITH). Empty clusters keep their previous centroid (LEFT JOIN +
+    * COALESCE), mirroring kmeansFit exactly. */
+  def ctes(k: Int, iters: Int, dims: Int): String = {
+    val meanList = (1 to dims).map(i =>
+      s"CAST(SUM(CAST(FLOOR(v[$i]*10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+        "/CAST(COUNT(*) AS DOUBLE)/10000000.0")
+      .mkString("list_value(", ", ", ")")
+    val iterCtes = (1 to iters).map { it =>
+      s"""a$it AS (SELECT * FROM (${assignSql("emb", s"c${it - 1}", "rn")})
+         |  WHERE rn = 1),
+         |m$it AS (SELECT cid, $meanList AS v FROM a$it GROUP BY cid),
+         |c$it AS (SELECT o.cid, COALESCE(n.v, o.v) AS v
+         |  FROM c${it - 1} o LEFT JOIN m$it n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+       |  FROM emb ORDER BY vec_id LIMIT $k),
+       |$iterCtes,
+       |cells AS (SELECT vec_id, v, cid AS cell
+       |  FROM (${assignSql("emb", s"c$iters", "rn")}) WHERE rn = 1)""".stripMargin
+  }
 }

@@ -1,0 +1,92 @@
+package graft.relational
+
+import graft.core.Tables
+import graft.llm.{LanguageModel, Similarity}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Third LLM-pipeline batch: corpus-fit language-model quality scoring
+  * and semantic (embedding-space) deduplication — the model-based
+  * filter stages that sit between heuristic quality signals and
+  * training-set assembly.
+  */
+object LlmQueries3 {
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val normSql =
+    "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- perplexity-style quality filter: add-one bigram LM fit on
+    //      the corpus itself, each doc scored by mean log-prob. The
+    //      per-doc mean runs over FLOOR(term·1e7 + 0.5) BIGINTs so a
+    //      distributed partial aggregate and the single-node replay
+    //      agree bit-for-bit (integer sums are order-free). ----
+    sqlChecked("t_bigram_lm",
+      s"""WITH ws AS (SELECT doc_id, string_split($normSql, ' ') AS w
+         |  FROM documents),
+         |bi AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS a,
+         |    unnest(list_transform(range(1, len(w)),
+         |      i -> w[i] || ' ' || w[i + 1])) AS bg
+         |  FROM ws),
+         |c2 AS (SELECT bg, COUNT(*) AS n2 FROM bi GROUP BY bg),
+         |c1 AS (SELECT a, COUNT(*) AS n1 FROM bi GROUP BY a),
+         |vv AS (SELECT CAST(COUNT(DISTINCT tk) AS DOUBLE) AS v
+         |  FROM (SELECT unnest(w) AS tk FROM ws)),
+         |q AS (SELECT doc_id,
+         |    CAST(FLOOR((LN(CAST(n2 AS DOUBLE) + 1.0)
+         |      - LN(CAST(n1 AS DOUBLE) + v)) * 10000000.0 + 0.5) AS BIGINT) AS q
+         |  FROM bi JOIN c2 USING (bg) JOIN c1 USING (a) CROSS JOIN vv)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 10000000.0
+         |    AS avg_logp
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      LanguageModel.bigramLmScores(t(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_logp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- SemDeDup: pinned-Lloyd k-means cells (the sim_ivf replay),
+    //      within-cell cosine ≥ 0.45 → semantic duplicates, keep the
+    //      min id of each neighborhood. The oracle replays the whole
+    //      k-means fixed point AND the in-cell pair verdicts. ----
+    sqlChecked("d13_semdedup", {
+      val K = 8; val ITERS = 3
+      s"""WITH ${KmeansReplay.ctes(K, ITERS, 64)},
+         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_dot_product(a.v, b.v) /
+         |      (SQRT(list_dot_product(a.v, a.v))
+         |       * SQRT(list_dot_product(b.v, b.v))) AS cos
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |hits AS (SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.45),
+         |sym AS (SELECT id_a AS id, id_b AS nb, cos FROM hits
+         |  UNION ALL SELECT id_b, id_a, cos FROM hits),
+         |v AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_near,
+         |    MAX(cos) AS best_cos,
+         |    MAX(CASE WHEN nb < id THEN 1 ELSE 0 END) AS dominated
+         |  FROM sym GROUP BY id)
+         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+         |  COALESCE(v.n_near, 0) AS n_near,
+         |  ROUND(COALESCE(v.best_cos, 0.0), 6) AS best_cos,
+         |  1 - COALESCE(v.dominated, 0) AS kept
+         |FROM cells c LEFT JOIN v ON v.id = c.vec_id
+         |ORDER BY c.vec_id""".stripMargin
+    }) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
+        k = 8, iters = 3)
+      Similarity.semDedup(emb, col("vec_id"), col("embedding"),
+          cents, minCos = 0.45)
+        .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
+          col("n_near"), round(col("best_cos"), 6).as("best_cos"),
+          col("kept"))
+        .orderBy(col("vec_id"))
+    }
+  )
+}

@@ -345,4 +345,50 @@ class LlmSpec extends SparkSpec {
     assert(graft.llm.LinkGraph.triangleCounts(star, col("a"), col("b"))
       .count() == 0L)
   }
+
+  test("bigram LM: closed-form add-one scores on a 3-doc corpus") {
+    // corpus: "a b a b" | "a b" | "c c"  → bigram counts:
+    //   (a b)=3, (b a)=1, (c c)=1; prefix counts: a·=3, b·=1, c·=1
+    // vocab V=3 (a, b, c)
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.LanguageModel
+      .bigramLmScores(corpus, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(n2: Long, n1: Long): Double = {
+      val t = math.log(n2.toDouble + 1.0) - math.log(n1.toDouble + 3.0)
+      math.floor(t * 1e7 + 0.5) / 1e7
+    }
+    val ab = lp(3, 3); val ba = lp(1, 1); val cc = lp(1, 1)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - (ab + ba + ab) / 3.0) < 1e-9)
+    assert(got(2L) == ((1L, ab)))
+    assert(got(3L) == ((1L, cc)))
+    // the common bigram scores higher than the rare ones
+    assert(got(2L)._2 > got(3L)._2)
+  }
+
+  test("semDedup: identical vectors prune to the min id, distinct survive") {
+    // 8+ vectors so kmeansFit(k=2) init exists; ids 20/21/22 identical
+    // (must co-cluster), everything else mutually far
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val rows = Seq(
+      20L -> v(10, 0), 21L -> v(10, 0), 22L -> v(10, 0),
+      30L -> v(0, 10), 31L -> v(2, 9), // cos(30,31) ≈ 0.976 < 0.99
+      40L -> v(-10, 1), 50L -> v(1, -10))
+    val df = rows.map { case (i, a) => (i, a) }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(df, col("vec_id"), col("embedding"),
+      k = 2, iters = 3)
+    val got = Similarity.semDedup(df, col("vec_id"), col("embedding"),
+        cents, minCos = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(4))).toMap
+    // the identical triple: 20 kept, 21/22 pruned, each sees 2 neighbors
+    assert(got(20L) == ((2L, 1)))
+    assert(got(21L) == ((2L, 0)))
+    assert(got(22L) == ((2L, 0)))
+    // near-but-below-threshold and isolated vectors all survive
+    Seq(30L, 31L, 40L, 50L).foreach(id => assert(got(id) == ((0L, 1))))
+    // verdict covers every input exactly once
+    assert(got.size == rows.size)
+  }
 }
