@@ -390,6 +390,36 @@ object RelationalQueries5 {
           sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
           sum(when(col("_bad").isNull, col("n_chars")).otherwise(0L))
             .as("good_chars"))
+    },
+
+    // ---- exact design-weighted quantiles (survey wt.quantile class):
+    //      quantity-weighted price quartiles per return flag. Weights
+    //      are BIGINTs and levels exact rationals, so every threshold
+    //      comparison is integer arithmetic — no floating cumsum, and
+    //      ties pre-aggregate to distinct-x granularity (order-free).
+    //      One hash agg + one per-group window over DISTINCT values +
+    //      one final agg: no raw-table sort, no collect. ----
+    sqlChecked("a_weighted_quantile",
+      """WITH c AS (SELECT l_returnflag AS grp, l_extendedprice AS x,
+        |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |d AS (SELECT grp, x, CAST(SUM(w) AS BIGINT) AS wv
+        |  FROM c GROUP BY grp, x),
+        |s AS (SELECT grp, x, CAST(SUM(wv) OVER (PARTITION BY grp ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM d),
+        |tt AS (SELECT grp, CAST(SUM(wv) AS BIGINT) AS tot FROM d GROUP BY grp)
+        |SELECT grp AS l_returnflag, MAX(tot) AS w_total,
+        |  MIN(CASE WHEN cw * 4 >= tot * 1 THEN x END) AS q_1_4,
+        |  MIN(CASE WHEN cw * 2 >= tot * 1 THEN x END) AS q_1_2,
+        |  MIN(CASE WHEN cw * 4 >= tot * 3 THEN x END) AS q_3_4
+        |FROM s JOIN tt USING (grp)
+        |GROUP BY grp ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      graft.stats.WeightedQuantile.weightedQuantiles(
+          t(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity"), Seq((1, 4), (1, 2), (3, 4)))
+        .select(col("grp").as("l_returnflag"), col("w_total"),
+          col("q_1_4"), col("q_1_2"), col("q_3_4"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -146,4 +146,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"factor application must not shuffle the sample:\n$p")
   }
+
+  test("runtime bloom-filter pruning engages on a selective shuffle join") {
+    // At 100 TB the probe side of a selective fact-fact join should be
+    // row-filtered at the scan by a runtime bloom filter built from the
+    // filtered build side. Local datasets sit under the default trigger
+    // thresholds, so lower them to prove the engine's join shape is
+    // ELIGIBLE for injection — the property that matters at scale.
+    val conf = spark.conf
+    val prev = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+    try {
+      val li = graft.core.Tables(spark, sf, "lineitem")
+      val ord = graft.core.Tables(spark, sf, "orders")
+        .filter(col("o_totalprice") > 300000.0) // selective build side
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("l_quantity")).as("q"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected on the probe side:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"bloom filter build aggregate missing:\n$p")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      prev match {
+        case Some(v) => conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", v)
+        case None => conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      }
+    }
+  }
 }

@@ -182,4 +182,24 @@ class StatsSpec extends SparkSpec {
     assertNear(sm("x"), 9.0, 1e-6); assertNear(sm("y"), 6.0, 1e-6)
     raked.unpersist(blocking = false)
   }
+
+  test("weighted quantiles: closed form, ties, and left-continuity") {
+    // group g: values 1..4 with weights 1,1,2,4 (W=8):
+    //   cum(1)=1, cum(2)=2, cum(3)=4, cum(4)=8
+    //   q_1/4 → first cum ≥ 2 → x=2; q_1/2 → first cum ≥ 4 → x=3
+    //   q_3/4 → first cum ≥ 6 → x=4
+    // group h: a tied value whose SPLIT weights must pre-aggregate:
+    //   x=5 carries 1+1, x=7 carries 2 (W=4): q_1/2 → cum(5)=2 ≥ 2 → 5
+    val df = Seq(
+      ("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 2L), ("g", 4.0, 4L),
+      ("h", 5.0, 1L), ("h", 5.0, 1L), ("h", 7.0, 2L)
+    ).toDF("grp", "x", "w")
+    val r = graft.stats.WeightedQuantile.weightedQuantiles(df, col("grp"),
+        col("x"), col("w"), Seq((1, 4), (1, 2), (3, 4)))
+      .collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r("g") == ((8L, 2.0, 3.0, 4.0)))
+    assert(r("h") == ((4L, 5.0, 5.0, 7.0)))
+  }
 }

@@ -162,4 +162,46 @@ class StreamingSpec extends SparkSpec {
       s"stream rows ${got.length} != batch ${expected.length}")
     got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
   }
+
+  test("incremental MinHash screen: micro-batched stream equals one-shot batch") {
+    val docs = Tables(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 3)
+    val newDocs = docs.filter(col("doc_id") % 4 === 3)
+    val corpusSigs = graft.llm.Dedup.minhashSignatures(corpus,
+      col("doc_id"), col("text"), shingleK = 3, numHashes = 32).persist()
+
+    val expected = graft.llm.Dedup.minhashMatchesFromSigs(corpusSigs,
+        graft.llm.Dedup.minhashSignatures(newDocs, col("doc_id"), col("text"),
+          shingleK = 3, numHashes = 32),
+        numHashes = 32, bands = 8, threshold = 0.30)
+      .filter(col("n_matches") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "batch screen found no matches at sf0.001")
+
+    // 4 parquet files + maxFilesPerTrigger=1 → a genuinely multi-batch
+    // stream; verdicts must be batch-boundary-invariant
+    val tmp = java.nio.file.Files.createTempDirectory("graft-inc").toString
+    newDocs.repartition(4).write.mode("overwrite").parquet(tmp)
+    val got = new scala.collection.concurrent.TrieMap[Long, (Long, Double)]()
+    val stream = spark.readStream.schema(newDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    var batches = 0
+    val q = graft.streaming.IncrementalDedup.start(stream,
+      col("doc_id"), col("text"), corpusSigs,
+      shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30,
+      hasher = graft.llm.Dedup.xxHash,
+      sink = { verdicts =>
+        batches += 1
+        verdicts.filter(col("n_matches") > 0).collect()
+          .foreach(r => got.put(r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      })
+    q.awaitTermination(120000)
+    corpusSigs.unpersist(blocking = false)
+
+    assert(batches >= 4, s"expected ≥4 micro-batches, saw $batches")
+    val gotSet = got.map { case (id, (n, b)) => (id, n, b) }.toSet
+    assert(gotSet == expected,
+      s"stream/batch mismatch: only-stream=${gotSet -- expected} " +
+        s"only-batch=${expected -- gotSet}")
+  }
 }
