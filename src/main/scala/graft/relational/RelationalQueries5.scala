@@ -420,6 +420,55 @@ object RelationalQueries5 {
         .select(col("grp").as("l_returnflag"), col("w_total"),
           col("q_1_4"), col("q_1_2"), col("q_3_4"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- robust outlier screen: per-language median/MAD of document
+    //      length, docs beyond 2 MADs flagged — the data-cleaning
+    //      filter that survives the heavy tails mean/stddev screens
+    //      don't. Medians are the exact left-continuous weighted
+    //      quantile at w=1 (integer cumsums over distinct values), so
+    //      both engines agree exactly; all outputs stay BIGINT. ----
+    sqlChecked("p_mad_outlier",
+      """WITH c AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+        |d1 AS (SELECT lang, x, COUNT(*) AS nv FROM c GROUP BY lang, x),
+        |s1 AS (SELECT lang, x, CAST(SUM(nv) OVER (PARTITION BY lang ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM d1),
+        |t1 AS (SELECT lang, COUNT(*) AS n FROM c GROUP BY lang),
+        |med AS (SELECT lang, MIN(CASE WHEN cw * 2 >= n THEN x END) AS med
+        |  FROM s1 JOIN t1 USING (lang) GROUP BY lang),
+        |a AS (SELECT c.lang, c.x, ABS(c.x - m.med) AS ax
+        |  FROM c JOIN med m USING (lang)),
+        |d2 AS (SELECT lang, ax, COUNT(*) AS nv FROM a GROUP BY lang, ax),
+        |s2 AS (SELECT lang, ax, CAST(SUM(nv) OVER (PARTITION BY lang ORDER BY ax
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |  FROM d2),
+        |mad AS (SELECT lang, MIN(CASE WHEN cw * 2 >= n THEN ax END) AS mad
+        |  FROM s2 JOIN t1 USING (lang) GROUP BY lang)
+        |SELECT a.lang, MAX(m1.med) AS med, MAX(m2.mad) AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN a.ax > 2 * m2.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outlier
+        |FROM a JOIN med m1 USING (lang) JOIN mad m2 USING (lang)
+        |GROUP BY a.lang ORDER BY a.lang""".stripMargin) { (s, d) =>
+      import graft.stats.WeightedQuantile.weightedQuantiles
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast("long").as("x"))
+      val med = weightedQuantiles(docs, col("lang"), col("x"), lit(1L),
+          Seq((1, 2)))
+        .select(col("grp").as("lang"), col("q_1_2").as("med"))
+      val dev = docs.join(med, Seq("lang"))
+        .withColumn("ax", abs(col("x") - col("med")))
+      val mad = weightedQuantiles(dev, col("lang"), col("ax"), lit(1L),
+          Seq((1, 2)))
+        .select(col("grp").as("lang"), col("q_1_2").as("mad"))
+      dev.join(mad, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          count(lit(1)).as("n"),
+          sum(when(col("ax") > lit(2) * col("mad"), 1L).otherwise(0L))
+            .as("n_outlier"))
+        .orderBy(col("lang"))
     }
   )
 }
