@@ -469,6 +469,53 @@ object RelationalQueries5 {
           sum(when(col("ax") > lit(2) * col("mad"), 1L).otherwise(0L))
             .as("n_outlier"))
         .orderBy(col("lang"))
+    },
+
+    // ---- exact one-pass Pearson correlation matrix: inputs scale to
+    //      exact BIGINTs (2-dp money ×100 through decimal), moments
+    //      accumulate as decimal(38,0)/HUGEINT, and the cancellation
+    //      n·Σxy − Σx·Σy happens in integer arithmetic before the one
+    //      cast to double — so the distributed partial aggregate and
+    //      the single-node replay agree exactly. ONE hash-agg pass
+    //      over the fact table, driver-sized everything else. ----
+    sqlChecked("a_corr_matrix", {
+      val pairs = Seq(("disc", "price"), ("disc", "qty"), ("disc", "tax"),
+        ("price", "qty"), ("price", "tax"), ("qty", "tax"))
+      val pairSel = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS var_a, '$b' AS var_b,
+           |  ROUND(CAST(n*sp_${a}_$b - s_$a*s_$b AS DOUBLE)
+           |    / (SQRT(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE))
+           |       * SQRT(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE))), 10) AS corr
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL ")
+      val names = Seq("qty", "price", "disc", "tax")
+      s"""WITH c AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS price,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc,
+         |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS tax
+         |  FROM lineitem),
+         |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         |    ${names.map(v => s"SUM($v) AS s_$v").mkString(", ")},
+         |    ${names.map(v => s"SUM($v*$v) AS ss_$v").mkString(", ")},
+         |    ${pairs.map { case (a, b) => s"SUM($a*$b) AS sp_${a}_$b" }
+        .mkString(", ")}
+         |  FROM c)
+         |$pairSel
+         |ORDER BY var_a, var_b""".stripMargin
+    }) { (s, d) =>
+      val base = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price"),
+        (col("l_discount").cast("decimal(18,2)") * 100).cast("long").as("disc"),
+        (col("l_tax").cast("decimal(18,2)") * 100).cast("long").as("tax"))
+      // pair order must match the oracle's (sorted) var pairs
+      graft.stats.ExactCorr.pearsonMatrix(base, Seq(
+          "disc" -> col("disc"), "price" -> col("price"),
+          "qty" -> col("qty"), "tax" -> col("tax")))
+        .select(col("var_a"), col("var_b"), round(col("corr"), 10).as("corr"))
+        .orderBy(col("var_a"), col("var_b"))
     }
   )
 }

@@ -202,4 +202,20 @@ class StatsSpec extends SparkSpec {
     assert(r("g") == ((8L, 2.0, 3.0, 4.0)))
     assert(r("h") == ((4L, 5.0, 5.0, 7.0)))
   }
+
+  test("exact Pearson matrix: ±1 on linear columns, closed form otherwise") {
+    // y = 2x + 3 (corr +1), z = -x (corr -1), u = (1,2,2,1) vs x=(1,2,3,4):
+    //   n=4 Σx=10 Σu=6 Σxu=15 Σx²=30 Σu²=10 → corr = 0/... = 0
+    val df = Seq((1L, 5L, -1L, 1L), (2L, 7L, -2L, 2L),
+      (3L, 9L, -3L, 2L), (4L, 11L, -4L, 1L)).toDF("x", "y", "z", "u")
+    val r = graft.stats.ExactCorr.pearsonMatrix(df, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "u" -> col("u")))
+      .collect().map(w => (w.getString(0), w.getString(1)) -> w.getDouble(2))
+      .toMap
+    assertNear(r(("x", "y")), 1.0, 1e-12)
+    assertNear(r(("x", "z")), -1.0, 1e-12)
+    assertNear(r(("y", "z")), -1.0, 1e-12)
+    assertNear(r(("x", "u")), 0.0, 1e-12)
+    assert(r.size == 6)
+  }
 }
