@@ -271,14 +271,17 @@ object RelationalQueries {
         |               COUNT(*) AS t_n FROM lineitem GROUP BY 1)
         |SELECT l_orderkey, l_linenumber, ROUND(t_tot, 2) AS t_tot, t_n
         |FROM lineitem JOIN per_t ON l_quantity = q
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, t_n""".stripMargin) { (s, d) =>
       val li = t(s, d, "lineitem")
       val perT = li.groupBy(col("l_quantity").as("q"))
         .agg(sum(col("l_extendedprice")).as("t_tot"), count(lit(1)).as("t_n"))
       li.join(broadcast(perT), col("l_quantity") === col("q"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("t_tot"), 2).as("t_tot"), col("t_n"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // t_n tiebreak: the synthetic lineitem has duplicate
+        // (orderkey, linenumber) keys, so without it the sort is not
+        // total and an order-sensitive compare could flap
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("t_n"))
     },
 
     // ---- J7: semi / anti join subsetting (simu_fun.R:409) ----

@@ -306,7 +306,7 @@ object RelationalQueries5 {
         |      OVER (PARTITION BY l_returnflag) AS s2,
         |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS n
         |  FROM lineitem WHERE l_orderkey % 7 = 0)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+        |ORDER BY l_orderkey, l_linenumber, z""".stripMargin) { (s, d) =>
       // moments from EXACT integral power sums (not Welford stddev,
       // whose merge order differs across engines)
       val w = Window.partitionBy(col("l_returnflag"))
@@ -319,7 +319,9 @@ object RelationalQueries5 {
           round((col("l_quantity") - col("s1") / col("n")) /
             sqrt(col("s2") / col("n") -
               (col("s1") / col("n")) * (col("s1") / col("n"))), 8).as("z"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // z tiebreak: duplicate (orderkey, linenumber) keys exist in the
+        // synthetic lineitem; keep the sort total
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("z"))
     },
 
     // ---- percentile winsorization: clip each group's tail values at
