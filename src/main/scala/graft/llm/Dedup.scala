@@ -353,12 +353,18 @@ object Dedup {
       transform(shingles(col("__text"), k), x => xxhash64(x)).as("sh"))
       .persist()
     val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"))
-    val byTok = Window.partitionBy(col("blk"), col("w"))
     val byDocOrd = Window.partitionBy(col("blk"), col("id"))
       .orderBy(col("df"), col("w"))
     val byDocAll = Window.partitionBy(col("blk"), col("id"))
+    // per-token document frequency via groupBy + join, NOT a window: a
+    // window over (blk, w) sorts the whole posting stream and lands every
+    // occurrence of a hot token (stopword shingle) in ONE partition — the
+    // 100 TB skew hotspot. The hash aggregate has map-side partials and
+    // the join is AQE skew-splittable; values are identical.
+    val dfCounts = tok.groupBy(col("blk"), col("w"))
+      .agg(count(lit(1)).as("df"))
     val prefix = tok
-      .withColumn("df", count(lit(1)).over(byTok))
+      .join(dfCounts, Seq("blk", "w"))
       .withColumn("r", row_number().over(byDocOrd))
       .withColumn("n", count(lit(1)).over(byDocAll))
       .filter(col("r") <=

@@ -66,37 +66,58 @@ object KernelWeights {
     // wt_s enters the flat rescue — pseudo-weight mass is conserved on
     // both paths (the reference's krnwt spreads wt/m, simu_fun.R:175-183).
     val m = c.count()
-    // Row sums are ONE narrow row per survey unit; the survey side of
-    // pseudo-weighting is the (small) probability sample by design, so
-    // they are collected to the driver and re-shipped as a broadcast
-    // local relation. This keeps the n_s×n_c pair stream at exactly two
-    // passes (one for the sums, one for the contributions) with no
-    // persist to leak — the earlier persist-based variant cached this
-    // frame and never released it (one leaked cache entry per
-    // Monte-Carlo replicate).
     val spark = survey.sparkSession
+    val nS = s.count()
     val rowSumsDf = s.select(col("s_id"), col("wt_s"))
       .join(withK.groupBy(col("s_id")).agg(sum(col("k")).as("row_k")),
         Seq("s_id"), "left")
       .withColumn("row_k", coalesce(col("row_k"), lit(0.0)))
-    val rowRows = rowSumsDf.collect()
 
     // stage 2: join row sums back, normalize, sum per cohort unit.
     // Zero-sum survey rows spread wt_s/m to every cohort unit — for the
     // cross-join path that equals adding Σ_{zero s} wt_s / m to every
     // cohort weight, which we add as a scalar (never re-densifying).
-    val flat = rowRows.iterator
-      .filter(r => r.getDouble(2) == 0.0)
-      .map(_.getDouble(1)).sum / m.toDouble
-
-    val positive = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        rowRows.filter(_.getDouble(2) > 0.0).toSeq, 1),
-      rowSumsDf.schema)
-    val contrib = withK
-      .join(broadcast(positive.select(col("s_id"), col("row_k"))), Seq("s_id"))
-      .groupBy(col("c_id"))
-      .agg(sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw"))
+    //
+    // Row sums are ONE narrow row per survey unit; the survey side of
+    // pseudo-weighting is the (small) probability sample by design, so
+    // up to `graft.kw.rowSumsCollectThreshold` units they are collected
+    // to the driver and re-shipped as a broadcast local relation. This
+    // keeps the n_s×n_c pair stream at exactly two passes (one for the
+    // sums, one for the contributions) with no persist to leak — the
+    // earlier persist-based variant cached this frame and never released
+    // it (one leaked cache entry per Monte-Carlo replicate). ABOVE the
+    // threshold the collect would be a driver OOM, so the row sums stay
+    // distributed and shuffle-join back (AQE picks the join strategy);
+    // that path pays one extra pair-stream scan for the flat-rescue
+    // scalar but is bounded by executor, not driver, memory.
+    val threshold = spark.conf.getOption("graft.kw.rowSumsCollectThreshold")
+      .map(_.toLong).getOrElse(1000000L)
+    val (contrib0, flat) = if (nS <= threshold) {
+      val rowRows = rowSumsDf.collect()
+      val flat = rowRows.iterator
+        .filter(r => r.getDouble(2) == 0.0)
+        .map(_.getDouble(1)).sum / m.toDouble
+      val positive = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rowRows.filter(_.getDouble(2) > 0.0).toSeq, 1),
+        rowSumsDf.schema)
+      (withK
+        .join(broadcast(positive.select(col("s_id"), col("row_k"))), Seq("s_id"))
+        .groupBy(col("c_id"))
+        .agg(sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw")),
+        flat)
+    } else {
+      val flat = rowSumsDf
+        .agg(coalesce(sum(when(col("row_k") === 0.0, col("wt_s"))), lit(0.0)))
+        .head.getDouble(0) / m.toDouble
+      (withK
+        .join(rowSumsDf.filter(col("row_k") > 0.0).select("s_id", "row_k"),
+          Seq("s_id"))
+        .groupBy(col("c_id"))
+        .agg(sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw")),
+        flat)
+    }
+    val contrib = contrib0
 
     // band-join path may drop cohort units with no nearby survey unit;
     // restore them with weight 0 (+flat) via a right join on DISTINCT

@@ -178,4 +178,17 @@ class PlanSpec extends SparkSpec {
       }
     }
   }
+
+  test("d12_containment: token df is a hash aggregate, never a token-keyed window") {
+    // a window partitioned by (blk, token) sorts the posting stream and
+    // concentrates every occurrence of a hot token in one partition —
+    // the document-frequency count must come from groupBy + join (map-
+    // side partials, AQE skew-splittable) instead
+    val p = plan("d12_containment")
+    val tokenWindow = "windowspecdefinition\\(blk#\\d+[^,]*, w#".r
+    assert(tokenWindow.findFirstIn(p).isEmpty,
+      s"posting-stream window keyed on the token:\n$p")
+    // doc-partitioned windows (prefix ranking) are expected and fine
+    assert(p.contains("HashAggregate"), "df hash aggregate missing")
+  }
 }

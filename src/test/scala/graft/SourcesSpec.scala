@@ -23,4 +23,33 @@ class SourcesSpec extends SparkSpec {
     val back = SeedTable.read(spark, out)
     assert(back.count() == 3)
   }
+
+  test("Tables.events survives both physical ts layouts (nanos-long and µs-NTZ)") {
+    // the testdata generator has shipped events.ts as TIMESTAMP(NANOS)
+    // in some rounds and TIMESTAMP(MICROS, isAdjustedToUTC=false) in
+    // others; Tables.events must normalize BOTH to the same TimestampType
+    // values so a regeneration can never silently break the events surface
+    import org.apache.spark.sql.types.TimestampType
+    import spark.implicits._
+    val micros = Seq(1704067200000000L, 1704070800123456L, 1704074400999999L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evts")
+
+    val nanosDir = tmp.resolve("nanos").toString
+    micros.map(u => (u * 1000L, "a")).toDF("ts", "kind")
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+
+    val ntzDir = tmp.resolve("ntz").toString
+    micros.map(u => (u, "a")).toDF("us", "kind")
+      .selectExpr("timestamp_micros(us) AS tmp_ts", "kind")
+      .selectExpr("CAST(tmp_ts AS TIMESTAMP_NTZ) AS ts", "kind")
+      .write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+
+    Seq(nanosDir, ntzDir).foreach { dir =>
+      val ev = graft.core.Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType, s"$dir: ${ev.schema("ts").dataType}")
+      val got = ev.selectExpr("unix_micros(ts)").orderBy("unix_micros(ts)")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == micros.sorted, s"$dir: $got")
+    }
+  }
 }

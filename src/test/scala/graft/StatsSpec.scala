@@ -120,6 +120,29 @@ class StatsSpec extends SparkSpec {
     assertNear(dense.sum, 2.0 + 3.0 + 1.0 + 5.0, 1e-9) // Σkw = Σwt
   }
 
+  test("M5 distributed row-sums path (large survey side) matches the collect path") {
+    // above graft.kw.rowSumsCollectThreshold the row sums must stay
+    // distributed (shuffle join back) instead of a driver collect; force
+    // the fallback with threshold 0 and check it is value-identical,
+    // including the zero-row flat rescue (id=3 at q=100 has kernel row
+    // ≈ 0 under the triangular kernel)
+    val survey = Seq((1L, 0.0, 2.0), (2L, 1.0, 3.0), (3L, 100.0, 4.0))
+      .toDF("id", "q", "wt")
+    val cohort = Seq((10L, 0.0), (11L, 0.5), (12L, 1.0)).toDF("id", "q")
+    def run() = KernelWeights.compute(
+      survey, col("id"), col("q"), col("wt"),
+      cohort, col("id"), col("q"),
+      h = 1.0, kernel = Kernels.triangular)
+      .orderBy("c_id").collect().map(_.getDouble(1)).toSeq
+    val viaCollect = run()
+    spark.conf.set("graft.kw.rowSumsCollectThreshold", "0")
+    try {
+      val viaJoin = run()
+      assertSeqNear(viaCollect, viaJoin, 1e-12)
+      assertNear(viaJoin.sum, 2.0 + 3.0 + 4.0, 1e-9) // Σkw = Σwt incl. rescue
+    } finally spark.conf.unset("graft.kw.rowSumsCollectThreshold")
+  }
+
   test("M14 groupEqual assigns exactly-equal-size jackknife groups") {
     val df = (1L to 101L).toDF("id")
     val m = 10
