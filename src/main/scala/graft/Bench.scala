@@ -82,21 +82,34 @@ object Bench {
       name -> (if (samples.isEmpty) -1.0 else samples.min)
     }
     val failed = results.collect { case (n, v) if v < 0 => n }
+    // the timing map carries SUCCEEDED queries only — the "failed" array
+    // already identifies the rest, and a -1.0 sentinel would corrupt any
+    // consumer that sums or compares the map ("value" = sum of succeeded)
+    val succeeded = results.filter(_._2 >= 0)
 
     def r3(v: Double): Double = math.rint(v * 1e3) / 1e3
     def entry(k: String, v: Double): String = "\"" + k + "\":" + r3(v)
-    val qs = results.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
-    val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
+    val qs = succeeded.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
+    val total = r3(succeeded.map(_._2).sum)
     val sfName = new java.io.File(sfDir).getName
 
-    // full map to a file + chunked echo lines: immune to log-line caps
+    // full map to a file + chunked echo lines: immune to log-line caps.
+    // Also written round-suffixed (next round inferred from committed
+    // BENCH_r*.json) so each round's full per-query data survives even
+    // though bench_queries.json itself is overwritten every round.
     val failedJson = failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson,"rows":$blackhole}"""
     try {
       val w = new java.io.PrintWriter("bench_queries.json")
       try w.println(detail) finally w.close()
+      val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))
+      val next = (rounds :+ 0).max + 1
+      val w2 = new java.io.PrintWriter(f"bench_queries_r$next%02d.json")
+      try w2.println(detail) finally w2.close()
     } catch { case _: Throwable => () }
-    results.grouped(25).zipWithIndex.foreach { case (chunk, i) =>
+    succeeded.grouped(25).zipWithIndex.foreach { case (chunk, i) =>
       val m = chunk.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
       println(s"""{"bench_chunk":$i,"queries":$m}""")
     }
@@ -109,7 +122,7 @@ object Bench {
     val budget = 1500
     val suffix = s""""sf":"$sfName","failed":$failedJson,"rows":$blackhole,"queries_full":"bench_queries.json"}"""
     val prefix = s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""
-    val byCost = results.sortBy(-_._2).map { case (k, v) => entry(k, v) }
+    val byCost = succeeded.sortBy(-_._2).map { case (k, v) => entry(k, v) }
     val room = budget - prefix.length - suffix.length - 2
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0

@@ -211,6 +211,49 @@ object LlmQueries2 {
         .select(col("id").as("doc_id"), col("n_matches"),
           round(coalesce(col("best"), lit(0.0)), 6).as("best_est"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- d14: the STREAMING incremental screen, batch-replayed. The
+    //      same new-docs slice as d11 arrives as a parquet file stream
+    //      in 4 micro-batches (maxFilesPerTrigger=1); each batch is
+    //      MinHash-screened against the static corpus signatures via
+    //      foreachBatch and appended to a parquet sink. Because every
+    //      new doc is screened only against the static side, the union
+    //      of per-batch verdicts is micro-batching-invariant and equals
+    //      the one-shot d11 screen — which is exactly what the shared
+    //      oracle asserts. ----
+    sqlChecked("d14_stream_screen",
+      s"""WITH ${LlmQueries.minhashCtes},
+         |sym AS (SELECT id_a AS b_id, id_b AS c_id, jaccard_est FROM pairs
+         |  UNION ALL SELECT id_b, id_a, jaccard_est FROM pairs),
+         |m AS (SELECT b_id, COUNT(*) AS n_matches, MAX(jaccard_est) AS best
+         |  FROM sym WHERE b_id % 4 = 3 AND c_id % 4 <> 3 GROUP BY b_id)
+         |SELECT d.doc_id, CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+         |  ROUND(COALESCE(m.best, 0.0), 6) AS best_est
+         |FROM documents d LEFT JOIN m ON m.b_id = d.doc_id
+         |WHERE d.doc_id % 4 = 3 ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val cSig = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 4 =!= 3), col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 32, hasher = Dedup.md5Hash60).persist()
+      val tmp = java.nio.file.Files.createTempDirectory("graft-d14")
+      val inDir = tmp.resolve("in").toString
+      val outDir = tmp.resolve("out").toString
+      docs.filter(col("doc_id") % 4 === 3)
+        .repartition(4).write.mode("overwrite").parquet(inDir)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      val q = graft.streaming.IncrementalDedup.start(
+        stream, col("doc_id"), col("text"), cSig,
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30,
+        hasher = Dedup.md5Hash60,
+        sink = v => v.write.mode("append").parquet(outDir))
+      q.awaitTermination()
+      cSig.unpersist(blocking = false)
+      s.read.parquet(outDir)
+        .select(col("id").as("doc_id"), col("n_matches"),
+          round(coalesce(col("best"), lit(0.0)), 6).as("best_est"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -175,6 +175,34 @@ object StatQueries {
         .orderBy(col("c_id"))
     },
 
+    // ---- M5 rm.s=T: drop unmatched survey units instead of the flat
+    // spread (krnwt's declared alternate mode, simu_fun.R:13-15,172-183:
+    // row.krn is set to 1 against an all-zero kernel row, so the unit
+    // contributes nothing and its mass leaves the system) ----
+    sqlChecked("m5_kw_rms",
+      """WITH s AS (SELECT s_suppkey AS s_id, s_acctbal / 1000.0 AS q_s,
+        |             (s_suppkey % 5) + 1.0 AS wt_s FROM supplier),
+        |     c AS (SELECT c_custkey AS c_id, c_acctbal / 1000.0 AS q_c FROM customer),
+        |     k AS (SELECT s_id, wt_s, c_id,
+        |             GREATEST(0.0, 1.0 - ABS((q_s - q_c) / 0.05)) AS k
+        |           FROM s CROSS JOIN c),
+        |     rs AS (SELECT s_id, SUM(k) AS row_k FROM k GROUP BY 1),
+        |     contrib AS (SELECT k.c_id, SUM(k.wt_s * k.k / rs.row_k) AS kw_raw
+        |                 FROM k JOIN rs USING (s_id)
+        |                 WHERE rs.row_k > 0 GROUP BY 1)
+        |SELECT c.c_id, ROUND(COALESCE(contrib.kw_raw, 0.0), 8) AS kw
+        |FROM c LEFT JOIN contrib ON contrib.c_id = c.c_id
+        |ORDER BY c.c_id""".stripMargin) { (s, d) =>
+      graft.weights.KernelWeights.compute(
+          t(s, d, "supplier"), col("s_suppkey"), col("s_acctbal") / 1000.0,
+          (col("s_suppkey") % 5 + 1.0).cast("double"),
+          t(s, d, "customer"), col("c_custkey"), col("c_acctbal") / 1000.0,
+          h = 0.05, kernel = Kernels.triangular, bandJoin = true,
+          removeUnmatched = true)
+        .select(col("c_id"), round(col("kw"), 8).as("kw"))
+        .orderBy(col("c_id"))
+    },
+
     // ---- M6: post-stratification ----
     sqlChecked("m6_poststrat",
       """WITH pop AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,

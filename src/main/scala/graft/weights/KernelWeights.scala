@@ -40,6 +40,13 @@ object KernelWeights {
     * @param cohort  (cId, score) projection
     * @param h       bandwidth
     * @param kernel  kernel function (Kernels.gaussian, ...)
+    * @param removeUnmatched the reference's `rm.s` flag (simu_fun.R:13-15,
+    *   172-183): a survey unit whose kernel row sums to 0 (bandwidth too
+    *   small / no cohort unit in range) normally spreads its weight flat
+    *   (wt/m over all m cohort units, rm.s=F); with rm.s=T the unit is
+    *   DROPPED — it contributes nothing, so Σkw < Σwt by exactly the
+    *   dropped mass (krnwt sets row.krn=1 against an all-zero kernel row,
+    *   which zeroes the unit's contribution — there is no renormalization)
     * @return cohort-keyed DataFrame (cId, kw)
     */
   def compute(
@@ -49,7 +56,8 @@ object KernelWeights {
       cId: Column, cScore: Column,
       h: Double,
       kernel: Column => Column,
-      bandJoin: Boolean = false): DataFrame = {
+      bandJoin: Boolean = false,
+      removeUnmatched: Boolean = false): DataFrame = {
     val s = survey.select(sId.as("s_id"), sScore.cast("double").as("q_s"),
       sWt.cast("double").as("wt_s"))
     val c = cohort.select(cId.as("c_id"), cScore.cast("double").as("q_c"))
@@ -94,7 +102,7 @@ object KernelWeights {
       .map(_.toLong).getOrElse(1000000L)
     val (contrib0, flat) = if (nS <= threshold) {
       val rowRows = rowSumsDf.collect()
-      val flat = rowRows.iterator
+      val flat = if (removeUnmatched) 0.0 else rowRows.iterator
         .filter(r => r.getDouble(2) == 0.0)
         .map(_.getDouble(1)).sum / m.toDouble
       val positive = spark.createDataFrame(
@@ -107,7 +115,7 @@ object KernelWeights {
         .agg(sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw")),
         flat)
     } else {
-      val flat = rowSumsDf
+      val flat = if (removeUnmatched) 0.0 else rowSumsDf
         .agg(coalesce(sum(when(col("row_k") === 0.0, col("wt_s"))), lit(0.0)))
         .head.getDouble(0) / m.toDouble
       (withK

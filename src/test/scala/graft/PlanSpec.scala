@@ -99,6 +99,14 @@ class PlanSpec extends SparkSpec {
     assert(dups.isEmpty, s"duplicate query names (Map would drop one): $dups")
     val orphans = SparkEntry.oracleSql.keySet -- names.toSet
     assert(orphans.isEmpty, s"oracles without a query: $orphans")
+    // README's advertised counts must track the catalog (recurring
+    // doc-drift flagged by two rounds of review)
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val want = s"${names.size} named queries, ${SparkEntry.oracleSql.size} with DuckDB oracles"
+    assert(readme.contains(want),
+      s"README.md counts drifted — expected the line to contain: '$want'")
   }
 
   test("s4_bucketed: co-located bucket join runs with NO exchange") {

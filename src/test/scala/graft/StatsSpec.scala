@@ -143,6 +143,24 @@ class StatsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.kw.rowSumsCollectThreshold")
   }
 
+  test("M5 rm.s=T drops unmatched survey units (mass leaves, no flat spread)") {
+    // id=3 at q=100 matches nothing under the triangular kernel: with
+    // rm.s=T (simu_fun.R:172-183) its wt=4 disappears instead of being
+    // spread flat, so Σkw drops from 9 to 5 and every cohort weight is
+    // exactly the rm.s=F value minus the flat share 4/3
+    val survey = Seq((1L, 0.0, 2.0), (2L, 1.0, 3.0), (3L, 100.0, 4.0))
+      .toDF("id", "q", "wt")
+    val cohort = Seq((10L, 0.0), (11L, 0.5), (12L, 1.0)).toDF("id", "q")
+    def run(rms: Boolean) = KernelWeights.compute(
+      survey, col("id"), col("q"), col("wt"),
+      cohort, col("id"), col("q"),
+      h = 1.0, kernel = Kernels.triangular, removeUnmatched = rms)
+      .orderBy("c_id").collect().map(_.getDouble(1)).toSeq
+    val keep = run(false); val drop = run(true)
+    assertNear(drop.sum, 2.0 + 3.0, 1e-9)
+    assertSeqNear(drop, keep.map(_ - 4.0 / 3.0), 1e-12)
+  }
+
   test("M14 groupEqual assigns exactly-equal-size jackknife groups") {
     val df = (1L to 101L).toDF("id")
     val m = 10
