@@ -99,7 +99,10 @@ object Bench {
     // though bench_queries.json itself is overwritten every round.
     val failedJson = failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson,"rows":$blackhole}"""
-    try {
+    // never clobber the committed artifacts from a FILTERED local
+    // iteration (SPARK_GRAFT_BENCH_ONLY) — a 6-query map overwriting the
+    // full catalog would corrupt round-over-round comparisons
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("bench_queries.json")
       try w.println(detail) finally w.close()
       val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten

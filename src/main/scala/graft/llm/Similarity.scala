@@ -36,6 +36,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact k-NN JOIN: per-QUERY top-k over the corpus for a whole query
+    * SET at once — the batched retrieval shape (RAG candidate fetch,
+    * eval-set neighbor audit). The query side must be the small side:
+    * it broadcasts, the corpus streams through ONE nested-loop pass
+    * (linear in corpus × |queries|, embarrassingly parallel over corpus
+    * partitions), and the per-query top-k is a query-partitioned window
+    * — no corpus self-shuffle anywhere. For corpus-×-corpus all-pairs
+    * use the LSH/IVF/PQ paths instead; a broadcastable query set is the
+    * precondition here. */
+  def knnJoin(corpus: DataFrame, cId: Column, cVec: Column,
+      queries: DataFrame, qId: Column, qVec: Column, k: Int): DataFrame = {
+    val c = corpus.select(cId.as("c_id"), cVec.cast("array<double>").as("cv"))
+    val q = queries.select(qId.as("q_id"), qVec.cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("cv"), col("qv")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("c_id"), col("cos"), col("rk"))
+  }
+
   /** Sign-LSH bucket id from `planes` fixed hyperplanes. Deterministic
     * alternating-sign patterns (plane p flips sign every (p+1) dims) so
     * the same bucketing is expressible in plain SQL for the oracle. */

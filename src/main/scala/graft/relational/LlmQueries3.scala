@@ -87,6 +87,80 @@ object LlmQueries3 {
           col("n_near"), round(col("best_cos"), 6).as("best_cos"),
           col("kept"))
         .orderBy(col("vec_id"))
+    },
+
+    // ---- per-label centroid + medoid: element-wise centroid via
+    //      posexplode → (label, pos) hash aggregate (never a driver
+    //      loop, linear in rows×dim), centroid re-assembled with an
+    //      ordered collect per label (10×64 — dimension-sized), then
+    //      one broadcast join back and a codegen'd cosine to pick each
+    //      label's most-central member. The cluster-summary shape used
+    //      for corpus curation (topic prototypes, nearest-real-doc per
+    //      cluster). ----
+    sqlChecked("a_centroid_knn",
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |comp AS (SELECT label, gs.i AS pos, AVG(v[gs.i]) AS m
+        |         FROM e, generate_series(1, 64) AS gs(i) GROUP BY label, gs.i),
+        |cent AS (SELECT label, list(m ORDER BY pos) AS c FROM comp GROUP BY label),
+        |scored AS (SELECT e.label, e.vec_id,
+        |    list_dot_product(e.v, cent.c) /
+        |      (SQRT(list_dot_product(e.v, e.v)) *
+        |       SQRT(list_dot_product(cent.c, cent.c))) AS cos
+        |  FROM e JOIN cent USING (label)),
+        |ranked AS (SELECT label, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored)
+        |SELECT CAST(label AS INT) AS label, vec_id AS medoid_id,
+        |  ROUND(cos, 6) AS cos
+        |FROM ranked WHERE rk = 1 ORDER BY label""".stripMargin) { (s, d) =>
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val comp = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      val cent = comp.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("cos").desc, col("vec_id"))
+      e.join(broadcast(cent), Seq("label"))
+        .withColumn("cos",
+          graft.functions.VectorExpressions.cosine(col("v"), col("c")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("label").cast("int").as("label"),
+          col("vec_id").as("medoid_id"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("label"))
+    },
+
+    // ---- batched exact k-NN join: every 25th vector is a query; each
+    //      gets its top-5 corpus neighbors in ONE broadcast nested-loop
+    //      pass + a query-partitioned window (no corpus self-shuffle).
+    //      The batched-retrieval shape: RAG candidate fetch, eval-set
+    //      neighbor audits. ----
+    sqlChecked("sim_knn_join",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+        |scored AS (SELECT q.q_id, e.vec_id AS c_id,
+        |    list_dot_product(e.v, q.qv) /
+        |      (SQRT(list_dot_product(e.v, e.v)) *
+        |       SQRT(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, c_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, c_id, ROUND(cos, 6) AS cos, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.knnJoin(
+          emb, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") % 25 === 0), col("vec_id"), col("embedding"),
+          k = 5)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"),
+          col("rk").cast("long").as("rk"))
+        .orderBy(col("q_id"), col("rk"))
     }
   )
 }

@@ -518,6 +518,185 @@ object RelationalQueries5 {
           "qty" -> col("qty"), "tax" -> col("tax")))
         .select(col("var_a"), col("var_b"), round(col("corr"), 10).as("corr"))
         .orderBy(col("var_a"), col("var_b"))
+    },
+
+    // ---- j8: blocked fuzzy self-join (record linkage on short
+    //      strings): candidates from a brand-block equi-join, length-
+    //      difference lower bound pruned, thresholded Levenshtein ≤ 2.
+    //      The oracle replays the identical blocking and distance. ----
+    sqlChecked("j8_fuzzy_join",
+      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      graft.llm.EntityResolution.blockedFuzzyJoin(
+          t(s, d, "part"), col("p_partkey"), col("p_name"), col("p_brand"),
+          maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // ---- s11: SCD type-2 dimension build from an event log — collapse
+    //      each user's purchase stream into change-interval rows
+    //      (attr, valid_from, valid_to, is_current), the slowly-changing-
+    //      dimension history a warehouse maintains from CDC feeds. Two
+    //      user-partitioned windows (lag to detect changes, lead to close
+    //      intervals); no global sort, partitions by user_id. ----
+    sqlChecked("s11_scd2",
+      """WITH p AS (SELECT user_id, ts, CAST(FLOOR(value / 10) AS INT) AS attr,
+        |             event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |o AS (SELECT user_id, ts, attr,
+        |        LAG(attr) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM p),
+        |chg AS (SELECT user_id, ts, attr FROM o
+        |        WHERE prev IS NULL OR attr <> prev),
+        |v AS (SELECT user_id, attr, ts AS valid_from,
+        |        LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        |      FROM chg)
+        |SELECT user_id, attr, epoch_us(valid_from) AS valid_from,
+        |  epoch_us(valid_to) AS valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v ORDER BY user_id, valid_from""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") / 10).cast("int").as("attr"), col("event_id"))
+        .withColumn("prev", lag(col("attr"), 1).over(byUser))
+        .filter(col("prev").isNull || col("attr") =!= col("prev"))
+        .select(col("user_id"), col("attr"), col("ts").as("valid_from"))
+        .withColumn("valid_to",
+          lead(col("valid_from"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("valid_from"))))
+        .select(col("user_id"), col("attr"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+
+    // ---- o9: gaps-and-islands — per-user consecutive-day activity
+    //      streaks from the event log. The island key is the classic
+    //      date − row_number() trick (constant within a consecutive
+    //      run), so the whole thing is one distinct, one user-
+    //      partitioned window, two hash aggregates — no self-join,
+    //      no per-day loop. ----
+    sqlChecked("o9_streaks",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS dt
+        |              FROM events),
+        |isl AS (SELECT user_id, dt,
+        |          dt - CAST(ROW_NUMBER() OVER
+        |            (PARTITION BY user_id ORDER BY dt) AS INT) AS island
+        |        FROM days),
+        |st AS (SELECT user_id, island, COUNT(*) AS len, MIN(dt) AS start_dt
+        |       FROM isl GROUP BY user_id, island)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest,
+        |  STRFTIME(MIN(start_dt), '%Y-%m-%d') AS first_day
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("dt"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("dt")).distinct()
+        .withColumn("island",
+          date_sub(col("dt"), row_number().over(byUser)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"), min(col("dt")).as("start_dt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+          date_format(min(col("start_dt")), "yyyy-MM-dd").as("first_day"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- ev_anomaly: rolling z-score monitoring over the hourly event
+    //      series — per type, each hour scored against the trailing
+    //      24 hours (excluding itself); flagged at |z| > 3 once 12
+    //      trailing points exist. One time-bucket aggregate + one
+    //      type-partitioned ROWS frame; partitions by event_type, no
+    //      global sort until the sink. ----
+    sqlChecked("ev_anomaly",
+      """WITH h AS (SELECT event_type,
+        |             time_bucket(INTERVAL '1 hour', ts) AS hr,
+        |             SUM(value) AS v
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, hr, v,
+        |        AVG(v) OVER w AS mu, STDDEV_SAMP(v) OVER w AS sd,
+        |        COUNT(*) OVER w AS n
+        |      FROM h
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr,
+        |  ROUND(v, 2) AS v,
+        |  ROUND(CASE WHEN n >= 12 AND sd > 0 THEN (v - mu) / sd END, 4) AS z,
+        |  CASE WHEN n >= 12 AND sd > 0 AND ABS((v - mu) / sd) > 3
+        |       THEN 1 ELSE 0 END AS anomaly
+        |FROM r ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(-24, -1)
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour")("start").as("hr"))
+        .agg(sum(col("value")).as("v"))
+        .withColumn("mu", avg(col("v")).over(w))
+        .withColumn("sd", stddev_samp(col("v")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("event_type"), unix_timestamp(col("hr")).as("hr"),
+          round(col("v"), 2).as("v"),
+          round(when(col("n") >= 12 && col("sd") > 0,
+            (col("v") - col("mu")) / col("sd")), 4).as("z"),
+          when(col("n") >= 12 && col("sd") > 0 &&
+            abs((col("v") - col("mu")) / col("sd")) > 3, 1).otherwise(0)
+            .as("anomaly"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+
+    // ---- f_bitwise: bitwise scalar battery (AND/OR/XOR, shifts,
+    //      popcount) — hash/partition/bucket arithmetic primitives ----
+    sqlChecked("f_bitwise",
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS b_and,
+        |  l_orderkey | 4096 AS b_or,
+        |  xor(l_orderkey, l_partkey) AS b_xor,
+        |  (l_linenumber << 4) AS shl,
+        |  (l_orderkey >> 2) AS shr,
+        |  bit_count(l_orderkey) AS pop
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(255).as("b_and"),
+          col("l_orderkey").bitwiseOR(4096).as("b_or"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+          shiftleft(col("l_linenumber"), 4).cast("long").as("shl"),
+          shiftright(col("l_orderkey"), 2).as("shr"),
+          bit_count(col("l_orderkey")).cast("long").as("pop"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ---- a_mode: exact per-group mode with deterministic ties
+    //      (smallest value wins) — mode() builtins leave tie order
+    //      undefined, so both engines replay the explicit
+    //      count + rank construction ----
+    sqlChecked("a_mode",
+      """WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, l_quantity, n,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY n DESC, l_quantity) AS rk
+        |      FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, CAST(n AS BIGINT) AS n
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("n").desc, col("l_quantity"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -907,6 +907,62 @@ object StatQueries {
         .select(col("id"), round(col("x1"), 6).as("x1"), round(col("x2"), 6).as("x2"),
           round(col("x3"), 6).as("x3"), round(col("t"), 6).as("t"), col("d"))
         .orderBy(col("id"))
+    },
+
+    // ---- M22: PSAS propensity-score stratification pseudo-weights —
+    // the reference header's third weighting method (simu_fun.R:2,12;
+    // body never shipped there): quintile strata of the cohort score,
+    // cohort unit gets stratum survey mass / stratum cohort count ----
+    sqlChecked("m22_psas",
+      """WITH c AS (SELECT c_custkey AS id, 0.2 + 0.3 * c_acctbal / 1000.0 AS q
+        |           FROM customer),
+        |     s AS (SELECT 0.2 + 0.3 * s_acctbal / 1000.0 AS q,
+        |             (s_suppkey % 5) + 1.0 AS wt FROM supplier),
+        |     b AS (SELECT quantile_cont(q, 0.2) AS b1, quantile_cont(q, 0.4) AS b2,
+        |             quantile_cont(q, 0.6) AS b3, quantile_cont(q, 0.8) AS b4 FROM c),
+        |     ch AS (SELECT id, CASE WHEN q <= b1 THEN 1 WHEN q <= b2 THEN 2
+        |              WHEN q <= b3 THEN 3 WHEN q <= b4 THEN 4 ELSE 5 END AS h
+        |            FROM c, b),
+        |     sh AS (SELECT CASE WHEN q <= b1 THEN 1 WHEN q <= b2 THEN 2
+        |              WHEN q <= b3 THEN 3 WHEN q <= b4 THEN 4 ELSE 5 END AS h, wt
+        |            FROM s, b),
+        |     st AS (SELECT h, SUM(wt) AS swt FROM sh GROUP BY h),
+        |     cn AS (SELECT h, COUNT(*) AS n FROM ch GROUP BY h)
+        |SELECT ch.id AS c_custkey,
+        |  ROUND(COALESCE(st.swt, 0.0) / cn.n, 8) AS psas
+        |FROM ch JOIN cn USING (h) LEFT JOIN st USING (h)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      graft.weights.Psas.compute(
+          t(s, d, "supplier"), lit(0.2) + lit(0.3) * col("s_acctbal") / 1000.0,
+          (col("s_suppkey") % 5 + 1.0).cast("double"),
+          t(s, d, "customer"), col("c_custkey"),
+          lit(0.2) + lit(0.3) * col("c_acctbal") / 1000.0, g = 5)
+        .select(col("c_id").as("c_custkey"), round(col("psas"), 8).as("psas"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- M23: weighting-class nonresponse adjustment — redistribute
+    // the sample's own weight mass from nonrespondents (status 'P') to
+    // respondents within o_orderpriority classes; Σ adj = Σ wt per
+    // class with ≥1 respondent ----
+    sqlChecked("m23_nonresponse",
+      """WITH s AS (SELECT o_orderkey, o_orderpriority AS cls,
+        |             (o_orderkey % 7) + 1.0 AS wt,
+        |             o_orderstatus <> 'P' AS resp FROM orders),
+        |     f AS (SELECT cls, SUM(wt) / SUM(CASE WHEN resp THEN wt ELSE 0 END) AS fac
+        |           FROM s GROUP BY cls
+        |           HAVING SUM(CASE WHEN resp THEN wt ELSE 0 END) > 0)
+        |SELECT s.o_orderkey, ROUND(s.wt * f.fac, 8) AS adj_wt
+        |FROM s JOIN f USING (cls) WHERE s.resp
+        |ORDER BY s.o_orderkey""".stripMargin) { (s, d) =>
+      graft.weights.Nonresponse.adjust(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderstatus")),
+          col("o_orderpriority"),
+          (col("o_orderkey") % 7 + 1.0).cast("double"),
+          col("o_orderstatus") =!= "P")
+        .select(col("o_orderkey"), round(col("adj_wt"), 8).as("adj_wt"))
+        .orderBy(col("o_orderkey"))
     }
   )
 }

@@ -74,4 +74,52 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(out == Set((9L, 2.0)))
   }
+
+  test("psas: g=2 median split conserves survey mass; survey-empty stratum → 0") {
+    val cohort = Seq((1L, 0.1), (2L, 0.2), (3L, 0.8), (4L, 0.9)).toDF("id", "q")
+    // both survey units land in the LOW stratum (q <= median 0.5)
+    val survey = Seq((0.15, 2.0), (0.3, 3.0)).toDF("q", "wt")
+    val got = graft.weights.Psas.compute(
+        survey, col("q"), col("wt"), cohort, col("id"), col("q"), g = 2)
+      .orderBy("c_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // low stratum: (2+3)/2 cohort units = 2.5 each; high stratum: no
+    // survey mass → 0, never a null or a dropped row
+    assert(got.toSeq == Seq((1L, 2.5), (2L, 2.5), (3L, 0.0), (4L, 0.0)))
+    assert(got.map(_._2).sum == 5.0)
+  }
+
+  test("fuzzy join: maxDist=0 finds only exact in-block duplicates") {
+    val df = Seq((1L, "alpha", "b1"), (2L, "alpha", "b1"), (3L, "alphb", "b1"),
+        (4L, "alpha", "b2")).toDF("id", "s", "blk")
+    val got = graft.llm.EntityResolution.blockedFuzzyJoin(
+        df, col("id"), col("s"), col("blk"), maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (1,2) exact dup in b1; (1,3)/(2,3) are dist 1 → excluded; id 4 is
+    // identical text but another block → excluded (blocking contract)
+    assert(got == Set((1L, 2L, 0)))
+  }
+
+  test("nonresponse adjustment conserves class mass; all-nonresponse class drops") {
+    val df = Seq(
+      ("a", 2.0, true), ("a", 3.0, false), ("a", 5.0, true),
+      ("b", 4.0, false), ("b", 6.0, false)).toDF("cls", "wt", "resp")
+    val got = graft.weights.Nonresponse.adjust(df, col("cls"), col("wt"), col("resp"))
+      .select(col("cls"), col("wt"), col("adj_wt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // class a: factor 10/7, only respondents survive, mass 10 conserved;
+    // class b has NO respondents → contributes no rows (never a div-0)
+    assert(got.forall(_._1 == "a") && got.length == 2)
+    assertNear(got.map(_._3).sum, 10.0, 1e-12)
+    got.foreach { case (_, wt, adj) => assertNear(adj, wt * 10.0 / 7.0, 1e-12) }
+  }
+
+  test("fuzzy join: length prefilter never rejects a within-threshold pair") {
+    val df = Seq((1L, "ab", "b"), (2L, "abxy", "b")).toDF("id", "s", "blk")
+    // lev("ab","abxy") = 2 = length difference: the |len| <= maxDist
+    // prefilter must keep it (lower bound is tight here)
+    val got = graft.llm.EntityResolution.blockedFuzzyJoin(
+        df, col("id"), col("s"), col("blk"), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 2)))
+  }
 }

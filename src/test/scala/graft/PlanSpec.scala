@@ -187,6 +187,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("j8_fuzzy_join: candidates come from a block equi-join, never a cartesian") {
+    val p = plan("j8_fuzzy_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join degenerated to all-pairs:\n$p")
+    // the thresholded levenshtein must be present (band DP, not full O(len²))
+    assert(p.toLowerCase.contains("levenshtein"), s"distance not in plan:\n$p")
+  }
+
+  test("a_centroid_knn / m22_psas: dimension-sized factor tables broadcast back") {
+    val p1 = plan("a_centroid_knn")
+    assert(p1.contains("BroadcastHashJoin"), s"centroid join not broadcast:\n$p1")
+    val p2 = plan("m22_psas")
+    assert(p2.contains("BroadcastHashJoin"), s"stratum factor join not broadcast:\n$p2")
+  }
+
+  test("sim_knn_join: query side broadcasts, corpus streams one NLJ pass") {
+    // the query set is the small side by contract: a broadcast nested
+    // loop (linear in corpus, parallel over its partitions), never a
+    // corpus self-shuffle or cartesian exchange
+    val p = plan("sim_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast NLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian exchange crept in:\n$p")
+  }
+
   test("d12_containment: token df is a hash aggregate, never a token-keyed window") {
     // a window partitioned by (blk, token) sorts the posting stream and
     // concentrates every occurrence of a hot token in one partition —
