@@ -75,7 +75,6 @@ object KernelWeights {
     // both paths (the reference's krnwt spreads wt/m, simu_fun.R:175-183).
     val m = c.count()
     val spark = survey.sparkSession
-    val nS = s.count()
     val rowSumsDf = s.select(col("s_id"), col("wt_s"))
       .join(withK.groupBy(col("s_id")).agg(sum(col("k")).as("row_k")),
         Seq("s_id"), "left")
@@ -97,11 +96,17 @@ object KernelWeights {
     // threshold the collect would be a driver OOM, so the row sums stay
     // distributed and shuffle-join back (AQE picks the join strategy);
     // that path pays one extra pair-stream scan for the flat-rescue
-    // scalar but is bounded by executor, not driver, memory.
-    val threshold = spark.conf.getOption("graft.kw.rowSumsCollectThreshold")
-      .map(_.toLong).getOrElse(1000000L)
-    val (contrib0, flat) = if (nS <= threshold) {
-      val rowRows = rowSumsDf.collect()
+    // scalar but is bounded by executor, not driver, memory. The size
+    // check is a LIMIT-probe collect (threshold+1 rows max) rather than
+    // a count() — no extra job on the common small path, and a probe
+    // that comes back short IS the full row-sum set.
+    val threshold = math.min(
+      spark.conf.getOption("graft.kw.rowSumsCollectThreshold")
+        .map(_.toLong).getOrElse(1000000L),
+      Int.MaxValue - 2L).toInt
+    val probe = rowSumsDf.limit(threshold + 1).collect()
+    val (contrib0, flat) = if (probe.length <= threshold) {
+      val rowRows = probe
       val flat = if (removeUnmatched) 0.0 else rowRows.iterator
         .filter(r => r.getDouble(2) == 0.0)
         .map(_.getDouble(1)).sum / m.toDouble
@@ -276,25 +281,23 @@ object KernelWeights {
     // reference's flat wt/m rescue (simu_fun.R:175-183) with ZERO
     // derivative — the rescue branch is piecewise-constant in γ — so
     // both KW entry points conserve pseudo-weight mass and agree on kw.
+    //
+    // With CONTINUOUS scores the profile count equals the survey size,
+    // so the collect is guarded by the same threshold as compute(): above
+    // it, the profile row sums stay distributed and shuffle-join back
+    // (one extra pair-stream scan for the flat scalar, executor-bounded).
     val spark = survey.sparkSession
     val sKeyNames = "q_s" +: (0 until p).map(j => s"xs$j")
     val rowAggDf = wk.groupBy(sKeyNames.map(col) :+ col("wt_s"): _*)
       .agg(sum(col("c_mult") * col("k")).as("row_k"),
         (0 until p).map(j => sum(col("c_mult") * col(s"dk$j")).as(s"row_dk$j")): _*)
-    val rowRows = rowAggDf.collect()
-    val rkIdx = rowAggDf.schema.fieldIndex("row_k")
-    val wtIdx = rowAggDf.schema.fieldIndex("wt_s")
-    val flat = rowRows.iterator
-      .filter(r => r.getDouble(rkIdx) == 0.0)
-      .map(_.getDouble(wtIdx)).sum / mUnits.toDouble
-    val positive = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        rowRows.filter(_.getDouble(rkIdx) > 0.0).toSeq, 1),
-      rowAggDf.schema)
-
+    val threshold = math.min(
+      spark.conf.getOption("graft.kw.rowSumsCollectThreshold")
+        .map(_.toLong).getOrElse(1000000L),
+      Int.MaxValue - 2L).toInt
     val cKeyNames = "q_c" +: (0 until p).map(j => s"xc$j")
-    val contrib = wk
-      .join(broadcast(positive.drop("wt_s")), sKeyNames)
+    def contribFrom(positive: DataFrame): DataFrame = wk
+      .join(positive, sKeyNames)
       .groupBy(cKeyNames.map(col): _*)
       .agg(
         sum(col("wt_s") * col("k") / col("row_k")).as("kw_raw"),
@@ -302,6 +305,25 @@ object KernelWeights {
           sum(col("wt_s") * (col(s"dk$j") * col("row_k") - col("k") * col(s"row_dk$j"))
             / (col("row_k") * col("row_k"))).as(s"d_kw_$j")
         }: _*)
-    (contrib, flat)
+    // LIMIT-probe size check — same rationale as compute()
+    val probe = rowAggDf.limit(threshold + 1).collect()
+    if (probe.length <= threshold) {
+      val rowRows = probe
+      val rkIdx = rowAggDf.schema.fieldIndex("row_k")
+      val wtIdx = rowAggDf.schema.fieldIndex("wt_s")
+      val flat = rowRows.iterator
+        .filter(r => r.getDouble(rkIdx) == 0.0)
+        .map(_.getDouble(wtIdx)).sum / mUnits.toDouble
+      val positive = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rowRows.filter(_.getDouble(rkIdx) > 0.0).toSeq, 1),
+        rowAggDf.schema)
+      (contribFrom(broadcast(positive.drop("wt_s"))), flat)
+    } else {
+      val flat = rowAggDf
+        .agg(coalesce(sum(when(col("row_k") === 0.0, col("wt_s"))), lit(0.0)))
+        .head.getDouble(0) / mUnits.toDouble
+      (contribFrom(rowAggDf.filter(col("row_k") > 0.0).drop("wt_s")), flat)
+    }
   }
 }

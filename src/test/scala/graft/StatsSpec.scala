@@ -143,6 +143,34 @@ class StatsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.kw.rowSumsCollectThreshold")
   }
 
+  test("A8 jacobian distributed row-sums path matches the collect path") {
+    // continuous scores make |survey profiles| = n_s, so at scale the
+    // jacobian's row-sum collect takes the same guarded fallback as
+    // compute(); threshold 0 forces it and values must be identical
+    val survey = Seq((101L, 0.1, 2.0), (102L, 0.6, 3.0), (103L, 8.0, 1.5))
+      .toDF("id", "q", "wt")
+    val cohort = Seq((1L, 0.2), (2L, 0.4), (3L, 0.7), (4L, 0.9))
+      .toDF("id", "q")
+    def run() = KernelWeights.jacobian(
+      survey, col("id"), col("q"), col("wt"),
+      cohort, col("id"), col("q"),
+      h = 0.5, sFeatures = Seq(col("q")), cFeatures = Seq(col("q")),
+      kernel = Kernels.triangular, kernelDeriv =
+        u => when(abs(u) < 1.0, -signum(u) / 2).otherwise(0.0))
+      .orderBy("c_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val viaCollect = run()
+    spark.conf.set("graft.kw.rowSumsCollectThreshold", "0")
+    try {
+      val viaJoin = run()
+      viaCollect.zip(viaJoin).foreach { case ((i1, k1, d1), (i2, k2, d2)) =>
+        assert(i1 == i2); assertNear(k1, k2, 1e-12); assertNear(d1, d2, 1e-12)
+      }
+      // survey id=103 at q=8 matches nothing → flat rescue mass present
+      assertNear(viaJoin.map(_._2).sum, 2.0 + 3.0 + 1.5, 1e-9)
+    } finally spark.conf.unset("graft.kw.rowSumsCollectThreshold")
+  }
+
   test("M5 rm.s=T drops unmatched survey units (mass leaves, no flat spread)") {
     // id=3 at q=100 matches nothing under the triangular kernel: with
     // rm.s=T (simu_fun.R:172-183) its wt=4 disappears instead of being
