@@ -675,6 +675,40 @@ object RelationalQueries5 {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // ---- w_sliding_distinct: trailing-7-hour DISTINCT active users
+    //      per event type (the rolling-actives metric). Spark has no
+    //      distinct window aggregate, so the engine pre-collapses to
+    //      hourly user SETS (one hash aggregate) and unions sets over a
+    //      RANGE frame — set sizes are per-hour distinct users, far
+    //      smaller than raw rows, so the window state is bounded by
+    //      |users|, not |events|. ----
+    sqlChecked("w_sliding_distinct",
+      """WITH d AS (SELECT DISTINCT event_type,
+        |             time_bucket(INTERVAL '1 hour', ts) AS hr, user_id
+        |           FROM events),
+        |w AS (SELECT event_type, hr,
+        |        COUNT(DISTINCT user_id) OVER
+        |          (PARTITION BY event_type ORDER BY hr
+        |           RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+        |          AS u7
+        |      FROM d)
+        |SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr,
+        |  CAST(MAX(u7) AS BIGINT) AS u7
+        |FROM w GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .select(col("event_type"),
+          window(col("ts"), "1 hour")("start").as("hr"), col("user_id"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(collect_set(col("user_id")).as("us"))
+        .withColumn("hr_s", unix_timestamp(col("hr")))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr_s"))
+        .rangeBetween(-6L * 3600L, 0L)
+      hourly.select(col("event_type"), col("hr_s").as("hr"),
+          size(array_distinct(flatten(collect_list(col("us")).over(w))))
+            .cast("long").as("u7"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+
     // ---- a_mode: exact per-group mode with deterministic ties
     //      (smallest value wins) — mode() builtins leave tie order
     //      undefined, so both engines replay the explicit
