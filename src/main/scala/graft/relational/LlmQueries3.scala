@@ -161,6 +161,48 @@ object LlmQueries3 {
         .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"),
           col("rk").cast("long").as("rk"))
         .orderBy(col("q_id"), col("rk"))
+    },
+
+    // ---- classifier-eval rollup: confusion matrix + per-class recall
+    //      of the t_langid heuristic against the declared lang label —
+    //      the quality-filter audit every corpus pipeline runs before
+    //      trusting a model-based filter at scale. Two hash aggregates
+    //      over the scored frame; the recall denominator is a
+    //      class-partitioned window over the (tiny) matrix itself. ----
+    sqlChecked("t_lang_confusion",
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |    len(list_filter(string_split($normSql, ' '),
+         |        w -> w IN ('the','and','of','to','in','is'))) AS s_en,
+         |    len(list_filter(string_split($normSql, ' '),
+         |        w -> w IN ('der','die','und','das','ist','ein'))) AS s_de,
+         |    len(list_filter(string_split($normSql, ' '),
+         |        w -> w IN ('le','la','et','les','des','un'))) AS s_fr
+         |  FROM documents),
+         |pred AS (SELECT lang AS lang_declared,
+         |    (SELECT l FROM (VALUES (s_en, 'en'), (s_de, 'de'), (s_fr, 'fr'))
+         |       t(sc2, l) ORDER BY sc2 DESC, l DESC LIMIT 1) AS lang_pred
+         |  FROM sc),
+         |m AS (SELECT lang_declared, lang_pred, COUNT(*) AS n
+         |      FROM pred GROUP BY 1, 2)
+         |SELECT lang_declared, lang_pred, CAST(n AS BIGINT) AS n,
+         |  ROUND(CAST(n AS DOUBLE) /
+         |    SUM(n) OVER (PARTITION BY lang_declared), 8) AS recall
+         |FROM m ORDER BY lang_declared, lang_pred""".stripMargin) { (s, d) =>
+      val markers = Seq(
+        "en" -> Seq("the", "and", "of", "to", "in", "is"),
+        "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+        "fr" -> Seq("le", "la", "et", "les", "des", "un"))
+      val byClass = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang_declared"))
+      t(s, d, "documents")
+        .select(col("lang").as("lang_declared"),
+          graft.llm.TextAnalysis.languageId(col("text"), markers).as("lang_pred"))
+        .groupBy(col("lang_declared"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang_declared"), col("lang_pred"), col("n"),
+          round(col("n").cast("double") / sum(col("n")).over(byClass), 8)
+            .as("recall"))
+        .orderBy(col("lang_declared"), col("lang_pred"))
     }
   )
 }

@@ -963,6 +963,29 @@ object StatQueries {
           col("o_orderstatus") =!= "P")
         .select(col("o_orderkey"), round(col("adj_wt"), 8).as("adj_wt"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // ---- M24: weight trimming at the p90 cap with proportional mass
+    // redistribution — the standard guard against extreme pseudo-
+    // weights (IPSW odds / KW ratios are unbounded above); Σ trim_wt
+    // = Σ w exactly ----
+    sqlChecked("m24_trim",
+      """WITH w AS (SELECT c_custkey, EXP(c_acctbal / 1500.0) AS w FROM customer),
+        |cap AS (SELECT quantile_cont(w, 0.9) AS cap FROM w),
+        |agg AS (SELECT
+        |    COALESCE(SUM(CASE WHEN w > cap THEN w - cap END), 0) AS excess,
+        |    COALESCE(SUM(CASE WHEN w <= cap THEN w END), 0) AS unt
+        |  FROM w, cap)
+        |SELECT c_custkey,
+        |  ROUND(CASE WHEN w > cap THEN cap
+        |             ELSE w * (1 + excess / unt) END, 8) AS trim_wt
+        |FROM w, cap, agg ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      graft.weights.Trimming.trim(
+          t(s, d, "customer").select(col("c_custkey"),
+            exp(col("c_acctbal") / 1500.0).as("w")),
+          col("w"), p = 0.9)
+        .select(col("c_custkey"), round(col("trim_wt"), 8).as("trim_wt"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

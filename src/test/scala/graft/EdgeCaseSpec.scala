@@ -113,6 +113,18 @@ class EdgeCaseSpec extends SparkSpec {
     got.foreach { case (_, wt, adj) => assertNear(adj, wt * 10.0 / 7.0, 1e-12) }
   }
 
+  test("weight trimming conserves total mass and caps every trimmed unit") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val out = graft.weights.Trimming.trimAt(df, col("w"), cap = 10.0)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assertNear(out.map(_._2).sum, 110.0, 1e-12)        // Σ preserved
+    out.foreach { case (w, t) =>
+      if (w > 10.0) assert(t == 10.0)                  // trimmed to cap
+      else assertNear(t, w * (1 + 90.0 / 10.0), 1e-12) // proportional share
+    }
+  }
+
   test("fuzzy join: length prefilter never rejects a within-threshold pair") {
     val df = Seq((1L, "ab", "b"), (2L, "abxy", "b")).toDF("id", "s", "blk")
     // lev("ab","abxy") = 2 = length difference: the |len| <= maxDist

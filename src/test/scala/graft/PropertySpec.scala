@@ -34,6 +34,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join profile collapse equals the naive all-pairs result") {
+    // the DP-over-profiles rewrite must be extensionally identical to
+    // pairing rows directly, for any corpus with repeated strings
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = Seq("cat", "car", "cart", "dog", "dot", "bird", "birk")
+    val rowG = Gen.listOfN(14,
+      Gen.zip(Gen.oneOf(vocab), Gen.oneOf("b1", "b2")))
+    for ((rows, maxDist) <- samples(Gen.zip(rowG, Gen.choose(0, 2)), 4)) {
+      val df = rows.zipWithIndex
+        .map { case ((s, b), i) => (i.toLong, s, b) }.toDF("id", "s", "blk")
+      val got = graft.llm.EntityResolution.blockedFuzzyJoin(
+          df, col("id"), col("s"), col("blk"), maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (a, i) <- rows.zipWithIndex; (b, j) <- rows.zipWithIndex
+        if i < j && a._2 == b._2
+        d = lev(a._1, b._1) if d <= maxDist
+      } yield (i.toLong, j.toLong, d)).toSet
+      assert(got == want, s"maxDist=$maxDist diff=${(got diff want) ++ (want diff got)}")
+    }
+  }
+
   test("GREG calibration reproduces arbitrary attainable totals exactly") {
     for (rows <- samples(rowGen, 5) if rows.map(_._1).distinct.length >= 2) {
       val df = rows.zipWithIndex
