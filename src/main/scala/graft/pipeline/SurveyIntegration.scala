@@ -50,9 +50,11 @@ object SurveyIntegration {
     cohort.withColumn("ipsw", Ipsw.fromLinearPredictor(ps.score(cohort), a))
 
   /** Cohort frame + `kw` column (M5): kernel-smoothed pseudo-weights
-    * with bw.nrd0 bandwidth on the pooled scores. */
+    * with bw.nrd0 bandwidth on the pooled scores. `removeUnmatched` is
+    * the reference's rm.s flag (simu_fun.R:13-15). */
   def withKw(cohort: DataFrame, survey: DataFrame, surveyWt: Column,
-      ps: PsModel, idCol: String, kernel: String = "gaussian"): DataFrame = {
+      ps: PsModel, idCol: String, kernel: String = "gaussian",
+      removeUnmatched: Boolean = false): DataFrame = {
     val cScored = cohort.withColumn("__q", ps.score(cohort))
     val sScored = survey.withColumn("__q", ps.score(survey))
     val h = Kernels.bwNrd0(cScored.select(col("__q").as("q"))
@@ -60,9 +62,29 @@ object SurveyIntegration {
     val kw = KernelWeights.compute(
       sScored, col(idCol), col("__q"), surveyWt,
       cScored, col(idCol), col("__q"),
-      h = h, kernel = Kernels.byName(kernel))
+      h = h, kernel = Kernels.byName(kernel),
+      removeUnmatched = removeUnmatched)
     cohort.join(kw.withColumnRenamed("c_id", idCol), Seq(idCol))
   }
+
+  /** Cohort frame + `psas` column (M22): propensity-score
+    * stratification pseudo-weights over `g` quantile strata of the
+    * cohort score — the PSAS method the reference header declares
+    * (simu_fun.R:2,12). */
+  def withPsas(cohort: DataFrame, survey: DataFrame, surveyWt: Column,
+      ps: PsModel, idCol: String, g: Int = 5): DataFrame = {
+    val psas = graft.weights.Psas.compute(
+      survey.withColumn("__q", ps.score(survey)), col("__q"), surveyWt,
+      cohort.withColumn("__q", ps.score(cohort)), col(idCol), col("__q"), g)
+    cohort.join(psas.withColumnRenamed("c_id", idCol), Seq(idCol))
+  }
+
+  /** Cap extreme pseudo-weights at the p-th exact quantile and
+    * redistribute the excess proportionally (M24) — apply between
+    * pseudo-weight construction and the estimator battery. */
+  def withTrimmedWeight(df: DataFrame, weight: Column,
+      p: Double = 0.95): DataFrame =
+    graft.weights.Trimming.trim(df, weight, p)
 
   final case class Battery(
       beta: Array[Double],

@@ -99,6 +99,23 @@ class PipelineSpec extends SparkSpec {
     assert(se > 0.01 && se < 2.0, s"theta=$theta se=$se")
   }
 
+  test("PSAS pseudo-weights: positive, Σpsas = Σ survey wt, trimming preserves it") {
+    val stacked = SurveyIntegration.stack(
+      cohort.drop("msize"), survey.drop("msize"), col("wt"))
+    val ps = SurveyIntegration.propensityModel(stacked, Seq("x1", "x2", "x3"))
+    val withP = SurveyIntegration.withPsas(cohort.drop("msize"),
+      survey.drop("msize"), col("wt"), ps, idCol = "id", g = 5)
+    assert(withP.count() == cohort.count())
+    val sumPsas = withP.agg(sum("psas")).head().getDouble(0)
+    val sumWt = survey.agg(sum("wt")).head().getDouble(0)
+    // strata come from cohort quantiles, so every stratum has cohort
+    // units and all survey mass lands somewhere
+    assertNear(sumPsas, sumWt, 1e-9)
+    assert(withP.filter(col("psas") < 0).isEmpty)
+    val trimmed = SurveyIntegration.withTrimmedWeight(withP, col("psas"), p = 0.9)
+    assertNear(trimmed.agg(sum("trim_wt")).head().getDouble(0), sumPsas, 1e-9)
+  }
+
   test("composite-weight blend: allocations in (0,1), halves preserved") {
     val stacked = SurveyIntegration.stack(
       cohort.drop("msize"), survey.drop("msize"), col("wt"))
