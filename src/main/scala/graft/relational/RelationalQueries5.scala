@@ -709,6 +709,35 @@ object RelationalQueries5 {
         .orderBy(col("event_type"), col("hr"))
     },
 
+    // ---- j9: bucketed point-in-interval range join — orders matched
+    //      to OVERLAPPING promo windows. No equi-key exists, so stock
+    //      Spark would nested-loop; the engine recovers a hash join by
+    //      exploding intervals to covered buckets and matching points
+    //      on their single bucket (core/RangeJoin), with the exact
+    //      BETWEEN filter on co-bucketed candidates only. ----
+    sqlChecked("j9_range_join",
+      """WITH promo AS (SELECT i AS promo_id,
+        |    9131 + i * 180 AS lo, 9131 + i * 180 + 250 AS hi
+        |  FROM generate_series(0, 11) t(i)),
+        |pts AS (SELECT o_orderkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d
+        |  FROM orders)
+        |SELECT p.o_orderkey, CAST(pr.promo_id AS BIGINT) AS promo_id
+        |FROM pts p JOIN promo pr ON p.d BETWEEN pr.lo AND pr.hi
+        |ORDER BY o_orderkey, promo_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val promo = (0 to 11).map(i => (i.toLong, 9131 + i * 180, 9131 + i * 180 + 250))
+        .toDF("promo_id", "lo", "hi")
+      graft.core.RangeJoin.pointInInterval(
+          t(s, d, "orders").select(col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).as("d")),
+          col("o_orderkey"), col("d"),
+          promo, col("promo_id"), col("lo"), col("hi"),
+          bucketWidth = 256.0)
+        .select(col("p_key").as("o_orderkey"), col("i_key").as("promo_id"))
+        .orderBy(col("o_orderkey"), col("promo_id"))
+    },
+
     // ---- a_mode: exact per-group mode with deterministic ties
     //      (smallest value wins) — mode() builtins leave tie order
     //      undefined, so both engines replay the explicit

@@ -211,6 +211,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian exchange crept in:\n$p")
   }
 
+  test("j9_range_join: interval join runs as a bucket equi-join, not a nested loop") {
+    val p = plan("j9_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
   test("d12_containment: token df is a hash aggregate, never a token-keyed window") {
     // a window partitioned by (blk, token) sorts the posting stream and
     // concentrates every occurrence of a hot token in one partition —

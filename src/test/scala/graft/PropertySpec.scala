@@ -63,6 +63,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join equals the naive BETWEEN join for any width") {
+    val ivG = Gen.listOfN(8, Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0.0, 40.0)))
+    val ptG = Gen.listOfN(20, Gen.choose(-60.0, 60.0))
+    for (((ivs, pts), width) <- samples(
+        Gen.zip(Gen.zip(ivG, ptG), Gen.oneOf(1.0, 7.3, 64.0)), 4)) {
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+        .toDF("i", "lo", "hi")
+      val points = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("k", "p")
+      val got = graft.core.RangeJoin.pointInInterval(
+          points, col("k"), col("p"), intervals, col("i"),
+          col("lo"), col("hi"), width)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (p, k) <- pts.zipWithIndex; ((lo, len), i) <- ivs.zipWithIndex
+        if p >= lo && p <= lo + len
+      } yield (k.toLong, i.toLong)).toSet
+      assert(got == want, s"width=$width diff=${(got diff want) ++ (want diff got)}")
+    }
+  }
+
   test("GREG calibration reproduces arbitrary attainable totals exactly") {
     for (rows <- samples(rowGen, 5) if rows.map(_._1).distinct.length >= 2) {
       val df = rows.zipWithIndex
