@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.Tables
-import graft.llm.{LanguageModel, Similarity}
+import graft.llm.{Dedup, LanguageModel, Similarity}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
@@ -203,6 +203,46 @@ object LlmQueries3 {
           round(col("n").cast("double") / sum(col("n")).over(byClass), 8)
             .as("recall"))
         .orderBy(col("lang_declared"), col("lang_pred"))
+    },
+
+    // ---- d15: cross-source dedup survivor selection — when a dup
+    //      cluster spans sources, keep the highest-priority source's
+    //      doc (curated beats crawl), tie-broken by doc_id. The d3→d6
+    //      composition plus one cluster-partitioned window; the real
+    //      pipeline decision step between clustering and deletion. ----
+    sqlChecked("d15_cross_source",
+      s"""WITH RECURSIVE ${LlmQueries.minhashCtes},
+         |sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM sym
+         |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS cluster
+         |  FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster,
+         |    CAST(SUBSTR(d.source, 4) AS INT) % 3 AS tier
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |r AS (SELECT doc_id, cluster, tier,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster
+         |                       ORDER BY tier, doc_id) AS rk
+         |  FROM lab)
+         |SELECT doc_id, cluster, tier,
+         |  CASE WHEN rk = 1 THEN 1 ELSE 0 END AS kept
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30,
+        hasher = Dedup.md5Hash60)
+      val cc = Dedup.connectedComponents(pairs, col("id_a"), col("id_b"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster")).orderBy(col("tier"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .join(cc, col("doc_id") === col("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          (substring(col("source"), 4, 10).cast("int") % 3).as("tier"))
+        .withColumn("kept",
+          when(row_number().over(w) === 1, 1).otherwise(0))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -738,6 +738,26 @@ object RelationalQueries5 {
         .orderBy(col("o_orderkey"), col("promo_id"))
     },
 
+    // ---- s12: small-file compaction — the operational chore a
+    //      long-lived table needs: a fragmented write (64 shards of a
+    //      500-row table) is coalesced to 4 files and re-read; content
+    //      must be byte-identical through both roundtrips (the oracle
+    //      is the source table itself). coalesce(), not repartition():
+    //      compaction must not pay a shuffle. File-count reduction is
+    //      asserted in SourcesSpec. ----
+    sqlChecked("s12_compaction",
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s12")
+      val frag = tmp.resolve("frag").toString
+      val comp = tmp.resolve("compact").toString
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars"))
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(4)
+        .write.mode("overwrite").parquet(comp)
+      s.read.parquet(comp).orderBy(col("doc_id"))
+    },
+
     // ---- a_mode: exact per-group mode with deterministic ties
     //      (smallest value wins) — mode() builtins leave tie order
     //      undefined, so both engines replay the explicit

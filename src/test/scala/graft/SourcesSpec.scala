@@ -24,6 +24,24 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 3)
   }
 
+  test("s12 compaction actually reduces file count without a shuffle") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+    val frag = tmp.resolve("frag").toString
+    val comp = tmp.resolve("compact").toString
+    spark.range(500).selectExpr("id", "id * 2 AS v")
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parts(frag) == 64, s"expected 64 fragment files, got ${parts(frag)}")
+    val df = spark.read.parquet(frag).coalesce(4)
+    // coalesce is a shuffle-free narrow repartition — no Exchange node
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "compaction introduced a shuffle")
+    df.write.mode("overwrite").parquet(comp)
+    assert(parts(comp) <= 4, s"expected <=4 compacted files, got ${parts(comp)}")
+    assert(spark.read.parquet(comp).count() == 500)
+  }
+
   test("Tables.events survives both physical ts layouts (nanos-long and µs-NTZ)") {
     // the testdata generator has shipped events.ts as TIMESTAMP(NANOS)
     // in some rounds and TIMESTAMP(MICROS, isAdjustedToUTC=false) in
