@@ -103,6 +103,42 @@ object RelationalQueries2 {
         .limit(20)
     },
 
+    // ---- TPC-H Q5 shape: six-table join with the local-supplier
+    //      constraint (customer and supplier in the SAME nation) —
+    //      the canonical join-ordering exercise. Dimension chain
+    //      (region→nation) broadcasts; the fact-side joins shuffle on
+    //      their keys and AQE reorders freely. ----
+    sqlChecked("q5_region_volume",
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     sqlChecked("a_distinct",
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_suppkey) AS n_supp,
