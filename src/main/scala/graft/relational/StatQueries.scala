@@ -986,6 +986,22 @@ object StatQueries {
           col("w"), p = 0.9)
         .select(col("c_custkey"), round(col("trim_wt"), 8).as("trim_wt"))
         .orderBy(col("c_custkey"))
+    },
+
+    // ---- M25: systematic 1-in-10 sampling on the acctbal-ordered
+    // frame (implicit stratification); position = two-phase distributed
+    // prefix count, never a single-partition window ----
+    sqlChecked("m25_systematic",
+      """WITH r AS (SELECT c_custkey,
+        |    ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_custkey, 10.0 AS sys_wt FROM r
+        |WHERE (rn - 1) % 10 = 3 ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      graft.sampling.Systematic.draw(
+          t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+          Seq(col("c_acctbal"), col("c_custkey")), k = 10, start = 3)
+        .select(col("c_custkey"), col("sys_wt"))
+        .orderBy(col("c_custkey"))
     }
   )
 }

@@ -132,6 +132,19 @@ class ScaleSpec extends SparkSpec {
     assert(bad.isEmpty, s"${bad.size} mislabeled, first: ${bad.take(3)}")
   }
 
+  test("systematic draw on 25k rows takes the two-phase scan and matches local replay") {
+    val n = 25000
+    val df = spark.range(n).selectExpr("id",
+      "CAST((id * 2654435761) % 100003 AS LONG) AS key")
+    val got = graft.sampling.Systematic.draw(df,
+        Seq(col("key"), col("id")), k = 7, start = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = (0L until n).map(i => (i, (i * 2654435761L) % 100003L))
+      .sortBy { case (i, k) => (k, i) }
+      .zipWithIndex.collect { case ((i, _), rn) if rn % 7 == 2 => i }.toSet
+    assert(got == want, s"sizes ${got.size} vs ${want.size}")
+  }
+
   test("packChunks on 25k docs takes the two-phase scan and matches the local prefix sum") {
     // 25k rows exceeds Windows.scan's small-input threshold (20k), so
     // the prefix sum runs the distributed two-phase path
