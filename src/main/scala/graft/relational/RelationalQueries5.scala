@@ -758,6 +758,41 @@ object RelationalQueries5 {
       s.read.parquet(comp).orderBy(col("doc_id"))
     },
 
+    // ---- w_nth_value: positional window battery with IGNORE NULLS —
+    //      first/last/nth non-null over a running frame (last = LOCF,
+    //      the gap-fill idiom; nth = "second reading" lookups). NULLs
+    //      injected on even line numbers so every branch is exercised. ----
+    sqlChecked("w_nth_value",
+      """WITH v AS (SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN NULL
+        |         ELSE MAX(l_quantity) END AS v
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey, l_linenumber,
+        |  first_value(v IGNORE NULLS) OVER w AS fv,
+        |  last_value(v IGNORE NULLS) OVER w AS lv,
+        |  nth_value(v, 2 IGNORE NULLS) OVER w AS nv
+        |FROM v
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      // (orderkey, linenumber) is NOT unique in the testdata, so the
+      // window order must run over the tie-collapsed key — the Breslow
+      // tie-collapse discipline applied to a positional window
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_quantity")).as("q"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_linenumber") % 2 === 0, lit(null))
+            .otherwise(col("q")).as("v"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          first(col("v"), ignoreNulls = true).over(w).as("fv"),
+          last(col("v"), ignoreNulls = true).over(w).as("lv"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(w).as("nv"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // ---- a_mode: exact per-group mode with deterministic ties
     //      (smallest value wins) — mode() builtins leave tie order
     //      undefined, so both engines replay the explicit
