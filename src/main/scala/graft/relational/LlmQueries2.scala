@@ -215,13 +215,15 @@ object LlmQueries2 {
 
     // ---- d14: the STREAMING incremental screen, batch-replayed. The
     //      same new-docs slice as d11 arrives as a parquet file stream
-    //      in 4 micro-batches (maxFilesPerTrigger=1); each batch is
+    //      in 2 micro-batches (maxFilesPerTrigger=1); each batch is
     //      MinHash-screened against the static corpus signatures via
     //      foreachBatch and appended to a parquet sink. Because every
     //      new doc is screened only against the static side, the union
     //      of per-batch verdicts is micro-batching-invariant and equals
     //      the one-shot d11 screen — which is exactly what the shared
-    //      oracle asserts. ----
+    //      oracle asserts. (Two batches keep the multi-batch semantics
+    //      under test while halving fixed per-trigger overhead; the
+    //      full split-invariance sweep lives in StreamingSpec.) ----
     sqlChecked("d14_stream_screen",
       s"""WITH ${LlmQueries.minhashCtes},
          |sym AS (SELECT id_a AS b_id, id_b AS c_id, jaccard_est FROM pairs
@@ -240,7 +242,7 @@ object LlmQueries2 {
       val inDir = tmp.resolve("in").toString
       val outDir = tmp.resolve("out").toString
       docs.filter(col("doc_id") % 4 === 3)
-        .repartition(4).write.mode("overwrite").parquet(inDir)
+        .repartition(2).write.mode("overwrite").parquet(inDir)
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir)
       val q = graft.streaming.IncrementalDedup.start(
