@@ -24,14 +24,14 @@ object StatQueries {
     * event time = l_quantity (discrete ⇒ heavy ties, exercising Breslow
     * tie-collapse), event indicator from l_returnflag, integer-ish
     * design weight, covariate from l_discount. */
-  private def survFrame(s: SparkSession, d: String): DataFrame =
+  private[relational] def survFrame(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem").select(
       col("l_quantity").cast("double").as("t"),
       when(col("l_returnflag") =!= "A", 1.0).otherwise(0.0).as("d"),
       (lit(1.0) + col("l_orderkey") % 5).cast("double").as("w"),
       (col("l_discount") * 10).cast("double").as("x"))
 
-  private val survSql =
+  private[relational] val survSql =
     """SELECT l_quantity AS t,
       |  CASE WHEN l_returnflag <> 'A' THEN 1.0 ELSE 0.0 END AS d,
       |  1.0 + (l_orderkey % 5) AS w,
