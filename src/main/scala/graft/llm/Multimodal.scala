@@ -219,6 +219,73 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Single-channel pixel accessor for a decoded 24-bit BMP:
+    * (w, h, value at (x, y) in top-down row order). */
+  private def bmpPixels(b: Array[Byte]): (Int, Int, (Int, Int) => Int) = {
+    require(b(0) == 'B' && b(1) == 'M', "not a BMP payload")
+    val off = le(b, 10); val w = le(b, 18); val h = le(b, 22)
+    val stride = w * 3 + (4 - (w * 3) % 4) % 4
+    // BMP stores rows bottom-up; the synthesis formula indexes top-down
+    (w, h, (x, y) => b(off + (h - 1 - y) * stride + x * 3) & 0xff)
+  }
+
+  /** Average-hash (aHash) perceptual fingerprint from the REAL decoded
+    * pixel grid: nearest-neighbor downsample to 8x8 (sample at
+    * (gx*w/8, gy*h/8)), threshold strictly above the 64-sample mean
+    * (the mean is an exact small rational in a double, so the
+    * comparison is engine-deterministic), one fingerprint byte per
+    * grid row. Returns the 8 row-bytes, low bit = gx 0.
+    */
+  private[llm] def aHashBytes(payload: Array[Byte]): Array[Long] = {
+    val (w, h, px) = bmpPixels(payload)
+    val v = Array.tabulate(8, 8)((gy, gx) => px(gx * w / 8, gy * h / 8))
+    val mean = v.map(_.sum).sum / 64.0
+    Array.tabulate(8) { gy =>
+      (0 until 8).foldLeft(0L)((acc, gx) =>
+        if (v(gy)(gx) > mean) acc | (1L << gx) else acc)
+    }
+  }
+
+  /** aHash fingerprints of every image payload: long form
+    * (media_id, band, byte) for the banded Hamming join plus the
+    * 16-hex-char fingerprint (band 0 first). */
+  def aHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val bytes = aHashBytes(payload)
+        (id, bytes, bytes.map(b => f"$b%02x").mkString)
+      }.toDF("media_id", "bytes", "ahash")
+  }
+
+  /** Perceptual near-duplicate pairs by banded Hamming search over the
+    * aHash fingerprints: a pair is a candidate only if SOME 8-bit band
+    * matches exactly (any pair within Hamming radius 7 must share one
+    * of the 8 bands, so radii <= 7 lose nothing); candidates — a
+    * bucket-bounded set, never all pairs — are verified by exact
+    * popcount over the full 64 bits.
+    */
+  def perceptualDupPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "banded search over 8 bands is exact only to radius 7")
+    val long = hashes.select(col("media_id"), posexplode(col("bytes")).as(Seq("band", "byte")))
+    val cand = long.as("a").join(long.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"))
+      .distinct()
+    cand
+      .join(hashes.select(col("media_id").as("ida"), col("bytes").as("ba")), "ida")
+      .join(hashes.select(col("media_id").as("idb"), col("bytes").as("bb")), "idb")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+        .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ida"), col("idb"), col("hamming"))
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th frame,
     * decoded to (media_id, frame_idx, width, height, mean_val). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
