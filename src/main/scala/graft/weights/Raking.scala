@@ -12,17 +12,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Each sweep, for each margin dimension: N̂_h = Σ_{i∈h} w_i per cell,
   * factor f_h = N_h / N̂_h, w ← w·f_h.
   *
-  * Distributed shape: margin tables are CONTROL totals — inherently
-  * dimension-sized (thousands of cells, not rows) — so the factors live
-  * on the DRIVER as map literals and each step is ONE tiny grouped
-  * aggregate plus a narrow map-lookup expression. No join, no shuffle
-  * of the sample, no plan pinning: the whole multi-sweep adjustment
-  * compiles to nested codegen'd expressions over the input, and the
-  * aggregates run against a single cached narrow projection. (The
-  * previous broadcast-join formulation re-derived the sample frame
-  * twice per step and needed persist pins every other sweep; at 100 TB
-  * the factor map is kilobytes while the joins were full-width
-  * shuffles-worth of plan.)
+  * Distributed shape: a row's final raked weight is its design weight
+  * times the product of every factor its cells received — and that
+  * product is identical for all rows in the same JOINT cell. So the
+  * whole IPF needs exactly ONE distributed pass: aggregate the joint
+  * contingency table (cells ≤ product of margin cardinalities — control
+  * totals are dimension-sized by construction), run every sweep on the
+  * driver over that kilobyte-scale table, and apply the per-joint-cell
+  * factor s_final/s_initial as a single map-literal lookup expression.
+  * No join, no shuffle of the sample, no per-sweep job: the previous
+  * formulation ran sweeps×dims sequential driver-synced aggregates
+  * (each re-scanning the sample), which was job-count-bound at any
+  * scale. A guarded fallback keeps the sequential path for the
+  * degenerate case of an unbounded joint-cell count.
   *
   * Pinned `sweeps` makes the fixed point replayable by a DuckDB oracle
   * (`m18_raking`); IPF is a contraction on the log-weights, so engine
@@ -30,24 +32,30 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Raking {
 
+  // joint keys are concat-joined for the final map lookup; nulls get a
+  // sentinel so ("x", null) can never collide with (null, "x")
+  private val Sep = ""
+  private val NullKey = "null"
+
   /** @param df      sample rows
     * @param weight  design-weight column
     * @param margins (cell column, targets frame) per dimension; each
     *                targets frame is (cell, target) dimension-sized
     * @param sweeps  full passes over all margins
+    * @param maxJointCells guard for the driver-side contingency table
+    *                (and the factor map literal); above it the
+    *                per-sweep distributed path runs instead
     * @return df + `rake_wt` (adjusted weight)
     */
   def rake(df: DataFrame, weight: Column,
-      margins: Seq[(Column, DataFrame)], sweeps: Int): DataFrame = {
+      margins: Seq[(Column, DataFrame)], sweeps: Int,
+      maxJointCells: Int = 4096): DataFrame = {
     val dims = margins.zipWithIndex
-    // narrow working projection: original columns + string cell keys;
-    // cached because every step's aggregate re-scans it (released
-    // before returning — the result recomputes one narrow pass)
     var base = df.withColumn("rake_wt", weight.cast("double"))
     dims.foreach { case ((cell, _), i) =>
       base = base.withColumn(s"__rk$i", cell.cast("string"))
     }
-    val cached = base.persist()
+    val cellCols = dims.map { case (_, i) => col(s"__rk$i") }
 
     // control totals to the driver, once per dimension; a missing (or
     // null) cell keeps factor 1.0 — a partial targets table must not
@@ -59,7 +67,63 @@ object Raking {
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
     }
 
-    // rake_wt as a growing expression: sweeps × dims map-lookup factors
+    // ONE distributed aggregate: the joint contingency table
+    val joint = base.groupBy(cellCols: _*)
+      .agg(sum(col("rake_wt")).as("__s"))
+      .limit(maxJointCells + 1).collect()
+    if (joint.length > maxJointCells)
+      return rakeSequential(base, dims, targetMaps, sweeps)
+
+    // driver-side IPF over the joint cells
+    val keys: Array[Array[String]] = joint.map(r =>
+      dims.map { case (_, i) =>
+        if (r.isNullAt(i)) null else r.getString(i) }.toArray)
+    val s0: Array[Double] = joint.map(_.getDouble(dims.length))
+    val s = s0.clone()
+    for (_ <- 1 to sweeps; ((_, _), i) <- dims) {
+      val hat = new scala.collection.mutable.HashMap[String, Double]()
+      var j = 0
+      while (j < s.length) {
+        val k = keys(j)(i)
+        if (k != null) hat.update(k, hat.getOrElse(k, 0.0) + s(j))
+        j += 1
+      }
+      j = 0
+      while (j < s.length) {
+        val k = keys(j)(i)
+        if (k != null && hat.getOrElse(k, 0.0) != 0.0)
+          targetMaps(i).get(k).foreach(t => s(j) *= t / hat(k))
+        j += 1
+      }
+    }
+    val factors = keys.indices.flatMap { j =>
+      if (s0(j) != 0.0 && s(j) != s0(j))
+        Some(keys(j).map(k => if (k == null) NullKey else k).mkString(Sep)
+          -> s(j) / s0(j))
+      else None
+    }
+
+    val applied =
+      if (factors.isEmpty) base
+      else {
+        val m = map(factors.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+        val key = concat_ws(Sep,
+          cellCols.map(c => coalesce(c, lit(NullKey))): _*)
+        base.withColumn("rake_wt",
+          col("rake_wt") * coalesce(element_at(m, key), lit(1.0)))
+      }
+    applied.drop(dims.map { case (_, i) => s"__rk$i" }: _*)
+  }
+
+  /** Per-sweep distributed fallback for an unbounded joint-cell count:
+    * sweeps × dims sequential grouped aggregates against a cached
+    * narrow projection, factors applied as growing map-literal
+    * expressions (margin cardinality stays bounded even when the JOINT
+    * table is not). */
+  private def rakeSequential(base: DataFrame,
+      dims: Seq[((Column, DataFrame), Int)],
+      targetMaps: Seq[Map[String, Double]], sweeps: Int): DataFrame = {
+    val cached = base.persist()
     var wt: Column = col("rake_wt")
     for (_ <- 1 to sweeps; ((_, _), i) <- dims) {
       val hat = cached.groupBy(col(s"__rk$i")).agg(sum(wt).as("hat"))
