@@ -128,6 +128,89 @@ object Windows {
     out.drop(tmpCols: _*)
   }
 
+  private val GRP = "__graft_g"
+
+  /** Grouped running (cumulative-inclusive) sums: like [[scan]] but the
+    * sums reset per group. The naive `Window.partitionBy(group)`
+    * funnels each group through ONE task — with dimension-sized group
+    * cardinality (return flags, languages, segments) that is a handful
+    * of tasks for the whole table, the classic grouped-scan skew trap.
+    * Here the data is range-partitioned on (group, order) so each
+    * group's order is contiguous ACROSS partitions, local running sums
+    * are computed per (partition, group), and per-group exclusive
+    * offsets come from the (≤ partitions + groups)-row boundary table —
+    * itself adjusted with a tiny window and broadcast back. Full
+    * parallelism at any group count, no driver collect.
+    */
+  def groupedScan(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      orderCols: Seq[Column],
+      sums: Seq[(Column, String)],
+      numParts: Int = -1,
+      smallThreshold: Int = 20000,
+      sizeHint: SizeHint = SizeHint.Auto,
+      release: Option[scala.collection.mutable.Buffer[DataFrame]] = None): DataFrame = {
+    val spark = df.sparkSession
+    var keyed = df
+    groupCols.zipWithIndex.foreach { case (c, i) =>
+      keyed = keyed.withColumn(GRP + i, c)
+    }
+    val gcols = groupCols.indices.map(i => col(GRP + i))
+    def smallPath(input: DataFrame): DataFrame = {
+      val w = Window.partitionBy(gcols: _*).orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sums.foldLeft(input) { case (acc, (c, alias)) =>
+        acc.withColumn(alias, sum(c.cast("double")).over(w))
+      }.drop(groupCols.indices.map(GRP + _): _*)
+    }
+    sizeHint match {
+      case SizeHint.Small => return smallPath(keyed)
+      case SizeHint.Large => ()
+      case SizeHint.Auto if smallThreshold > 0 =>
+        if (keyed.head(smallThreshold + 1).length <= smallThreshold)
+          return smallPath(keyed)
+      case _ => ()
+    }
+    val n = if (numParts > 0) numParts
+            else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = keyed.repartitionByRange(n, (gcols ++ orderCols): _*)
+      .withColumn(PID, spark_partition_id())
+    val w = Window.partitionBy((col(PID) +: gcols): _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var local = ranged
+    sums.zipWithIndex.foreach { case ((c, _), i) =>
+      local = local.withColumn(LOCAL + i, sum(c.cast("double")).over(w))
+    }
+    // persist is CORRECTNESS-critical (see scan): offsets must see the
+    // same concrete range partitioning as the joined-back rows
+    local = local.persist()
+    release.foreach(_ += local)
+
+    val aggs = sums.zipWithIndex.map { case ((c, _), i) =>
+      sum(c.cast("double")).as(s"t$i")
+    }
+    // boundary table: one row per (partition, group) slice present —
+    // bounded by partitions + groups, so the offset window is trivial
+    val totals = local.groupBy((col(PID) +: gcols): _*).agg(aggs.head, aggs.tail: _*)
+    val offW = Window.partitionBy(gcols: _*).orderBy(col(PID))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var offDf = totals
+    sums.indices.foreach { i =>
+      offDf = offDf.withColumn(s"__graft_off_$i",
+        coalesce(sum(col(s"t$i")).over(offW), lit(0.0)))
+    }
+    offDf = offDf.drop(sums.indices.map(i => s"t$i"): _*)
+    var out = local.join(broadcast(offDf), (Seq(PID) ++ groupCols.indices.map(GRP + _)), "left")
+    sums.zipWithIndex.foreach { case ((_, alias), i) =>
+      out = out.withColumn(alias,
+        col(LOCAL + i) + coalesce(col(s"__graft_off_$i"), lit(0.0)))
+    }
+    val tmpCols = Seq(PID) ++ sums.indices.map(LOCAL + _) ++
+      sums.indices.map(i => s"__graft_off_$i") ++ groupCols.indices.map(GRP + _)
+    out.drop(tmpCols: _*)
+  }
+
   /** Convenience: single-column global cumulative sum. */
   def cumSum(df: DataFrame, order: Column, value: Column, alias: String): DataFrame =
     scan(df, Seq(order), Seq(value -> alias))

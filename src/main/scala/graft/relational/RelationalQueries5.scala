@@ -418,7 +418,9 @@ object RelationalQueries5 {
         |GROUP BY grp ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       graft.stats.WeightedQuantile.weightedQuantiles(
           t(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
-          col("l_quantity"), Seq((1, 4), (1, 2), (3, 4)))
+          col("l_quantity"), Seq((1, 4), (1, 2), (3, 4)),
+          // near-unique prices: the distinct-value table is data-sized
+          sizeHint = graft.core.Windows.SizeHint.Large)
         .select(col("grp").as("l_returnflag"), col("w_total"),
           col("q_1_4"), col("q_1_2"), col("q_3_4"))
         .orderBy(col("l_returnflag"))

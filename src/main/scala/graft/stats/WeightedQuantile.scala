@@ -1,6 +1,5 @@
 package graft.stats
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -15,9 +14,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * x are pre-aggregated, making the running weight per distinct x
   * well-defined regardless of partition order).
   *
-  * 100 TB shape: one hash aggregate to (group, x) granularity, one
-  * window over distinct values per group (far smaller than the input),
-  * one final aggregate. No collect, no sort of the raw fact table.
+  * 100 TB shape: one hash aggregate to (group, x) granularity, then a
+  * grouped two-phase scan over the distinct-value table (full
+  * parallelism even with a handful of groups — no one-task-per-group
+  * window), one final aggregate. No collect, no sort of the raw fact
+  * table. Cumulative weights transit as doubles (exact below 2^53;
+  * beyond that the scan would need a decimal accumulator).
   */
 object WeightedQuantile {
 
@@ -26,20 +28,38 @@ object WeightedQuantile {
     * per group: (grp, w_total, q_num_den...) with one column per level
     * named q_<num>_<den>. */
   def weightedQuantiles(df: DataFrame, group: Column, x: Column,
-      weight: Column, ps: Seq[(Int, Int)]): DataFrame = {
+      weight: Column, ps: Seq[(Int, Int)],
+      sizeHint: graft.core.Windows.SizeHint =
+        graft.core.Windows.SizeHint.Auto): DataFrame = {
     val byX = df.select(group.as("grp"), x.as("x"),
         weight.cast("long").as("w"))
       .groupBy(col("grp"), col("x")).agg(sum(col("w")).as("wv"))
-    val cum = byX.withColumn("cw",
-      sum(col("wv")).over(Window.partitionBy(col("grp")).orderBy(col("x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = byX.groupBy(col("grp")).agg(sum(col("wv")).as("tot"))
+    // grouped two-phase scan: a plain Window.partitionBy(grp) would
+    // funnel each group through one task (3 return flags = 3 tasks for
+    // the whole distinct-value table). Sums ride in doubles (exact to
+    // 2^53 — far beyond any BIGINT design-weight total here) and come
+    // back to BIGINT for the integer threshold comparisons. Callers
+    // whose distinct-value table scales with the data pass Large and
+    // skip the probe.
+    val scratch = scala.collection.mutable.Buffer.empty[DataFrame]
+    val cum = graft.core.Windows.groupedScan(byX, Seq(col("grp")),
+        Seq(col("x")), Seq(col("wv") -> "cw"),
+        sizeHint = sizeHint,
+        release = Some(scratch))
+      .withColumn("cw", col("cw").cast("long"))
+    // the group total IS the group's max cumulative weight, so it comes
+    // from the scan output (whose upstream the scan already persisted) —
+    // no second evaluation of the distinct-value aggregate
+    val tot = cum.groupBy(col("grp")).agg(max(col("cw")).as("tot"))
     val qCols = ps.map { case (num, den) =>
       min(when(col("cw") * den >= col("tot") * num, col("x")))
         .as(s"q_${num}_$den")
     }
-    cum.join(tot, Seq("grp"))
+    val out = cum.join(broadcast(tot), Seq("grp"))
       .groupBy(col("grp"))
       .agg(max(col("tot")).as("w_total"), qCols: _*)
+      .localCheckpoint(eager = true)
+    scratch.foreach(_.unpersist(blocking = false))
+    out
   }
 }

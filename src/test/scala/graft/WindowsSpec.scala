@@ -49,6 +49,27 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("grouped distributed scan == per-group single-partition window") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 5000).map { i =>
+      (s"g${rng.nextInt(4)}", rng.nextInt(500).toDouble, rng.nextInt(9) + 1.0)
+    }.toDF("g", "t", "a")
+      // pre-collapse ties so the running sum per (g, t) is order-invariant
+      .groupBy("g", "t").agg(sum("a").as("a"))
+    val got = Windows.groupedScan(df, Seq(col("g")), Seq(col("t")),
+        Seq(col("a") -> "ca"), smallThreshold = 0, numParts = 16)
+      .orderBy("g", "t").select("g", "t", "ca").collect()
+    val w = Window.partitionBy(col("g")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("ca", sum(col("a")).over(w))
+      .orderBy("g", "t").select("g", "t", "ca").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      assertNear(g.getDouble(2), e.getDouble(2), 1e-9)
+    }
+  }
+
   test("partitioned LOCF == single-partition LOCF") {
     val rng = new scala.util.Random(13)
     val df = (1 to 3000).map { i =>
