@@ -17,6 +17,7 @@ object SparkEntry {
       graft.relational.RelationalQueries3.all ++
       graft.relational.RelationalQueries4.all ++
       graft.relational.RelationalQueries5.all ++
+      graft.relational.RelationalQueries6.all ++
       graft.relational.StatQueries.all ++
       graft.relational.StatQueries2.all ++
       graft.relational.LlmQueries.all ++

@@ -146,6 +146,56 @@ object StatQueries2 {
           col("n_a"), col("n_b"))
     },
 
+    // ---- M31: Pearson chi-square independence test on the
+    //      returnflag × linestatus contingency table, via the
+    //      empty-cell-safe identity chi2 = Σ o²/e − n ----
+    sqlChecked("m31_chisq",
+      """WITH cells AS (SELECT l_returnflag AS r, l_linestatus AS c,
+        |    CAST(COUNT(*) AS DOUBLE) AS o FROM lineitem GROUP BY 1, 2),
+        |rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+        |ct AS (SELECT c, SUM(o) AS ct FROM cells GROUP BY c),
+        |t AS (SELECT SUM(o) AS n,
+        |    CAST(COUNT(DISTINCT r) AS DOUBLE) AS nr,
+        |    CAST(COUNT(DISTINCT c) AS DOUBLE) AS nc FROM cells)
+        |SELECT ROUND(SUM(o * o / (rt.rt * ct.ct / t.n)) - MAX(t.n), 6)
+        |    AS chi2,
+        |  CAST(MAX((nr - 1) * (nc - 1)) AS BIGINT) AS dof,
+        |  CAST(MAX(n) AS BIGINT) AS n
+        |FROM cells JOIN rt USING (r) JOIN ct USING (c)
+        |CROSS JOIN t""".stripMargin) { (s, d) =>
+      RankTests.chiSquare(t(s, d, "lineitem"),
+          col("l_returnflag"), col("l_linestatus"))
+        .select(round(col("chi2"), 6).as("chi2"), col("dof"), col("n"))
+    },
+
+    // ---- M32: Mann-Whitney U rank-sum test (midrank ties +
+    //      tie-corrected normal z): English vs other documents by
+    //      length ----
+    sqlChecked("m32_mannwhitney",
+      """WITH base AS (SELECT CAST(n_chars AS DOUBLE) AS v,
+        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS ga
+        |  FROM documents),
+        |p AS (SELECT v, SUM(ga) AS ca, SUM(1.0 - ga) AS cb,
+        |    SUM(1.0) AS c FROM base GROUP BY v),
+        |s AS (SELECT v, ca, cb, c,
+        |    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cumc FROM p),
+        |r AS (SELECT SUM(ca * (cumc - c + (c + 1) / 2)) AS r1,
+        |    SUM(ca) AS na, SUM(cb) AS nb, SUM(c * c * c - c) AS ties
+        |  FROM s),
+        |f AS (SELECT r1, na, nb, r1 - na * (na + 1) / 2 AS u,
+        |    na * nb / 12 * ((na + nb + 1)
+        |      - ties / ((na + nb) * (na + nb - 1))) AS varu FROM r)
+        |SELECT ROUND(u, 4) AS u,
+        |  ROUND((u - na * nb / 2) / SQRT(varu), 6) AS z,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |FROM f""".stripMargin) { (s, d) =>
+      RankTests.mannWhitney(t(s, d, "documents"),
+          col("n_chars"), col("lang") === "en")
+        .select(round(col("u"), 4).as("u"), round(col("z"), 6).as("z"),
+          col("n_a"), col("n_b"))
+    },
+
     // ---- M30: Neyman vs proportional allocation of n=1000 across
     //      account-balance strata (n_h ∝ N_h·S_h) ----
     sqlChecked("m30_neyman",

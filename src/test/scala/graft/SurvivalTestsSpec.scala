@@ -78,6 +78,36 @@ class SurvivalTestsSpec extends SparkSpec {
     assertNear(r.getAs[Double]("ks_d"), 0.0, 1e-12)
   }
 
+  test("Mann-Whitney U matches hand-computed ranks, with and without ties") {
+    // A={1,2}, B={3,4}: R1=3, U=0, varU=5/3, z=-2/sqrt(5/3)
+    val df1 = Seq((1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)).toDF("v", "a")
+    val r1 = RankTests.mannWhitney(df1, col("v"), col("a") === 1).collect()(0)
+    assertNear(r1.getAs[Double]("u"), 0.0, 1e-12)
+    assertNear(r1.getAs[Double]("z"), -2.0 / math.sqrt(5.0 / 3.0))
+    // ties: A={1,1}, B={1,2}: midranks 2,2,2,4 -> R1=4, U=1,
+    // ties term 24 -> varU = (4/12)*(5 - 24/12) = 1, z = -1
+    val df2 = Seq((1.0, 1), (1.0, 1), (1.0, 0), (2.0, 0)).toDF("v", "a")
+    val r2 = RankTests.mannWhitney(df2, col("v"), col("a") === 1).collect()(0)
+    assertNear(r2.getAs[Double]("u"), 1.0, 1e-12)
+    assertNear(r2.getAs[Double]("z"), -1.0)
+  }
+
+  test("chi-square independence handles absent cells via the o²/e identity") {
+    // balanced 2x2 [[10,20],[20,10]]: e=15 everywhere, chi2 = 100/15
+    val rows1 = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r1 = RankTests.chiSquare(rows1.toDF("r", "c"), col("r"), col("c"))
+      .collect()(0)
+    assertNear(r1.getAs[Double]("chi2"), 100.0 / 15.0)
+    assert(r1.getAs[Long]("dof") == 1L && r1.getAs[Long]("n") == 60L)
+    // absent (a,y) cell must still contribute its expected mass:
+    // cells ax=2, bx=1, by=1 -> chi2 = 4/3
+    val rows2 = Seq(("a", "x"), ("a", "x"), ("b", "x"), ("b", "y"))
+    val r2 = RankTests.chiSquare(rows2.toDF("r", "c"), col("r"), col("c"))
+      .collect()(0)
+    assertNear(r2.getAs[Double]("chi2"), 4.0 / 3.0)
+  }
+
   test("weight diagnostics: equal weights give deff 1, ess n, gini 0") {
     val df = Seq.fill(8)(("s", 2.5)).toDF("grp", "w")
     val r = Diagnostics.weightDiagnostics(df, col("w"), col("grp"), "g")
