@@ -105,9 +105,16 @@ object Multimodal {
       source: org.apache.spark.sql.Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(id.cast("long").as("media_id"),
+    // payload generation and every downstream decode are per-row JVM
+    // work (no codegen) — spread a narrow scan first so a corpus that
+    // arrives as one parquet split doesn't synthesize/decode on one
+    // core; no-op when the scan is already wider than the cluster
+    val narrow = df.select(id.cast("long").as("media_id"),
       source.cast("string").as("source"))
-      .as[(Long, String)]
+    val para = spark.sparkContext.defaultParallelism
+    val base =
+      (if (narrow.rdd.getNumPartitions < para) narrow.repartition(para)
+       else narrow).as[(Long, String)]
     base.map { case (mid, src) =>
       val (kind, payload) = (mid % 3) match {
         case 0 => ("image", bmpBytes(mid, 0))

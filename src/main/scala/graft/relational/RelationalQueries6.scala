@@ -237,7 +237,17 @@ object RelationalQueries6 {
         |FROM g JOIN f USING (gram)
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
       import graft.llm.Dedup
-      val g = t(s, d, "documents").select(col("doc_id"),
+      // the shingling transform is interpreted (higher-order fn, no
+      // codegen) and the corpus may arrive as ONE parquet split —
+      // spread it first or the whole tokenize runs on one core (same
+      // guard as Dedup.ngramJaccard); no-op when the scan is already
+      // wider than the cluster
+      val docs0 = t(s, d, "documents")
+      val para = s.sparkContext.defaultParallelism
+      val docs =
+        if (docs0.rdd.getNumPartitions < para) docs0.repartition(para)
+        else docs0
+      val g = docs.select(col("doc_id"),
         explode(Dedup.shingles(col("text"), 3)).as("gram"))
       val f = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
       g.join(f, Seq("gram"))

@@ -83,6 +83,23 @@ class PlanSpec extends SparkSpec {
       "eval-gram join should broadcast")
   }
 
+  test("mm_phash: banded candidate join is an equi-join, never a cross product") {
+    val p = plan("mm_phash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"perceptual dedup must pair only within (band, byte) buckets:\n$p")
+  }
+
+  test("q18_big_orders: the HAVING sliver broadcasts into the fact joins") {
+    val p = plan("q18_big_orders")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k sink:\n$p")
+  }
+
+  test("j10_nearest: window-based nearest join has no self-join of events") {
+    val p = plan("j10_nearest")
+    assert(!p.contains("Join"), s"nearest-event must be window-only:\n$p")
+  }
+
   test("s5_partitioned: lang predicate prunes hive partitions at the scan") {
     val df = graft.relational.RelationalQueries3.partitionedScan(spark, sf)
     df.collect()
