@@ -18,8 +18,10 @@ object SparkEntry {
       graft.relational.RelationalQueries4.all ++
       graft.relational.RelationalQueries5.all ++
       graft.relational.RelationalQueries6.all ++
+      graft.relational.RelationalQueries7.all ++
       graft.relational.StatQueries.all ++
       graft.relational.StatQueries2.all ++
+      graft.relational.StatQueries3.all ++
       graft.relational.LlmQueries.all ++
       graft.relational.LlmQueries2.all ++
       graft.relational.LlmQueries3.all ++

@@ -1,0 +1,181 @@
+package graft.relational
+
+import graft.core.Tables
+import graft.llm.Dedup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Seventh relational batch: market-basket pair mining, Markov event
+  * transitions, one-pass table profiling, degree histograms, and an
+  * inverted-index build — the remaining "data warehouse utilities" a
+  * 100 TB pipeline leans on daily.
+  */
+object RelationalQueries7 {
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val normSql =
+    "TRIM(regexp_replace(LOWER(text), '\\s+', ' ', 'g'))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- market-basket pair mining: top co-occurring part pairs
+    //      within an order. The self-join is an equi-join on the order
+    //      key, so candidate pairs are generated per order (bounded by
+    //      the per-order line count, ~4–7 in TPC-H shape), never
+    //      across orders — at 100 TB this shuffles each side once on
+    //      l_orderkey and AQE handles any hot order. ----
+    sqlChecked("a_basket_pairs",
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cnt
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("p1"), col("p2"))
+        .limit(20)
+    },
+
+    // ---- first-order Markov transition matrix over the event stream:
+    //      per-user lag, then (prev → curr) counts and row-normalized
+    //      transition probabilities. The lag window partitions on
+    //      user_id (fully distributed); the probability normalizer is
+    //      a second window over the 5×5 transition table — trivially
+    //      small however large the input. ----
+    sqlChecked("ev_transitions",
+      """WITH seq AS (SELECT user_id, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev, event_type AS curr, COUNT(*) AS cnt
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, curr, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY prev), 6)
+        |    AS p
+        |FROM c ORDER BY prev, curr""".stripMargin) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(byUser).as("prev"))
+      val c = seq.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("curr"))
+        .agg(count(lit(1)).as("cnt"))
+      c.withColumn("p",
+          round(col("cnt").cast("double") /
+            sum(col("cnt")).over(Window.partitionBy(col("prev"))), 6))
+        .orderBy(col("prev"), col("curr"))
+    },
+
+    // ---- one-pass table profiling: per-column null count, distinct
+    //      count, and min/max for the customer table. The engine runs
+    //      ONE aggregate (multi-count-distinct expands to a single
+    //      scan via Expand) and pivots the result row to one row per
+    //      column — the everyday data-quality primitive. ----
+    sqlChecked("s13_profile",
+      """SELECT 'c_acctbal' AS col, COUNT(*) - COUNT(c_acctbal) AS n_null,
+        |  COUNT(DISTINCT c_acctbal) AS n_distinct,
+        |  ROUND(MIN(c_acctbal), 2) AS min_num, ROUND(MAX(c_acctbal), 2) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM customer
+        |UNION ALL SELECT 'c_custkey', COUNT(*) - COUNT(c_custkey),
+        |  COUNT(DISTINCT c_custkey), ROUND(CAST(MIN(c_custkey) AS DOUBLE), 2),
+        |  ROUND(CAST(MAX(c_custkey) AS DOUBLE), 2), NULL, NULL FROM customer
+        |UNION ALL SELECT 'c_mktsegment', COUNT(*) - COUNT(c_mktsegment),
+        |  COUNT(DISTINCT c_mktsegment), NULL, NULL,
+        |  MIN(c_mktsegment), MAX(c_mktsegment) FROM customer
+        |UNION ALL SELECT 'c_name', COUNT(*) - COUNT(c_name),
+        |  COUNT(DISTINCT c_name), NULL, NULL,
+        |  MIN(c_name), MAX(c_name) FROM customer
+        |UNION ALL SELECT 'c_nationkey', COUNT(*) - COUNT(c_nationkey),
+        |  COUNT(DISTINCT c_nationkey), ROUND(CAST(MIN(c_nationkey) AS DOUBLE), 2),
+        |  ROUND(CAST(MAX(c_nationkey) AS DOUBLE), 2), NULL, NULL FROM customer
+        |ORDER BY col""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer")
+      val numCols = Seq("c_acctbal", "c_custkey", "c_nationkey")
+      val strCols = Seq("c_mktsegment", "c_name")
+      val aggs = (numCols ++ strCols).flatMap { n =>
+        Seq(
+          (count(lit(1)) - count(col(n))).as(s"${n}__null"),
+          countDistinct(col(n)).as(s"${n}__dist")) ++
+          (if (numCols.contains(n))
+            Seq(round(min(col(n)).cast("double"), 2).as(s"${n}__min"),
+              round(max(col(n)).cast("double"), 2).as(s"${n}__max"))
+          else
+            Seq(min(col(n)).as(s"${n}__min"), max(col(n)).as(s"${n}__max")))
+      }
+      val row = c.agg(aggs.head, aggs.tail: _*)
+      val entries = (numCols ++ strCols).sorted.map { n =>
+        struct(lit(n).as("col"), col(s"${n}__null").as("n_null"),
+          col(s"${n}__dist").as("n_distinct"),
+          (if (numCols.contains(n)) col(s"${n}__min")
+           else lit(null).cast("double")).as("min_num"),
+          (if (numCols.contains(n)) col(s"${n}__max")
+           else lit(null).cast("double")).as("max_num"),
+          (if (strCols.contains(n)) col(s"${n}__min")
+           else lit(null).cast("string")).as("min_str"),
+          (if (strCols.contains(n)) col(s"${n}__max")
+           else lit(null).cast("string")).as("max_str"))
+      }
+      row.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.*"))
+        .orderBy(col("col"))
+    },
+
+    // ---- degree histogram (frequency of frequencies): orders per
+    //      customer, then customer count per order count — the graph
+    //      degree-distribution shape. Zero-order customers enter via
+    //      the left join; both aggregations shuffle on small keys. ----
+    sqlChecked("g_degree_hist",
+      """WITH deg AS (SELECT c.c_custkey,
+        |    COUNT(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val perCust = t(s, d, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      t(s, d, "customer").select(col("c_custkey"))
+        .join(perCust, col("o_custkey") === col("c_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .groupBy(col("n_orders")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_orders"))
+    },
+
+    // ---- inverted-index build: token → document-frequency + sorted
+    //      posting list for the 10 rarest terms (the selective payload
+    //      a retrieval stack actually serves; stopword-grade terms are
+    //      exactly the ones an index prunes). Distinct (doc, term)
+    //      pairs shuffle once on term; posting lists are sorted
+    //      arrays; the rare-term cut is a TakeOrdered over the tiny
+    //      per-term df table, so list size stays df-bounded however
+    //      large the corpus. ----
+    sqlChecked("t_inverted_index",
+      s"""WITH toks AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |p AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |      AS postings
+         |  FROM toks GROUP BY term)
+         |SELECT term, df, postings FROM p
+         |ORDER BY df, term LIMIT 10""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+        .distinct()
+      toks.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"),
+          array_join(
+            transform(sort_array(collect_list(col("doc_id"))),
+              x => x.cast("string")), ",").as("postings"))
+        .orderBy(col("df"), col("term"))
+        .limit(10)
+    }
+  )
+}

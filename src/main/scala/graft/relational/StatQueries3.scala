@@ -1,0 +1,184 @@
+package graft.relational
+
+import graft.core.Tables
+import graft.hazard.CompetingRisks
+import graft.stats.Pca
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Third statistical batch: penalized regression (ridge), principal
+  * components (two-phase Gram + power iteration), a two-proportion
+  * z-test, and Aalen–Johansen competing-risks cumulative incidence —
+  * rounding out the survey/survival toolbox the reference's absolute-
+  * risk pipeline (absrisk_fun.R) sits on.
+  */
+object StatQueries3 {
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- M33: ridge regression (intercept unpenalized). With one
+    //      predictor the penalized solution is the centered closed
+    //      form b1 = Sxy / (Sxx + λ), b0 = ȳ − b1·x̄ — both engines
+    //      compute it from the same covariance/mean aggregates, one
+    //      distributed pass, no driver iteration at all. ----
+    sqlChecked("m33_ridge",
+      """WITH a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    covar_pop(l_quantity, l_extendedprice) AS cxy,
+        |    var_pop(l_quantity) AS vx,
+        |    AVG(l_quantity) AS mx, AVG(l_extendedprice) AS my
+        |  FROM lineitem)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  ROUND((cxy * n) / (vx * n + 5000000.0), 6) AS b1,
+        |  ROUND(my - (cxy * n) / (vx * n + 5000000.0) * mx, 4) AS b0,
+        |  ROUND(cxy / vx, 6) AS b1_ols,
+        |  ROUND((vx * n) / (vx * n + 5000000.0), 6) AS shrink
+        |FROM a""".stripMargin) { (s, d) =>
+      val lam = 5000000.0
+      t(s, d, "lineitem")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          covar_pop(col("l_quantity"), col("l_extendedprice")).as("cxy"),
+          var_pop(col("l_quantity")).as("vx"),
+          avg(col("l_quantity")).as("mx"),
+          avg(col("l_extendedprice")).as("my"))
+        .select(
+          col("n").cast("long").as("n"),
+          round((col("cxy") * col("n")) / (col("vx") * col("n") + lam), 6)
+            .as("b1"),
+          round(col("my") -
+            (col("cxy") * col("n")) / (col("vx") * col("n") + lam) * col("mx"), 4)
+            .as("b0"),
+          round(col("cxy") / col("vx"), 6).as("b1_ols"),
+          round((col("vx") * col("n")) / (col("vx") * col("n") + lam), 6)
+            .as("shrink"))
+    },
+
+    // ---- M34: dominant principal component of a 3-variable customer
+    //      profile. Distributed part is ONE pass producing the 3×3
+    //      sample covariance (6 aggregates); the fixed 24-step power
+    //      iteration is a pure driver-side recursion the oracle
+    //      replays as a recursive CTE. Scaling the three variables to
+    //      comparable magnitude keeps the eigen-gap healthy so both
+    //      engines converge far below the 6-digit rounding. ----
+    sqlChecked("m34_pca",
+      """WITH RECURSIVE base AS (SELECT c_acctbal / 1000.0 AS x0,
+        |    (c_custkey % 100) / 10.0 AS x1,
+        |    CAST(c_nationkey AS DOUBLE) AS x2 FROM customer),
+        |c AS (SELECT covar_samp(x0, x0) AS a00, covar_samp(x0, x1) AS a01,
+        |    covar_samp(x0, x2) AS a02, covar_samp(x1, x1) AS a11,
+        |    covar_samp(x1, x2) AS a12, covar_samp(x2, x2) AS a22
+        |  FROM base),
+        |it AS (
+        |  SELECT 0 AS k, 0.5773502691896258 AS v0,
+        |    0.5773502691896258 AS v1, 0.5773502691896258 AS v2
+        |  UNION ALL
+        |  SELECT k + 1,
+        |    w0 / SQRT(w0*w0 + w1*w1 + w2*w2),
+        |    w1 / SQRT(w0*w0 + w1*w1 + w2*w2),
+        |    w2 / SQRT(w0*w0 + w1*w1 + w2*w2)
+        |  FROM (SELECT k, a00*v0 + a01*v1 + a02*v2 AS w0,
+        |          a01*v0 + a11*v1 + a12*v2 AS w1,
+        |          a02*v0 + a12*v1 + a22*v2 AS w2
+        |        FROM it, c WHERE k < 24) s),
+        |fin AS (SELECT v0, v1, v2,
+        |    CASE WHEN v0 < 0 THEN -1.0 ELSE 1.0 END AS sgn
+        |  FROM it WHERE k = 24)
+        |SELECT
+        |  ROUND(v0*(a00*v0 + a01*v1 + a02*v2)
+        |      + v1*(a01*v0 + a11*v1 + a12*v2)
+        |      + v2*(a02*v0 + a12*v1 + a22*v2), 6) AS eigval,
+        |  ROUND(sgn * v0, 6) AS v1, ROUND(sgn * v1, 6) AS v2,
+        |  ROUND(sgn * v2, 6) AS v3
+        |FROM fin, c""".stripMargin) { (s, d) =>
+      Pca.topComponent(t(s, d, "customer"),
+          Seq(col("c_acctbal") / 1000.0, (col("c_custkey") % 100) / 10.0,
+            col("c_nationkey")), 24)
+        .select(round(col("eigval"), 6).as("eigval"),
+          round(col("v1"), 6).as("v1"), round(col("v2"), 6).as("v2"),
+          round(col("v3"), 6).as("v3"))
+    },
+
+    // ---- M35: two-proportion z-test (pooled variance): finished-order
+    //      rate, urgent vs non-urgent priority — the A/B-test primitive.
+    //      One conditional-aggregate pass; no join, no window. ----
+    sqlChecked("m35_twoprop",
+      """WITH a AS (SELECT
+        |    SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1.0 ELSE 0.0 END) AS n1,
+        |    SUM(CASE WHEN o_orderpriority LIKE '1%'
+        |          AND o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS s1,
+        |    SUM(CASE WHEN o_orderpriority NOT LIKE '1%' THEN 1.0 ELSE 0.0 END) AS n0,
+        |    SUM(CASE WHEN o_orderpriority NOT LIKE '1%'
+        |          AND o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS s0
+        |  FROM orders)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |  ROUND(s1 / n1, 6) AS p1, ROUND(s0 / n0, 6) AS p0,
+        |  ROUND((s1 / n1 - s0 / n0)
+        |    / SQRT((s1 + s0) / (n1 + n0) * (1 - (s1 + s0) / (n1 + n0))
+        |           * (1 / n1 + 1 / n0)), 4) AS z
+        |FROM a""".stripMargin) { (s, d) =>
+      val urgent = col("o_orderpriority").startsWith("1")
+      val fin = col("o_orderstatus") === "F"
+      t(s, d, "orders")
+        .agg(
+          sum(when(urgent, 1.0).otherwise(0.0)).as("n1"),
+          sum(when(urgent && fin, 1.0).otherwise(0.0)).as("s1"),
+          sum(when(!urgent, 1.0).otherwise(0.0)).as("n0"),
+          sum(when(!urgent && fin, 1.0).otherwise(0.0)).as("s0"))
+        .select(
+          col("n1").cast("long").as("n1"), col("n0").cast("long").as("n0"),
+          round(col("s1") / col("n1"), 6).as("p1"),
+          round(col("s0") / col("n0"), 6).as("p0"),
+          round((col("s1") / col("n1") - col("s0") / col("n0")) /
+            sqrt((col("s1") + col("s0")) / (col("n1") + col("n0")) *
+              (lit(1.0) - (col("s1") + col("s0")) / (col("n1") + col("n0"))) *
+              (lit(1.0) / col("n1") + lit(1.0) / col("n0"))), 4).as("z"))
+    },
+
+    // ---- M36: Aalen–Johansen cumulative incidence under two
+    //      competing causes (return 'R' vs 'N', 'A' censored) on the
+    //      shared discrete-time survival frame. Generalizes M26's KM to
+    //      cause-specific risk — the estimator the reference's absolute-
+    //      risk pipeline (absrisk_fun.R) approximates parametrically. ----
+    sqlChecked("m36_cuminc",
+      """WITH base AS (SELECT l_quantity AS t,
+        |    CASE WHEN l_returnflag = 'R' THEN 1
+        |         WHEN l_returnflag = 'N' THEN 2 ELSE 0 END AS cause
+        |  FROM lineitem),
+        |g AS (SELECT t,
+        |    SUM(CASE WHEN cause = 1 THEN 1.0 ELSE 0.0 END) AS d1,
+        |    SUM(CASE WHEN cause = 2 THEN 1.0 ELSE 0.0 END) AS d2,
+        |    CAST(COUNT(*) AS DOUBLE) AS ct FROM base GROUP BY t),
+        |r AS (SELECT t, d1, d2, SUM(ct) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM g),
+        |e AS (SELECT t, d1, d2, n_risk FROM r
+        |  WHERE d1 + d2 > 0 AND d1 + d2 < n_risk),
+        |s AS (SELECT t, d1, d2, n_risk,
+        |    EXP(COALESCE(SUM(LN(1 - (d1 + d2) / n_risk)) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS s_prev
+        |  FROM e),
+        |c AS (SELECT t, n_risk, s_prev,
+        |    SUM(s_prev * d1 / n_risk) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif1,
+        |    SUM(s_prev * d2 / n_risk) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif2
+        |  FROM s)
+        |SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+        |  ROUND(s_prev, 8) AS s_prev, ROUND(cif1, 8) AS cif1,
+        |  ROUND(cif2, 8) AS cif2
+        |FROM c ORDER BY t""".stripMargin) { (s, d) =>
+      CompetingRisks.aalenJohansen(t(s, d, "lineitem"),
+          col("l_quantity"),
+          when(col("l_returnflag") === "R", 1)
+            .when(col("l_returnflag") === "N", 2).otherwise(0))
+        .select(col("t"), col("n_risk").cast("long").as("n_risk"),
+          round(col("s_prev"), 8).as("s_prev"),
+          round(col("cif1"), 8).as("cif1"),
+          round(col("cif2"), 8).as("cif2"))
+        .orderBy(col("t"))
+    }
+  )
+}
