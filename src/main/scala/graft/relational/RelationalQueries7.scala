@@ -1,7 +1,8 @@
 package graft.relational
 
-import graft.core.Tables
+import graft.core.{Rng, Tables}
 import graft.llm.Dedup
+import graft.sampling.Resample
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
@@ -176,6 +177,27 @@ object RelationalQueries7 {
               x => x.cast("string")), ",").as("postings"))
         .orderBy(col("df"), col("term"))
         .limit(10)
+    },
+
+    // ---- exact-size stratified sample: a fixed per-language document
+    //      quota drawn by ranking the deterministic cross-engine RNG
+    //      stream within each stratum (distributed SRSWOR — the
+    //      training-set curation primitive when proportional hash
+    //      splits over/under-fill small strata). The rank window
+    //      partitions on the stratum, so parallelism follows the
+    //      stratum count; the RNG is the engine's bit-reproducible
+    //      uniform, so DuckDB draws the identical sample. ----
+    sqlChecked("d16_stratified_split",
+      s"""WITH r AS (SELECT doc_id, lang, source,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY ${Rng.uniformSql("doc_id", 7L)}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, lang, source FROM r WHERE rk <= 40
+         |ORDER BY lang, doc_id""".stripMargin) { (s, d) =>
+      Resample.stratifiedFixed(
+          t(s, d, "documents").select(col("doc_id"), col("lang"), col("source")),
+          col("lang"), col("doc_id"), n = 40, salt = 7L)
+        .orderBy(col("lang"), col("doc_id"))
     }
   )
 }

@@ -1,8 +1,8 @@
 package graft.relational
 
-import graft.core.Tables
+import graft.core.{FeatureArray, Tables}
 import graft.hazard.CompetingRisks
-import graft.stats.Pca
+import graft.stats.{Pca, WeightedGLM}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
@@ -17,7 +17,65 @@ object StatQueries3 {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  private def rnd(x: Double, k: Int): Double =
+    BigDecimal(x).setScale(k, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Unrolled fixed-iteration Poisson IRLS as chained DuckDB CTEs
+    * (2-parameter log link: intercept + x) — the Poisson twin of
+    * StatQueries.irlsSql. μ = exp(η); working weight w·μ. */
+  private def poissonIrlsSql(nIter: Int, baseSql: String, roundTo: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH base AS ($baseSql),\n")
+    sb.append("it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1),\n")
+    for (k <- 1 to nIter) {
+      sb.append(
+        s"""it$k AS (
+           |  SELECT b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS b0,
+           |         b1 + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b1
+           |  FROM (
+           |    SELECT MAX(s.b0) AS b0, MAX(s.b1) AS b1,
+           |      SUM(w*mu) AS h00, SUM(w*mu*x) AS h01, SUM(w*mu*x*x) AS h11,
+           |      SUM(w*(y-mu)) AS g0, SUM(w*(y-mu)*x) AS g1
+           |    FROM (SELECT base.y, base.x, base.w, p.b0, p.b1,
+           |            EXP(p.b0 + p.b1*base.x) AS mu
+           |          FROM base, it${k - 1} p) s))""".stripMargin)
+      sb.append(if (k < nIter) ",\n" else "\n")
+    }
+    sb.append(s"SELECT ROUND(b0, $roundTo) AS b0, ROUND(b1, $roundTo) AS b1 FROM it$nIter")
+    sb.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // ---- M37: weighted Poisson GLM (log link, 10 pinned IRLS
+    //      iterations): urgent-order count per customer on account
+    //      balance — the count-regression sibling of M1, fit by the
+    //      same one-aggregate-per-iteration two-phase shape. ----
+    sqlChecked("m37_poisson_glm",
+      poissonIrlsSql(10,
+        """SELECT CAST(COUNT(o.o_orderkey) AS DOUBLE) AS y,
+          |  MAX(c.c_acctbal) / 10000.0 AS x,
+          |  1.0 + MAX(c.c_custkey) % 3 AS w
+          |FROM customer c LEFT JOIN orders o
+          |  ON o.o_custkey = c.c_custkey AND o.o_orderpriority LIKE '1%'
+          |GROUP BY c.c_custkey""".stripMargin,
+        roundTo = 6)) { (s, d) =>
+      import s.implicits._
+      val urgent = t(s, d, "orders")
+        .filter(col("o_orderpriority").startsWith("1"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+      val base = t(s, d, "customer")
+        .join(urgent, col("o_custkey") === col("c_custkey"), "left")
+        .select(
+          coalesce(col("n_urgent"), lit(0L)).cast("double").as("y"),
+          (col("c_acctbal") / 10000.0).as("x"),
+          (lit(1.0) + col("c_custkey") % 3).cast("double").as("w"))
+      val fit = WeightedGLM.poisson(base,
+        FeatureArray.withIntercept(Seq(col("x"))), col("y"), col("w"),
+        p = 2, maxIter = 10, tol = 0.0)
+      Seq((rnd(fit.coefficients(0), 6), rnd(fit.coefficients(1), 6)))
+        .toDF("b0", "b1")
+    },
 
     // ---- M33: ridge regression (intercept unpenalized). With one
     //      predictor the penalized solution is the centered closed

@@ -46,7 +46,41 @@ object WeightedGLM {
       weight: Column,
       p: Int,
       maxIter: Int = 50,
-      tol: Double = 1e-9): Fit = {
+      tol: Double = 1e-9): Fit =
+    irls(df, features, label, weight, p, maxIter, tol) { eta =>
+      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
+      (mu, mu * (lit(1.0) - mu))
+    }
+
+  /** Weighted Poisson GLM (log link) — the rate-model sibling of
+    * [[logistic]] (the parametric form behind the reference's
+    * event-rate modeling, absrisk_fun.R): μ = exp(η), working weight
+    * w·μ, score w·(y − μ). Same two-phase IRLS shape: ONE distributed
+    * aggregate per iteration, driver-side p×p solve. */
+  def poisson(
+      df: DataFrame,
+      features: Column,
+      label: Column,
+      weight: Column,
+      p: Int,
+      maxIter: Int = 50,
+      tol: Double = 1e-9): Fit =
+    irls(df, features, label, weight, p, maxIter, tol) { eta =>
+      val mu = exp(eta)
+      (mu, mu)
+    }
+
+  /** Shared IRLS driver: `family(η)` returns (μ, Var(μ)) as columns —
+    * the mean and the working-weight variance function at the current
+    * linear predictor. */
+  private def irls(
+      df: DataFrame,
+      features: Column,
+      label: Column,
+      weight: Column,
+      p: Int,
+      maxIter: Int,
+      tol: Double)(family: Column => (Column, Column)): Fit = {
     // flatten the feature array to scalar columns once so every IRLS
     // pass is a plain codegen'd hash aggregate (the typed-Aggregator
     // formulation paid encoder deserialization per row per iteration —
@@ -68,8 +102,8 @@ object WeightedGLM {
     while (iter < maxIter && !converged) {
       val eta = (0 until p).map(i => lit(beta(i)) * col(s"__f$i"))
         .foldLeft(lit(0.0): Column)(_ + _)
-      val mu = lit(1.0) / (lit(1.0) + exp(-eta))
-      val sWgt = col("__w") * mu * (lit(1.0) - mu)
+      val (mu, varFn) = family(eta)
+      val sWgt = col("__w") * varFn
       val resid = col("__w") * (col("__y") - mu)
       val aggs = pairs.map { case (i, j) =>
         sum(sWgt * col(s"__f$i") * col(s"__f$j")).as(s"h${i}_$j") } ++
