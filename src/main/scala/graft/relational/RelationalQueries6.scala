@@ -16,13 +16,13 @@ object RelationalQueries6 {
   /** Hourly event counts keyed by epoch seconds. Counts are integers,
     * so Σv and the mean Σv/n are the same exact doubles on any engine —
     * deviations from the mean are then engine-deterministic. */
-  private def hourly(s: SparkSession, d: String) =
+  private[relational] def hourly(s: SparkSession, d: String) =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour")("start").as("hr"))
       .agg(count(lit(1)).cast("double").as("v"))
       .select(unix_timestamp(col("hr")).as("hre"), col("v"))
 
-  private val hourlySql =
+  private[relational] val hourlySql =
     """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
       |    AS hre, CAST(COUNT(*) AS DOUBLE) AS v
       |  FROM events GROUP BY 1""".stripMargin

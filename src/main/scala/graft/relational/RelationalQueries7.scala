@@ -198,6 +198,59 @@ object RelationalQueries7 {
           t(s, d, "documents").select(col("doc_id"), col("lang"), col("source")),
           col("lang"), col("doc_id"), n = 40, salt = 7L)
         .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // ---- top event 3-paths: most frequent length-3 event-type
+    //      sequences per user (funnel discovery, one step past the
+    //      first-order ev_transitions matrix). Two LEADs in one
+    //      user-partitioned window pass, then a count over the tiny
+    //      pattern space. ----
+    sqlChecked("ev_paths",
+      """WITH s AS (SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS cnt
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e3").isNotNull)
+        .groupBy(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("path"))
+        .limit(10)
+    },
+
+    // ---- truncated EWMA smoothing of the hourly event-count series:
+    //      ewma(t) = Σ_{k=0..12} α(1−α)^k v(t−k·1h), renormalized over
+    //      the terms actually present (robust to gap hours). The lag
+    //      terms come from an integer epoch equi-join against a
+    //      13-row broadcast weight table — no global-order window, so
+    //      the smoother stays fully partition-parallel at any scale. ----
+    sqlChecked("w_ewma",
+      s"""WITH h AS (${RelationalQueries6.hourlySql}),
+         |wt AS (SELECT k, 0.3 * POW(0.7, k) AS wt
+         |  FROM (SELECT unnest(generate_series(0, 12)) AS k)),
+         |e AS (SELECT a.hre, SUM(wt.wt * b.v) / SUM(wt.wt) AS ewma
+         |  FROM h a CROSS JOIN wt JOIN h b ON b.hre = a.hre - wt.k * 3600
+         |  GROUP BY a.hre)
+         |SELECT hre, ROUND(ewma, 6) AS ewma FROM e ORDER BY hre""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val h = RelationalQueries6.hourly(s, d)
+      val wt = (0 to 12).map(k => (k, 0.3 * math.pow(0.7, k)))
+        .toDF("k", "wt")
+      h.as("a").crossJoin(broadcast(wt))
+        .join(h.as("b"), col("b.hre") === col("a.hre") - col("k") * 3600)
+        .groupBy(col("a.hre").as("hre"))
+        .agg((sum(col("wt") * col("b.v")) / sum(col("wt"))).as("ewma"))
+        .select(col("hre"), round(col("ewma"), 6).as("ewma"))
+        .orderBy(col("hre"))
     }
   )
 }

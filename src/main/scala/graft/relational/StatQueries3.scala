@@ -2,7 +2,7 @@ package graft.relational
 
 import graft.core.{FeatureArray, Tables}
 import graft.hazard.CompetingRisks
-import graft.stats.{Pca, WeightedGLM}
+import graft.stats.{Isotonic, Pca, WeightedGLM}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
@@ -237,6 +237,44 @@ object StatQueries3 {
           round(col("cif1"), 8).as("cif1"),
           round(col("cif2"), 8).as("cif2"))
         .orderBy(col("t"))
+    },
+
+    // ---- M38: isotonic regression (probability calibration):
+    //      finished-order rate vs fixed-width price bucket, forced
+    //      monotone. One distributed aggregate collapses the data to
+    //      ≤12 bins; the fit is the minimax characterization
+    //      f_i = max_{j≤i} min_{k≥i} mean(j..k) — exactly PAVA, but
+    //      purely relational (B² range means from prefix sums), so
+    //      the oracle replays it with no sequential loop. ----
+    sqlChecked("m38_isotonic",
+      """WITH base AS (SELECT
+        |    LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+        |    1.0 + o_orderkey % 3 AS w FROM orders),
+        |g AS (SELECT bin, SUM(w * y) AS wy, SUM(w) AS ww
+        |  FROM base GROUP BY bin),
+        |p AS (SELECT bin, wy, ww,
+        |    SUM(wy) OVER (ORDER BY bin) AS cy,
+        |    SUM(ww) OVER (ORDER BY bin) AS cw FROM g),
+        |r AS (SELECT lo.bin AS j, hi.bin AS k,
+        |    (hi.cy - lo.cy + lo.wy) / (hi.cw - lo.cw + lo.ww) AS m
+        |  FROM p lo JOIN p hi ON lo.bin <= hi.bin),
+        |inner_mn AS (SELECT g.bin AS i, r.j, MIN(r.m) AS mn
+        |  FROM g JOIN r ON r.j <= g.bin AND r.k >= g.bin
+        |  GROUP BY g.bin, r.j),
+        |iso AS (SELECT i, MAX(mn) AS iso_mean FROM inner_mn GROUP BY i)
+        |SELECT g.bin, ROUND(g.ww, 6) AS n_w,
+        |  ROUND(g.wy / g.ww, 6) AS raw_mean,
+        |  ROUND(iso.iso_mean, 6) AS iso_mean
+        |FROM g JOIN iso ON iso.i = g.bin ORDER BY g.bin""".stripMargin) { (s, d) =>
+      Isotonic.fit(t(s, d, "orders"),
+          least(floor(col("o_totalprice") / 50000), lit(9L)),
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0),
+          (lit(1.0) + col("o_orderkey") % 3).cast("double"))
+        .select(col("bin"), round(col("n_w"), 6).as("n_w"),
+          round(col("raw_mean"), 6).as("raw_mean"),
+          round(col("iso_mean"), 6).as("iso_mean"))
+        .orderBy(col("bin"))
     }
   )
 }

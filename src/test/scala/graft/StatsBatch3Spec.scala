@@ -1,7 +1,7 @@
 package graft
 
 import graft.hazard.CompetingRisks
-import graft.stats.Pca
+import graft.stats.{Isotonic, Pca}
 import org.apache.spark.sql.functions._
 
 /** Fixtures for the third statistical batch: Aalen–Johansen competing
@@ -41,6 +41,29 @@ class StatsBatch3Spec extends SparkSpec {
       .select(col("s_t") + col("cif1") + col("cif2"))
       .collect()
     aj.foreach(r => assertNear(r.getDouble(0), 1.0))
+  }
+
+  test("isotonic minimax formula equals hand-run PAVA") {
+    // bins with raw means 0.2, 0.5, 0.3, 0.6 and weights 1, 1, 2, 1:
+    // PAVA pools bins 1,2 (violation 0.5 > 0.3 backwards): pooled mean
+    // (0.5*1 + 0.3*2)/3 = 1.1/3; final curve 0.2, 1.1/3, 1.1/3, 0.6
+    val df = Seq(
+      (0, 0.2, 1.0), (1, 0.5, 1.0), (2, 0.3, 2.0), (3, 0.6, 1.0))
+      .toDF("bin", "y", "w")
+    val got = Isotonic.fit(df, col("bin"), col("y"), col("w"))
+      .orderBy("bin").collect()
+    assertNear(got(0).getAs[Double]("iso_mean"), 0.2)
+    assertNear(got(1).getAs[Double]("iso_mean"), 1.1 / 3.0)
+    assertNear(got(2).getAs[Double]("iso_mean"), 1.1 / 3.0)
+    assertNear(got(3).getAs[Double]("iso_mean"), 0.6)
+    // already-monotone input is a fixed point
+    val mono = Seq((0, 0.1, 1.0), (1, 0.4, 3.0), (2, 0.9, 2.0))
+      .toDF("bin", "y", "w")
+    Isotonic.fit(mono, col("bin"), col("y"), col("w"))
+      .orderBy("bin").collect()
+      .zip(Seq(0.1, 0.4, 0.9))
+      .foreach { case (r, want) =>
+        assertNear(r.getAs[Double]("iso_mean"), want) }
   }
 
   test("power iteration recovers a known dominant eigenpair") {
