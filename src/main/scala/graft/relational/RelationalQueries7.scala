@@ -200,6 +200,52 @@ object RelationalQueries7 {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // ---- pointwise mutual information of token pairs: which terms
+    //      co-occur in documents beyond chance. Candidate pairs come
+    //      from a per-document self-join on the DISTINCT (doc, term)
+    //      stream — bounded by per-doc vocabulary, not corpus size —
+    //      and the PMI join against per-term df is a broadcast of the
+    //      (tiny) vocabulary table. ----
+    sqlChecked("t_pmi",
+      s"""WITH toks AS (SELECT DISTINCT doc_id,
+         |    unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |n(n) AS (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+         |  FROM toks GROUP BY term),
+         |co AS (SELECT a.term AS w1, b.term AS w2,
+         |    CAST(COUNT(*) AS DOUBLE) AS codf
+         |  FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2)
+         |SELECT w1, w2, CAST(codf AS BIGINT) AS codf,
+         |  ROUND(LN(codf * n / (d1.df * d2.df)), 6) AS pmi
+         |FROM co JOIN df d1 ON d1.term = w1 JOIN df d2 ON d2.term = w2
+         |  CROSS JOIN n
+         |WHERE codf >= 5
+         |ORDER BY pmi DESC, w1, w2 LIMIT 15""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+          explode(split(Dedup.normalize(col("text")), " ")).as("term"))
+        .distinct()
+      val n = docs.count().toDouble
+      val df = toks.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val co = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+        .agg(count(lit(1)).cast("double").as("codf"))
+      co.filter(col("codf") >= 5)
+        .join(broadcast(df.select(col("term").as("w1"), col("df").as("df1"))),
+          Seq("w1"))
+        .join(broadcast(df.select(col("term").as("w2"), col("df").as("df2"))),
+          Seq("w2"))
+        .select(col("w1"), col("w2"), col("codf").cast("long").as("codf"),
+          round(log(col("codf") * n / (col("df1") * col("df2"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(15)
+    },
+
     // ---- top event 3-paths: most frequent length-3 event-type
     //      sequences per user (funnel discovery, one step past the
     //      first-order ev_transitions matrix). Two LEADs in one

@@ -275,6 +275,63 @@ object StatQueries3 {
           round(col("raw_mean"), 6).as("raw_mean"),
           round(col("iso_mean"), 6).as("iso_mean"))
         .orderBy(col("bin"))
+    },
+
+    // ---- M39: ROC curve + AUC from a bounded score-bin axis (the
+    //      scale-correct formulation: ONE distributed aggregate to
+    //      ≤29 bins, then trapezoid integration over the tiny bin
+    //      table — never a global rank sort of the raw scores).
+    //      Counts are integers, so every TPR/FPR ratio is exact on
+    //      both engines. ----
+    sqlChecked("m39_auc_roc",
+      """WITH base AS (SELECT
+        |    LEAST(CAST(FLOOR(o_totalprice / 20000) AS BIGINT), 24) AS bin,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        |  FROM orders),
+        |g AS (SELECT bin, CAST(SUM(pos) AS DOUBLE) AS p,
+        |    CAST(COUNT(*) - SUM(pos) AS DOUBLE) AS n
+        |  FROM base GROUP BY bin),
+        |tot AS (SELECT SUM(p) AS tp, SUM(n) AS tn FROM g),
+        |c AS (SELECT bin,
+        |    SUM(p) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tp AS tpr,
+        |    SUM(n) OVER (ORDER BY bin DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tn AS fpr
+        |  FROM g CROSS JOIN tot),
+        |tz AS (SELECT bin, tpr, fpr,
+        |    (fpr - COALESCE(LAG(fpr) OVER (ORDER BY bin DESC), 0.0))
+        |      * (tpr + COALESCE(LAG(tpr) OVER (ORDER BY bin DESC), 0.0)) / 2
+        |      AS contrib
+        |  FROM c)
+        |SELECT bin, ROUND(tpr, 6) AS tpr, ROUND(fpr, 6) AS fpr,
+        |  ROUND(SUM(contrib) OVER (), 6) AS auc
+        |FROM tz ORDER BY bin""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = t(s, d, "orders")
+        .select(
+          least(floor(col("o_totalprice") / 20000), lit(24L)).as("bin"),
+          when(col("o_orderstatus") === "F", 1).otherwise(0).as("pos"))
+        .groupBy(col("bin"))
+        .agg(sum(col("pos")).cast("double").as("p"),
+          (count(lit(1)) - sum(col("pos"))).cast("double").as("n"))
+      val tot = g.agg(sum(col("p")).as("tp"), sum(col("n")).as("tn"))
+      val desc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lagW = Window.orderBy(col("bin").desc)
+      val c = g.crossJoin(broadcast(tot))
+        .withColumn("tpr", sum(col("p")).over(desc) / col("tp"))
+        .withColumn("fpr", sum(col("n")).over(desc) / col("tn"))
+      val tz = c
+        .withColumn("contrib",
+          (col("fpr") - coalesce(lag(col("fpr"), 1).over(lagW), lit(0.0))) *
+            (col("tpr") + coalesce(lag(col("tpr"), 1).over(lagW), lit(0.0))) / 2)
+      tz.withColumn("auc",
+          sum(col("contrib")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+        .select(col("bin"), round(col("tpr"), 6).as("tpr"),
+          round(col("fpr"), 6).as("fpr"), round(col("auc"), 6).as("auc"))
+        .orderBy(col("bin"))
     }
   )
 }
