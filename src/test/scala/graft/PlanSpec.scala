@@ -246,4 +246,46 @@ class PlanSpec extends SparkSpec {
     // doc-partitioned windows (prefix ranking) are expected and fine
     assert(p.contains("HashAggregate"), "df hash aggregate missing")
   }
+
+  test("a_basket_pairs: pair generation is an order-key equi-join + top-k") {
+    val p = plan("a_basket_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"basket pairs must come from the per-order equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("w_ewma / t_pmi: kernel weights and vocabulary broadcast") {
+    // the 13-row EWMA weight table and the tiny df vocabulary must ship
+    // as broadcasts — re-shuffling the big side on a kernel index would
+    // serialize the smoother at scale
+    assert(plan("w_ewma").contains("BroadcastHashJoin"),
+      "EWMA weight table not broadcast")
+    assert(plan("t_pmi").contains("BroadcastHashJoin"),
+      "PMI vocabulary not broadcast")
+  }
+
+  test("ev_transitions / ev_paths: the big window pass is user-partitioned") {
+    // the only unpartitioned windows allowed are over the collapsed
+    // 5×5 transition table — the event-stream lag/lead must carry the
+    // user_id partition key
+    for (q <- Seq("ev_transitions", "ev_paths")) {
+      val p = plan(q)
+      val userWindow = "windowspecdefinition\\(user_id#\\d+".r
+      assert(userWindow.findFirstIn(p).nonEmpty,
+        s"$q: event window not partitioned on user_id:\n$p")
+    }
+  }
+
+  test("m37_poisson_glm / m38_isotonic: data pass is one hash aggregate") {
+    // both collapse the data before any driver-side / bin-table work;
+    // the data-sized stage must be a partial+final hash aggregate with
+    // no data-sized window or sort
+    for (q <- Seq("m38_isotonic", "m39_auc_roc")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: no partial aggregation in the collapse pass:\n$p")
+    }
+  }
 }
