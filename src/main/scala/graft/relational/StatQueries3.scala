@@ -332,6 +332,103 @@ object StatQueries3 {
         .select(col("bin"), round(col("tpr"), 6).as("tpr"),
           round(col("fpr"), 6).as("fpr"), round(col("auc"), 6).as("auc"))
         .orderBy(col("bin"))
+    },
+
+    // ---- M40: SRS mean with finite-population correction — the
+    //      survey-sampling textbook baseline. The "sample" is a 1-in-10
+    //      systematic subset of customers drawn from the known frame;
+    //      SE carries the (1 − n/N) FPC, CI at z = 1.96. One aggregate
+    //      over the sample + one COUNT over the frame. ----
+    sqlChecked("m40_fpc_ci",
+      """WITH fr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM customer),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(c_acctbal) AS mu,
+        |    var_samp(c_acctbal) AS s2
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(nn AS BIGINT) AS n_pop,
+        |  ROUND(mu, 6) AS mean,
+        |  ROUND(SQRT((1 - n / nn) * s2 / n), 6) AS se,
+        |  ROUND(mu - 1.96 * SQRT((1 - n / nn) * s2 / n), 6) AS lo,
+        |  ROUND(mu + 1.96 * SQRT((1 - n / nn) * s2 / n), 6) AS hi
+        |FROM s CROSS JOIN fr""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer")
+      val fr = cust.agg(count(lit(1)).cast("double").as("nn"))
+      val sm = cust.filter(col("c_custkey") % 10 === 0)
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("c_acctbal")).as("mu"),
+          var_samp(col("c_acctbal")).as("s2"))
+      val se = sqrt((lit(1.0) - col("n") / col("nn")) * col("s2") / col("n"))
+      sm.crossJoin(broadcast(fr))
+        .select(col("n").cast("long").as("n"),
+          col("nn").cast("long").as("n_pop"),
+          round(col("mu"), 6).as("mean"), round(se, 6).as("se"),
+          round(col("mu") - lit(1.96) * se, 6).as("lo"),
+          round(col("mu") + lit(1.96) * se, 6).as("hi"))
+    },
+
+    // ---- M41: ratio estimator with linearized variance — estimate
+    //      total order revenue per unit quantity R = Σy/Σx from the
+    //      sample, SE from the Taylor deviates z_i = (y_i − R·x_i)/x̄
+    //      (Cochran §6.3). Two aggregates over one scan each (the
+    //      second needs R, so the chain is two driver-synced passes —
+    //      the same shape as every M13 influence pipeline). ----
+    sqlChecked("m41_ratio",
+      """WITH s AS (SELECT l_extendedprice AS y, l_quantity AS x
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(y) AS sy,
+        |    SUM(x) AS sx, AVG(x) AS mx FROM s),
+        |v AS (SELECT MAX(m.n) AS n, MAX(m.sy / m.sx) AS r,
+        |    var_samp((s.y - (m.sy / m.sx) * s.x) / m.mx) AS vz
+        |  FROM s CROSS JOIN m)
+        |SELECT CAST(n AS BIGINT) AS n, ROUND(r, 6) AS ratio,
+        |  ROUND(SQRT(vz / n), 6) AS se
+        |FROM v""".stripMargin) { (s, d) =>
+      val sm = t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_extendedprice").as("y"), col("l_quantity").as("x"))
+      val m = sm.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("y")).as("sy"), sum(col("x")).as("sx"),
+        avg(col("x")).as("mx"))
+      val v = sm.crossJoin(broadcast(m))
+        .agg(max(col("n")).as("n"), max(col("sy") / col("sx")).as("r"),
+          var_samp((col("y") - (col("sy") / col("sx")) * col("x")) /
+            col("mx")).as("vz"))
+      v.select(col("n").cast("long").as("n"), round(col("r"), 6).as("ratio"),
+        round(sqrt(col("vz") / col("n")), 6).as("se"))
+    },
+
+    // ---- M42: regression (difference) estimator — adjust the sample
+    //      mean of y by the known frame mean of an auxiliary x:
+    //      ŷ_reg = ȳ + b·(X̄ − x̄) with b the sample OLS slope
+    //      (Cochran §7). Auxiliary totals over the full frame, slope +
+    //      moments over the sample: two aggregates, no joins of
+    //      data-sized tables. ----
+    sqlChecked("m42_reg_est",
+      """WITH fr AS (SELECT AVG(o_totalprice) AS xbar_pop FROM orders),
+        |s AS (SELECT o_totalprice AS x,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(x) AS mx,
+        |    AVG(y) AS my, covar_pop(x, y) AS cxy, var_pop(x) AS vx
+        |  FROM s)
+        |SELECT CAST(n AS BIGINT) AS n, ROUND(my, 6) AS mean_naive,
+        |  ROUND(cxy / vx, 9) AS slope,
+        |  ROUND(my + (cxy / vx) * (xbar_pop - mx), 6) AS mean_reg
+        |FROM m CROSS JOIN fr""".stripMargin) { (s, d) =>
+      val ords = t(s, d, "orders")
+      val fr = ords.agg(avg(col("o_totalprice")).as("xbar_pop"))
+      val sm = ords.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_totalprice").as("x"),
+          when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+      val m = sm.agg(count(lit(1)).cast("double").as("n"),
+        avg(col("x")).as("mx"), avg(col("y")).as("my"),
+        covar_pop(col("x"), col("y")).as("cxy"),
+        var_pop(col("x")).as("vx"))
+      m.crossJoin(broadcast(fr))
+        .select(col("n").cast("long").as("n"),
+          round(col("my"), 6).as("mean_naive"),
+          round(col("cxy") / col("vx"), 9).as("slope"),
+          round(col("my") + (col("cxy") / col("vx")) *
+            (col("xbar_pop") - col("mx")), 6).as("mean_reg"))
     }
   )
 }
