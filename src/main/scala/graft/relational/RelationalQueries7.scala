@@ -200,6 +200,32 @@ object RelationalQueries7 {
         .orderBy(col("lang"), col("doc_id"))
     },
 
+    // ---- higher-order lambda battery over the embedding arrays:
+    //      filter / transform / exists / forall — all codegen-free
+    //      Catalyst lambda functions (never a Scala UDF), replayed by
+    //      DuckDB's list_* lambdas. ----
+    sqlChecked("f_lambda",
+      """SELECT vec_id,
+        |  len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0))
+        |    AS n_pos,
+        |  ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x)), 5) AS sum_sq,
+        |  CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+        |    x -> x > 0.2)) > 0 THEN 1 ELSE 0 END AS any_hot,
+        |  CASE WHEN len(list_filter(CAST(embedding AS DOUBLE[]),
+        |    x -> ABS(x) <= 0.5)) = len(embedding) THEN 1 ELSE 0 END
+        |    AS all_small
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val v = col("embedding").cast("array<double>")
+      t(s, d, "embeddings").select(col("vec_id"),
+          size(filter(v, x => x > 0)).as("n_pos"),
+          round(aggregate(transform(v, x => x * x), lit(0.0), _ + _), 5)
+            .as("sum_sq"),
+          when(exists(v, x => x > 0.2), 1).otherwise(0).as("any_hot"),
+          when(forall(v, x => abs(x) <= 0.5), 1).otherwise(0).as("all_small"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- pointwise mutual information of token pairs: which terms
     //      co-occur in documents beyond chance. Candidate pairs come
     //      from a per-document self-join on the DISTINCT (doc, term)

@@ -429,6 +429,40 @@ object StatQueries3 {
           round(col("cxy") / col("vx"), 9).as("slope"),
           round(col("my") + (col("cxy") / col("vx")) *
             (col("xbar_pop") - col("mx")), 6).as("mean_reg"))
+    },
+
+    // ---- M43: capture–recapture (dual-frame) population-size
+    //      estimate, Chapman-corrected Lincoln–Petersen — the
+    //      two-overlapping-frames primitive behind dual-frame survey
+    //      integration. Frames are two systematic subsets of the
+    //      customer frame; one conditional aggregate computes nA, nB,
+    //      the overlap m, N̂ and its SE. ----
+    sqlChecked("m43_capture",
+      """WITH a AS (SELECT
+        |    SUM(CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE 0.0 END) AS na,
+        |    SUM(CASE WHEN c_custkey % 3 = 0 THEN 1.0 ELSE 0.0 END) AS nb,
+        |    SUM(CASE WHEN c_custkey % 6 = 0 THEN 1.0 ELSE 0.0 END) AS m,
+        |    CAST(COUNT(*) AS BIGINT) AS n_true
+        |  FROM customer)
+        |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(m AS BIGINT) AS m, n_true,
+        |  ROUND((na + 1) * (nb + 1) / (m + 1) - 1, 4) AS n_hat,
+        |  ROUND(SQRT((na + 1) * (nb + 1) * (na - m) * (nb - m)
+        |    / ((m + 1) * (m + 1) * (m + 2))), 4) AS se
+        |FROM a""".stripMargin) { (s, d) =>
+      val a = t(s, d, "customer").agg(
+        sum(when(col("c_custkey") % 2 === 0, 1.0).otherwise(0.0)).as("na"),
+        sum(when(col("c_custkey") % 3 === 0, 1.0).otherwise(0.0)).as("nb"),
+        sum(when(col("c_custkey") % 6 === 0, 1.0).otherwise(0.0)).as("m"),
+        count(lit(1)).as("n_true"))
+      a.select(col("na").cast("long").as("na"),
+        col("nb").cast("long").as("nb"), col("m").cast("long").as("m"),
+        col("n_true"),
+        round((col("na") + 1) * (col("nb") + 1) / (col("m") + 1) - 1, 4)
+          .as("n_hat"),
+        round(sqrt((col("na") + 1) * (col("nb") + 1) * (col("na") - col("m"))
+          * (col("nb") - col("m")) /
+          ((col("m") + 1) * (col("m") + 1) * (col("m") + 2))), 4).as("se"))
     }
   )
 }
