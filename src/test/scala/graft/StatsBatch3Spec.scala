@@ -43,6 +43,34 @@ class StatsBatch3Spec extends SparkSpec {
     aj.foreach(r => assertNear(r.getDouble(0), 1.0))
   }
 
+  test("Aalen-Johansen: all-censored frame yields an empty step table") {
+    val df = Seq((1.0, 0), (2.0, 0), (3.0, 0)).toDF("t", "cause")
+    assert(CompetingRisks.aalenJohansen(df, col("t"), col("cause")).count() == 0)
+  }
+
+  test("Poisson GLM intercept-only recovers ln of the weighted mean") {
+    // score 0 at the fixed point: Σw(y − e^b0) = 0 ⟹ b0 = ln(Σwy/Σw)
+    val df = Seq((1.0, 2.0), (3.0, 1.0), (5.0, 1.0), (0.0, 2.0))
+      .toDF("y", "w")
+    val fit = graft.stats.WeightedGLM.poisson(df,
+      array(lit(1.0)), col("y"), col("w"), p = 1)
+    val want = math.log((1.0 * 2 + 3 + 5 + 0.0 * 2) / 6.0)
+    assertNear(fit.coefficients(0), want, 1e-8)
+    assert(fit.converged)
+  }
+
+  test("isotonic: single bin is its own fit; reversed means pool to one level") {
+    val one = Seq((5, 0.4, 2.0), (5, 0.8, 2.0)).toDF("bin", "y", "w")
+    val g1 = Isotonic.fit(one, col("bin"), col("y"), col("w")).collect()
+    assert(g1.length == 1)
+    assertNear(g1(0).getAs[Double]("iso_mean"), 0.6)
+    // strictly decreasing input pools everything to the global mean
+    val dec = Seq((0, 0.9, 1.0), (1, 0.5, 1.0), (2, 0.1, 1.0))
+      .toDF("bin", "y", "w")
+    Isotonic.fit(dec, col("bin"), col("y"), col("w")).collect()
+      .foreach(r => assertNear(r.getAs[Double]("iso_mean"), 0.5))
+  }
+
   test("isotonic minimax formula equals hand-run PAVA") {
     // bins with raw means 0.2, 0.5, 0.3, 0.6 and weights 1, 1, 2, 1:
     // PAVA pools bins 1,2 (violation 0.5 > 0.3 backwards): pooled mean
