@@ -26,6 +26,13 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("win"), col("event_type"),
         col("n"), col("v"))
 
+  /** Stream-static enrichment: join each micro-batch against a (small)
+    * static dimension. The dimension broadcasts — stateless, no
+    * watermark, and the static side is re-planned per batch so a
+    * refreshed dimension snapshot is picked up on restart. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   final case class Ev(user_id: Long, tsMicros: Long, value: Double)
   final case class SessionOut(user_id: Long, n_sessions: Int, n_events: Long)
   final case class KeyEv(user_id: Long, event_type: String, tsMicros: Long)

@@ -204,4 +204,70 @@ class StreamingSpec extends SparkSpec {
       s"stream/batch mismatch: only-stream=${gotSet -- expected} " +
         s"only-batch=${expected -- gotSet}")
   }
+
+  test("stream-static enrichment matches the batch broadcast join") {
+    val batchEvents = Tables.events(spark, sf)
+    // static dimension: user segment from the user id
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("segment",
+        when(col("user_id") % 3 === 0, "a").otherwise("b"))
+    val expected = EventStreams.enrich(batchEvents, dim, "user_id")
+      .groupBy("segment", "event_type").agg(count(lit(1)).as("n"))
+      .orderBy("segment", "event_type").collect()
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    batchEvents.write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(batchEvents.schema).parquet(tmp)
+    val q = EventStreams.enrich(stream, dim, "user_id")
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_enrich_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("graft_enrich_out")
+      .orderBy("segment", "event_type").collect()
+    assert(got.length == expected.length && got.zip(expected).forall {
+      case (g, e) => g == e
+    }, s"stream=${got.toSeq} batch=${expected.toSeq}")
+  }
+
+  test("watermark drops late rows in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val ev = ms.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumbling(ev, "1 hour", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_wm_out")
+      .start()
+
+    // batch 1: three rows in the 10:00 window, one at 12:05 that
+    // advances the watermark to 11:55 and closes the 10:00 window
+    ms.addData((ts("10:00"), "click", 1.0), (ts("10:20"), "click", 1.0),
+      (ts("10:40"), "view", 1.0), (ts("12:05"), "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE 10:15 click (behind the 11:55 watermark — must be
+    // dropped) plus a 13:10 row that closes the 12:00 window
+    ms.addData((ts("10:15"), "click", 9.0), (ts("13:10"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("graft_wm_out")
+      .select(col("win"), col("event_type"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val w10 = ts("10:00").getTime / 1000
+    val w12 = ts("12:00").getTime / 1000
+    // the 10:00 click count stays 2 — the late 10:15 row never lands
+    assert(rows.contains((w10, "click", 2L)),
+      s"late row leaked into the closed window: $rows")
+    assert(rows.contains((w10, "view", 1L)) && rows.contains((w12, "view", 1L)),
+      s"expected closed windows missing: $rows")
+  }
 }
