@@ -179,6 +179,39 @@ object RelationalQueries7 {
         .limit(10)
     },
 
+    // ---- BPE merge-pair statistics: the core byte-pair-encoding
+    //      training step — count adjacent character pairs across the
+    //      corpus, weighted by word frequency. The corpus collapses to
+    //      the (tiny) word-frequency table FIRST, so the character
+    //      explosion runs over distinct words, not raw text — at
+    //      100 TB the pair counting is vocabulary-sized. ----
+    sqlChecked("t_bpe_pairs",
+      s"""WITH words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS w
+         |        FROM documents) GROUP BY w),
+         |pairs AS (SELECT substr(w, i, 1) || '|' || substr(w, i + 1, 1)
+         |      AS pair, freq
+         |  FROM words, (SELECT unnest(generate_series(1, 40)) AS i)
+         |  WHERE i < len(w))
+         |SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM pairs
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 15""".stripMargin) { (s, d) =>
+      val words = t(s, d, "documents")
+        .select(explode(split(Dedup.normalize(col("text")), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // Spark's split("", -1) keeps a trailing empty element; `get` is
+      // 0-based and ANSI-safe (null out of bounds, never a throw)
+      words
+        .select(col("freq"), split(col("w"), "").as("cs"))
+        .select(col("freq"), col("cs"),
+          posexplode(col("cs")).as(Seq("p", "ch")))
+        .withColumn("nxt", get(col("cs"), col("p") + 1))
+        .filter(col("ch") =!= "" && col("nxt").isNotNull && col("nxt") =!= "")
+        .select(concat(col("ch"), lit("|"), col("nxt")).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(15)
+    },
+
     // ---- exact-size stratified sample: a fixed per-language document
     //      quota drawn by ranking the deterministic cross-engine RNG
     //      stream within each stratum (distributed SRSWOR — the

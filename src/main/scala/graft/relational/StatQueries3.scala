@@ -463,6 +463,32 @@ object StatQueries3 {
         round(sqrt((col("na") + 1) * (col("nb") + 1) * (col("na") - col("m"))
           * (col("nb") - col("m")) /
           ((col("m") + 1) * (col("m") + 1) * (col("m") + 2))), 4).as("se"))
+    },
+
+    // ---- M44: ultimate-cluster (between-PSU) variance of a total —
+    //      the design-based variance for a clustered sample, PSU =
+    //      nation: v(T̂) = k/(k−1) · Σ(t_i − t̄)². One groupBy to PSU
+    //      totals (bounded by the PSU count), one aggregate over the
+    //      PSU table. The workhorse behind every "with-replacement
+    //      PSU" survey variance, including the reference's jackknife
+    //      groups. ----
+    sqlChecked("m44_cluster_var",
+      """WITH psu AS (SELECT c_nationkey, SUM(c_acctbal) AS t_i
+        |  FROM customer GROUP BY c_nationkey),
+        |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(t_i) AS tot,
+        |    var_samp(t_i) AS s2 FROM psu)
+        |SELECT CAST(k AS BIGINT) AS k, ROUND(tot, 4) AS total,
+        |  ROUND(k * s2, 2) AS var_tot,
+        |  ROUND(SQRT(k * s2), 4) AS se
+        |FROM a""".stripMargin) { (s, d) =>
+      val psu = t(s, d, "customer")
+        .groupBy(col("c_nationkey")).agg(sum(col("c_acctbal")).as("t_i"))
+      psu.agg(count(lit(1)).cast("double").as("k"),
+          sum(col("t_i")).as("tot"), var_samp(col("t_i")).as("s2"))
+        .select(col("k").cast("long").as("k"),
+          round(col("tot"), 4).as("total"),
+          round(col("k") * col("s2"), 2).as("var_tot"),
+          round(sqrt(col("k") * col("s2")), 4).as("se"))
     }
   )
 }
