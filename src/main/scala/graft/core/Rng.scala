@@ -42,6 +42,17 @@ object Rng {
     (k3.cast("double") + lit(0.5)) / lit(P.toDouble)
   }
 
+  /** The identical computation in plain JVM long arithmetic — used by
+    * the DataSource V2 population reader so generated rows bit-match
+    * the Catalyst-expression stream (asserted in SourcesSpec). */
+  def uniformJvm(key: Long, salt: Long = 0L): Double = {
+    val k0 = ((key % P) * SALT_MIX + salt) % P
+    val k1 = (k0 * k0 + C) % P
+    val k2 = (k1 * k1 + C2) % P
+    val k3 = (A * k2 + C) % P
+    (k3.toDouble + 0.5) / P.toDouble
+  }
+
   /** The identical computation as DuckDB SQL over an integral expression. */
   def uniformSql(expr: String, salt: Long = 0L): String = {
     val k0 = s"((((($expr) % $P) * $SALT_MIX) + $salt) % $P)"

@@ -70,4 +70,41 @@ class SourcesSpec extends SparkSpec {
       assert(got == micros.sorted, s"$dir: $got")
     }
   }
+
+  test("DSv2 population source: parallel, deterministic, bit-matches the expression RNG") {
+    def read(parts: Int) = spark.read
+      .format("graft.sources.PopulationSource")
+      .option("n", 999).option("partitions", parts).option("seed", 3)
+      .load()
+
+    val df = read(7)
+    // the planner must see the requested splits as real input partitions
+    assert(df.rdd.getNumPartitions == 7, s"got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 999)
+
+    // same values at any parallelism (generation keyed on id, not split)
+    val a = df.orderBy("id").collect()
+    val b = read(3).orderBy("id").collect()
+    assert(a.toSeq == b.toSeq, "values depend on partitioning")
+
+    // bit-match against the Catalyst-expression stream the oracles use
+    val expr = spark.range(1, 1000).toDF("id").select(
+      col("id"),
+      graft.core.Rng.uniform(col("id"), 3).as("u"),
+      (sqrt(lit(-2.0) * log(graft.core.Rng.uniform(col("id"), 3))) *
+        cos(lit(2.0 * math.Pi) *
+          graft.core.Rng.uniform(col("id"), 3 + 1000003L))).as("z"))
+      .orderBy("id").collect()
+    a.zip(expr).foreach { case (g, e) =>
+      assert(g.getLong(0) == e.getLong(0))
+      // the uniform stream is exact 64-bit integer arithmetic → bitwise
+      assert(g.getDouble(1) == e.getDouble(1), s"u mismatch at id ${g.getLong(0)}")
+      // Box–Muller goes through Math.cos/log, where the HotSpot
+      // intrinsic and the interpreted path may each differ in the last
+      // ulp; with the sqrt·cos product that compounds to a few ulp —
+      // the guarantee for transcendental-derived values
+      assert(math.abs(g.getDouble(2) - e.getDouble(2)) <=
+        4 * math.ulp(e.getDouble(2)), s"z mismatch at id ${g.getLong(0)}")
+    }
+  }
 }
