@@ -67,36 +67,96 @@ private class PopulationTable extends Table with SupportsRead {
       options.getLong("seed", 1L))
 }
 
+/** Scan with BOTH pushdowns a generated source can honor:
+  *
+  *  - id-range filters (`id <=/</>=/>/= k`) clamp the generated range
+  *    itself, so `WHERE id <= 1000` over a billion-row population
+  *    GENERATES 1000 rows instead of filtering a billion — the
+  *    source-level analogue of partition pruning;
+  *  - column pruning drops the Box–Muller computation entirely when
+  *    `z` is not requested (two transcendental calls per row saved —
+  *    visible in the scan's readSchema, like a parquet ReadSchema).
+  *
+  * Non-id filters are left to Spark (`pushedFilters` returns only what
+  * the source fully honors, so Spark re-applies the rest — the
+  * standard residual-filter contract).
+  */
 private class PopulationScan(n: Long, partitions: Int, seed: Long)
-    extends ScanBuilder with Scan with Batch {
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources._
+
+  private var lo = 1L
+  private var hi = n // inclusive range [lo, hi]
+  private var pushed: Array[Filter] = Array.empty
+  private var cols: StructType = PopulationSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("id", _: Number) => true
+      case GreaterThan("id", _: Number) => true
+      case GreaterThanOrEqual("id", _: Number) => true
+      case LessThan("id", _: Number) => true
+      case LessThanOrEqual("id", _: Number) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case EqualTo("id", v: Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue)
+      case GreaterThan("id", v: Number) => lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual("id", v: Number) => lo = math.max(lo, v.longValue)
+      case LessThan("id", v: Number) => hi = math.min(hi, v.longValue - 1)
+      case LessThanOrEqual("id", v: Number) => hi = math.min(hi, v.longValue)
+      case _ => ()
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve source column order regardless of projection order
+    cols = StructType(PopulationSource.schema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name)))
+
   override def build(): Scan = this
-  override def readSchema(): StructType = PopulationSource.schema
+  override def readSchema(): StructType = cols
   override def toBatch: Batch = this
 
-  // contiguous id ranges [1, n]: split k gets ids (k·n/p, (k+1)·n/p]
-  override def planInputPartitions(): Array[InputPartition] =
-    Array.tabulate(partitions) { k =>
+  // contiguous id ranges over the CLAMPED [lo, hi]
+  override def planInputPartitions(): Array[InputPartition] = {
+    val count = math.max(0L, hi - lo + 1)
+    val p = math.max(1, math.min(partitions.toLong, count)).toInt
+    Array.tabulate(p) { k =>
       PopulationPartition(
-        1L + k * n / partitions, 1L + (k + 1) * n / partitions, seed)
+        lo + k * count / p, lo + (k + 1) * count / p, seed,
+        cols.fieldNames.toIndexedSeq)
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PopulationReaderFactory
 }
 
-private case class PopulationPartition(start: Long, end: Long, seed: Long)
-    extends InputPartition
+private case class PopulationPartition(start: Long, end: Long, seed: Long,
+    cols: IndexedSeq[String]) extends InputPartition
 
 private class PopulationReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val pp = p.asInstanceOf[PopulationPartition]
       private var cur = pp.start - 1
-      override def next(): Boolean = { cur += 1; cur < pp.end }
-      override def get(): InternalRow = {
-        val (u, z) = PopulationSource.row(cur, pp.seed)
-        InternalRow(cur, u, z)
+      // explicit Any return type: without it Scala's weak conformance
+      // unifies the Long|Double branches to Double, silently widening
+      // the id and corrupting the row layout
+      private def value(name: String): Any = name match {
+        case "id" => cur
+        case "u" => Rng.uniformJvm(cur, pp.seed)
+        case "z" => PopulationSource.row(cur, pp.seed)._2
       }
+      override def next(): Boolean = { cur += 1; cur < pp.end }
+      override def get(): InternalRow =
+        InternalRow(pp.cols.map(value): _*)
       override def close(): Unit = ()
     }
 }

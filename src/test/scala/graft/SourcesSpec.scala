@@ -107,4 +107,26 @@ class SourcesSpec extends SparkSpec {
         4 * math.ulp(e.getDouble(2)), s"z mismatch at id ${g.getLong(0)}")
     }
   }
+
+  test("DSv2 population source: id filters clamp generation; projection prunes the scan") {
+    val df = spark.read.format("graft.sources.PopulationSource")
+      .option("n", 1000000).option("partitions", 8).option("seed", 3)
+      .load()
+
+    // range filter generates [11, 20] — 10 rows, not a million filtered
+    val sel = df.filter(col("id") > 10 && col("id") <= 20)
+    assert(sel.count() == 10)
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || !plan.contains("Filter ("),
+      s"id range not pushed:\n$plan")
+    // the clamp is visible as partition shrink: ≤10 rows → ≤10 splits
+    assert(sel.rdd.getNumPartitions <= 10,
+      s"clamped range still planned 8 full partitions")
+
+    // column pruning: a u-only projection must not carry z in readSchema
+    val uOnly = df.select("u").limit(5)
+    val uPlan = uOnly.queryExecution.executedPlan.toString
+    assert(!uPlan.contains("z#"), s"z not pruned from the scan:\n$uPlan")
+    assert(uOnly.collect().length == 5)
+  }
 }
