@@ -179,6 +179,34 @@ object RelationalQueries7 {
         .limit(10)
     },
 
+    // ---- DSv2 population source, oracle-checked end-to-end: read the
+    //      custom TableProvider (spark.read.format) and roll up the
+    //      generated stream; DuckDB replays the identical RNG over
+    //      generate_series. Proves the V2 reader, its partition
+    //      planning, and the JVM RNG twin all agree with the SQL
+    //      stream — not just with each other. ----
+    sqlChecked("s14_dsv2_source",
+      s"""WITH g AS (SELECT i AS id,
+         |    ${graft.core.Rng.uniformSql("i", 9L)} AS u,
+         |    SQRT(-2 * LN(${graft.core.Rng.uniformSql("i", 9L)}))
+         |      * COS(2 * PI() * ${graft.core.Rng.uniformSql("i", 1000012L)})
+         |      AS z
+         |  FROM generate_series(1, 50000) t(i))
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(MIN(id) AS BIGINT) AS min_id, CAST(MAX(id) AS BIGINT) AS max_id,
+         |  ROUND(AVG(u), 8) AS mean_u, ROUND(AVG(z), 6) AS mean_z,
+         |  ROUND(var_samp(z), 5) AS var_z
+         |FROM g""".stripMargin) { (s, _) =>
+      s.read.format("graft.sources.PopulationSource")
+        .option("n", 50000).option("partitions", 8).option("seed", 9)
+        .load()
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"),
+          round(avg(col("u")), 8).as("mean_u"),
+          round(avg(col("z")), 6).as("mean_z"),
+          round(var_samp(col("z")), 5).as("var_z"))
+    },
+
     // ---- BPE merge-pair statistics: the core byte-pair-encoding
     //      training step — count adjacent character pairs across the
     //      corpus, weighted by word frequency. The corpus collapses to
