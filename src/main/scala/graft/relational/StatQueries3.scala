@@ -489,6 +489,31 @@ object StatQueries3 {
           round(col("tot"), 4).as("total"),
           round(col("k") * col("s2"), 2).as("var_tot"),
           round(sqrt(col("k") * col("s2")), 4).as("se"))
+    },
+
+    // ---- M45: partial-pooling shrinkage of small-area means — the
+    //      empirical-Bayes composite μ̂_i = (n_i·ȳ_i + λ·ȳ) / (n_i + λ)
+    //      with fixed prior strength λ: sparse areas pull toward the
+    //      grand mean, populous areas keep their own. One grouped
+    //      aggregate + a broadcast grand mean. ----
+    sqlChecked("m45_shrinkage",
+      """WITH g AS (SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    AVG(c_acctbal) AS ybar FROM customer GROUP BY c_nationkey),
+        |gl AS (SELECT SUM(n * ybar) / SUM(n) AS ygl FROM g)
+        |SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+        |  ROUND(ybar, 6) AS raw_mean,
+        |  ROUND((n * ybar + 50.0 * ygl) / (n + 50.0), 6) AS shrunk_mean
+        |FROM g CROSS JOIN gl ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      val g = t(s, d, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          avg(col("c_acctbal")).as("ybar"))
+      val gl = g.agg((sum(col("n") * col("ybar")) / sum(col("n"))).as("ygl"))
+      g.crossJoin(broadcast(gl))
+        .select(col("c_nationkey"), col("n").cast("long").as("n"),
+          round(col("ybar"), 6).as("raw_mean"),
+          round((col("n") * col("ybar") + lit(50.0) * col("ygl")) /
+            (col("n") + lit(50.0)), 6).as("shrunk_mean"))
+        .orderBy(col("c_nationkey"))
     }
   )
 }
