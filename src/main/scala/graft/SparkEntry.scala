@@ -22,6 +22,7 @@ object SparkEntry {
       graft.relational.StatQueries.all ++
       graft.relational.StatQueries2.all ++
       graft.relational.StatQueries3.all ++
+      graft.relational.StatQueries4.all ++
       graft.relational.LlmQueries.all ++
       graft.relational.LlmQueries2.all ++
       graft.relational.LlmQueries3.all ++

@@ -1,0 +1,257 @@
+package graft.relational
+
+import graft.core.{Rng, Tables, Windows}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fourth statistical batch — the replication-variance completion of the
+  * survey toolbox (jk_fun.R gives the reference's jackknife; these are
+  * the other two standard machines a calibration shop runs, plus the
+  * Woodruff quantile CI that Taylor linearization cannot reach):
+  *
+  *   - m46_woodruff — design-weighted median with a Woodruff CI
+  *     (invert the CI of the estimated CDF at the median);
+  *   - m47_rao_wu   — Rao–Wu–Yue rescaling bootstrap for a stratified
+  *     design (m_h = n_h − 1 draws with replacement, rescaled weights);
+  *   - m48_brr_fay  — balanced repeated replication with Fay's ρ = 0.5
+  *     on a 2-PSU-per-stratum design, Sylvester–Hadamard balance.
+  *
+  * Cross-engine discipline: every inner sum is integer-valued (cents,
+  * integer weights, integer draw counts), so partial-aggregate order
+  * never perturbs a bit; only the tiny per-replicate finishing ratios
+  * (≤ strata terms) and the R-row variance ride in doubles, rounded in
+  * both engines.
+  */
+object StatQueries4 {
+  import QueryDef._
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- M46: Woodruff confidence interval for the design-weighted
+    //      median of customer balance. Taylor deviates (M13) cover
+    //      smooth statistics; the median needs Woodruff's inversion:
+    //      SE of the estimated CDF at the median, then read the x-axis
+    //      back at levels p ± z·SE(p). The CDF table is one distinct-
+    //      value hash agg + the two-phase grouped scan (no single-task
+    //      global window); all cumulative weights are BIGINT so both
+    //      engines compare identical integers, and the two CI level
+    //      comparisons are identical doubles computed from identical
+    //      integers. ----
+    sqlChecked("m46_woodruff",
+      """WITH c AS (SELECT c_acctbal AS x,
+        |    CAST(1 + c_custkey % 3 AS BIGINT) AS w FROM customer),
+        |d AS (SELECT x, CAST(SUM(w) AS BIGINT) AS wv FROM c GROUP BY x),
+        |s AS (SELECT x, CAST(SUM(wv) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cw FROM d),
+        |tt AS (SELECT CAST(SUM(wv) AS BIGINT) AS b FROM d),
+        |m AS (SELECT MIN(CASE WHEN cw * 2 >= b THEN x END) AS med,
+        |    MIN(CASE WHEN cw * 2 >= b THEN cw END) AS a, MAX(b) AS b
+        |  FROM s, tt),
+        |v AS (SELECT MAX(m.med) AS med, MAX(m.a) AS a, MAX(m.b) AS b,
+        |    SUM(w * w * (CASE WHEN c.x <= m.med THEN m.b ELSE 0 END - m.a)
+        |              * (CASE WHEN c.x <= m.med THEN m.b ELSE 0 END - m.a))
+        |      AS vnum
+        |  FROM c, m),
+        |se AS (SELECT med, CAST(a AS DOUBLE) / b AS p,
+        |    SQRT(CAST(vnum AS DOUBLE)) / (CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+        |      AS se_p, b FROM v)
+        |SELECT ROUND(med, 2) AS median, ROUND(se_p, 8) AS se_p,
+        |  (SELECT MIN(CASE WHEN CAST(cw AS DOUBLE) >=
+        |      (se.p - 1.959964 * se.se_p) * se.b THEN x END)
+        |    FROM s, se) AS ci_lo,
+        |  (SELECT MIN(CASE WHEN CAST(cw AS DOUBLE) >=
+        |      (se.p + 1.959964 * se.se_p) * se.b THEN x END)
+        |    FROM s, se) AS ci_hi
+        |FROM se""".stripMargin) { (s, d) =>
+      val c = t(s, d, "customer").select(col("c_acctbal").as("x"),
+        (lit(1L) + col("c_custkey") % 3).cast("long").as("w"))
+      val byX = c.groupBy(col("x")).agg(sum(col("w")).as("wv"))
+      // two-phase scan: the distinct-value table is data-sized (near-
+      // unique balances), so no global single-task window
+      val cum = Windows.groupedScan(byX, Seq(lit(1)), Seq(col("x")),
+          Seq(col("wv") -> "cw"), sizeHint = Windows.SizeHint.Large)
+        .withColumn("cw", col("cw").cast("long"))
+        .select(col("x"), col("cw")).persist()
+      val tot = cum.agg(max(col("cw")).as("b"))
+      val med = cum.crossJoin(broadcast(tot)).agg(
+        min(when(col("cw") * 2 >= col("b"), col("x"))).as("med"),
+        min(when(col("cw") * 2 >= col("b"), col("cw"))).as("a"),
+        max(col("b")).as("b"))
+      // vnum = Σ w²(I·b − a)² exactly in BIGINT (I the ≤-median
+      // indicator); SE(p̂) = √vnum / b²  — one scan over the raw rows
+      val dev = when(col("x") <= col("med"), col("b")).otherwise(lit(0L)) -
+        col("a")
+      val v = c.crossJoin(broadcast(med)).agg(
+        max(col("med")).as("med"), max(col("a")).as("a"),
+        max(col("b")).as("b"),
+        sum(col("w") * col("w") * dev * dev).as("vnum"))
+      val se = v.select(col("med"),
+        (col("a").cast("double") / col("b")).as("p"),
+        (sqrt(col("vnum").cast("double")) /
+          (col("b").cast("double") * col("b").cast("double"))).as("se_p"),
+        col("b"))
+      val lo = (col("p") - lit(1.959964) * col("se_p")) * col("b")
+      val hi = (col("p") + lit(1.959964) * col("se_p")) * col("b")
+      cum.crossJoin(broadcast(se)).agg(
+        round(max(col("med")), 2).as("median"),
+        round(max(col("se_p")), 8).as("se_p"),
+        min(when(col("cw").cast("double") >= lo, col("x"))).as("ci_lo"),
+        min(when(col("cw").cast("double") >= hi, col("x"))).as("ci_hi"))
+    },
+
+    // ---- M47: Rao–Wu–Yue rescaling bootstrap, stratified by market
+    //      segment. Per stratum h draw m_h = n_h − 1 units WITH
+    //      replacement (index = ⌊u·n_h⌋ on the cross-engine RNG keyed
+    //      by (stratum, replicate, draw)); rescaled weight
+    //      w*_i = w_i · n_h/(n_h−1) · s_i with s_i the selection count
+    //      — the m_h = n_h−1 choice makes the rescaling factor exact.
+    //      Draw volume is R·n total (linear, shuffle = one equi-join of
+    //      draws onto the ranked frame); per-(replicate, stratum) sums
+    //      are exact BIGINTs (cents × integer weights × counts), only
+    //      the ≤5-term finishing ratio is floating. ----
+    sqlChecked("m47_rao_wu", {
+      val R = 16
+      val key = "((sid * 131 + r) * 1048576 + j)"
+      val uSql = Rng.uniformSql(key, 4242L)
+      s"""WITH segs AS (SELECT c_mktsegment AS seg,
+         |    ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS sid,
+         |    COUNT(*) AS nh
+         |  FROM customer GROUP BY c_mktsegment),
+         |u AS (SELECT c_mktsegment AS seg, c_custkey,
+         |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS yq,
+         |    CAST(1 + c_custkey % 3 AS BIGINT) AS w,
+         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+         |      ORDER BY c_custkey) AS rk
+         |  FROM customer),
+         |dj AS (SELECT seg, sid, nh, r.r,
+         |    unnest(range(1, CAST(nh AS BIGINT))) AS j
+         |  FROM segs CROSS JOIN (SELECT CAST(range AS BIGINT) + 1 AS r
+         |    FROM range($R)) r),
+         |draws AS (SELECT seg, nh, r, j,
+         |    1 + CAST(FLOOR($uSql * nh) AS BIGINT) AS rk FROM dj),
+         |sel AS (SELECT d.r, d.seg, d.nh, u.yq, u.w,
+         |    COUNT(*) AS s_i
+         |  FROM draws d JOIN u ON u.seg = d.seg AND u.rk = d.rk
+         |  GROUP BY d.r, d.seg, d.nh, u.c_custkey, u.yq, u.w),
+         |hsum AS (SELECT r, seg, MAX(nh) AS nh,
+         |    CAST(SUM(w * s_i * yq) AS BIGINT) AS a,
+         |    CAST(SUM(w * s_i) AS BIGINT) AS b
+         |  FROM sel GROUP BY r, seg),
+         |est AS (SELECT r,
+         |    SUM(CAST(nh AS DOUBLE) / (nh - 1) * a) /
+         |    SUM(CAST(nh AS DOUBLE) / (nh - 1) * b) / 100.0 AS est
+         |  FROM hsum GROUP BY r),
+         |full_t AS (SELECT CAST(SUM(w * yq) AS BIGINT) AS a,
+         |    CAST(SUM(w) AS BIGINT) AS b FROM u),
+         |th AS (SELECT CAST(a AS DOUBLE) / b / 100.0 AS theta FROM full_t)
+         |SELECT ROUND(MAX(th.theta), 6) AS theta_hat,
+         |  ROUND(SQRT(SUM((est.est - th.theta) * (est.est - th.theta))
+         |    / $R), 6) AS se_boot,
+         |  CAST($R AS BIGINT) AS r_reps
+         |FROM est, th""".stripMargin
+    }) { (s, d) =>
+      val R = 16
+      val cust = t(s, d, "customer")
+      val u0 = cust.select(col("c_mktsegment").as("seg"), col("c_custkey"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("yq"),
+        (lit(1L) + col("c_custkey") % 3).cast("long").as("w"))
+      // per-stratum sizes + a dense stratum id (5 segments — the dim
+      // table is tiny and broadcast everywhere it is used)
+      val segs = u0.groupBy(col("seg")).agg(count(lit(1)).as("nh"))
+        .withColumn("sid", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("seg"))))
+      // in-stratum rank: two-phase grouped scan (cumulative count), no
+      // single-task per-stratum window at scale
+      val ranked = Windows.groupedScan(u0, Seq(col("seg")),
+          Seq(col("c_custkey")), Seq(lit(1L) -> "rk"),
+          sizeHint = Windows.SizeHint.Large)
+        .withColumn("rk", col("rk").cast("long"))
+      // the draw frame: (stratum × replicate × draw j ≤ n_h−1); RNG key
+      // mixes all three so streams never collide
+      val draws = broadcast(segs)
+        .withColumn("r", explode(sequence(lit(1L), lit(R.toLong))))
+        .withColumn("j", explode(sequence(lit(1L), col("nh") - 1)))
+        .withColumn("rk", lit(1L) + floor(Rng.uniform(
+          (col("sid") * 131 + col("r")) * 1048576L + col("j"),
+          4242L) * col("nh")).cast("long"))
+      val sel = draws.join(ranked, Seq("seg", "rk"))
+        .groupBy(col("r"), col("seg"), col("c_custkey"))
+        .agg(max(col("nh")).as("nh"), max(col("yq")).as("yq"),
+          max(col("w")).as("w"), count(lit(1)).as("s_i"))
+      val hsum = sel.groupBy(col("r"), col("seg")).agg(
+        max(col("nh")).as("nh"),
+        sum(col("w") * col("s_i") * col("yq")).as("a"),
+        sum(col("w") * col("s_i")).as("b"))
+      val f = col("nh").cast("double") / (col("nh") - 1)
+      val est = hsum.groupBy(col("r"))
+        .agg((sum(f * col("a")) / sum(f * col("b")) / 100.0).as("est"))
+      val th = u0.agg((sum(col("w") * col("yq")).cast("double") /
+        sum(col("w")) / 100.0).as("theta"))
+      est.crossJoin(broadcast(th)).agg(
+        round(max(col("theta")), 6).as("theta_hat"),
+        round(sqrt(sum(pow(col("est") - col("theta"), 2)) / R), 6)
+          .as("se_boot"),
+        lit(R.toLong).as("r_reps"))
+    },
+
+    // ---- M48: balanced repeated replication with Fay's ρ = 0.5 over
+    //      a 2-PSU-per-stratum design (8 strata by nation, halves by
+    //      key parity). Replicate factors come from the Sylvester–
+    //      Hadamard matrix computed ARITHMETICALLY — sign(r,h) =
+    //      1 − 2·(popcount(r AND h) mod 2) — so neither engine carries
+    //      a literal table; factors {0.5, 1.5} are doubled to integers
+    //      inside the sums (2f·w·yq is BIGINT-exact), and
+    //      V = Σ_r (θ̂_r − θ̂)² / (R·(1−ρ)²). One scan computes all
+    //      8 replicates via the replicate-explode (8× row fanout of a
+    //      3-column projection, then one hash agg — no per-replicate
+    //      rescans). ----
+    sqlChecked("m48_brr_fay", {
+      val R = 8
+      s"""WITH u AS (SELECT CAST(c_nationkey % 8 AS BIGINT) AS h,
+         |    CAST(c_custkey % 2 AS BIGINT) AS half,
+         |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS yq,
+         |    CAST(1 + c_custkey % 3 AS BIGINT) AS w
+         |  FROM customer),
+         |reps AS (SELECT CAST(range AS BIGINT) AS r FROM range($R)),
+         |x AS (SELECT r, h, half, yq, w,
+         |    CAST(2 + (1 - 2 * (bit_count(r & h) % 2))
+         |        * (2 * half - 1) AS BIGINT) AS f2
+         |  FROM u CROSS JOIN reps),
+         |est AS (SELECT r,
+         |    CAST(SUM(f2 * w * yq) AS DOUBLE)
+         |      / CAST(SUM(f2 * w) AS DOUBLE) / 100.0 AS est
+         |  FROM x GROUP BY r),
+         |full_t AS (SELECT CAST(SUM(w * yq) AS BIGINT) AS a,
+         |    CAST(SUM(w) AS BIGINT) AS b FROM u),
+         |th AS (SELECT CAST(a AS DOUBLE) / b / 100.0 AS theta FROM full_t)
+         |SELECT ROUND(MAX(th.theta), 6) AS theta_hat,
+         |  ROUND(SQRT(SUM((est.est - th.theta) * (est.est - th.theta))
+         |    / ($R * 0.25)), 6) AS se_brr,
+         |  CAST($R AS BIGINT) AS r_reps
+         |FROM est, th""".stripMargin
+    }) { (s, d) =>
+      val R = 8
+      val u = t(s, d, "customer").select(
+        (col("c_nationkey") % 8).cast("long").as("h"),
+        (col("c_custkey") % 2).cast("long").as("half"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("long").as("yq"),
+        (lit(1L) + col("c_custkey") % 3).cast("long").as("w"))
+      val x = u.withColumn("r", explode(sequence(lit(0L), lit(R - 1L))))
+        .withColumn("f2", (lit(2L) +
+          (lit(1L) - lit(2L) * (expr("bit_count(r & h)") % 2)) *
+            (lit(2L) * col("half") - 1)).cast("long"))
+      val est = x.groupBy(col("r")).agg(
+        (sum(col("f2") * col("w") * col("yq")).cast("double") /
+          sum(col("f2") * col("w")).cast("double") / 100.0).as("est"))
+      val th = u.agg((sum(col("w") * col("yq")).cast("double") /
+        sum(col("w")).cast("double") / 100.0).as("theta"))
+      est.crossJoin(broadcast(th)).agg(
+        round(max(col("theta")), 6).as("theta_hat"),
+        round(sqrt(sum(pow(col("est") - col("theta"), 2)) / (R * 0.25)), 6)
+          .as("se_brr"),
+        lit(R.toLong).as("r_reps"))
+    })
+}
