@@ -65,4 +65,40 @@ object TextAnalysis {
     * SQL engine. */
   def fingerprint(text: Column, hexLen: Int = 16): Column =
     substring(md5(Dedup.normalize(text)), 1, hexLen)
+
+  /** DSIR-style data-selection importance scores (Xie et al. 2023):
+    * per-document mean log-likelihood ratio between a target slice of
+    * the corpus and the raw corpus, over hashed unigram features.
+    * Add-one smoothing on both sides; `buckets` hashed feature cells.
+    *
+    * Scale shape: tokens are exploded TWICE (once for the bucket
+    * census, once for scoring) rather than persisted — at 100 TB two
+    * streaming passes beat materializing a tokens-sized shuffle. The
+    * per-bucket log-ratio table is `buckets` rows, quantized to
+    * BIGINT at 1e-7 so per-document sums are exact integers in any
+    * aggregation order, then broadcast back onto the token stream.
+    *
+    * Returns (doc_id, n_tokens, dsir_score, keep). */
+  def dsirScores(docs: DataFrame, id: Column, text: Column,
+      targetFlag: Column, buckets: Int = 128): DataFrame = {
+    val toks = docs.select(id.as("doc_id"), targetFlag.as("tgt"),
+        explode(split(Dedup.normalize(text), " ")).as("term"))
+      .withColumn("b", pmod(Dedup.md5Hash60(col("term")), lit(buckets.toLong)))
+    val cb = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("n_all"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("n_t"))
+    val tot = cb.agg(sum(col("n_all")).as("na"), sum(col("n_t")).as("nt"))
+    // quantized log-ratio per bucket; term order in the 4-log sum is
+    // pinned (a − b − c + d) so both engines round identical doubles
+    val q = floor((log(col("n_t") + 1) - log(col("nt") + buckets) -
+      log(col("n_all") + 1) + log(col("na") + buckets)) * 1e7 + 0.5)
+      .cast("long").as("q")
+    val lr = cb.crossJoin(broadcast(tot)).select(col("b"), q)
+    toks.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("q")).cast("double") / count(lit(1)) / 1e7)
+          .as("dsir_score"))
+      .withColumn("keep", col("dsir_score") > 0)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal}
+import graft.llm.{Dedup, Multimodal, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
@@ -211,5 +211,40 @@ object LlmQueries4 {
         col("doc_id"), col("text"), col("source"))
       Multimodal.perceptualDupPairs(Multimodal.aHashes(media), maxHamming = 2)
         .orderBy(col("ida"), col("idb"))
+    },
+
+    // ---- DSIR-style importance scoring (Xie et al. 2023, "Data
+    //      Selection for Language Models via Importance Resampling"):
+    //      score every document by the mean log-likelihood ratio of a
+    //      TARGET distribution (here the English slice) vs the raw
+    //      corpus over hashed unigram features. Two streaming passes
+    //      over the token explode (census, then score); the 128-row
+    //      quantized log-ratio table broadcasts back, so per-doc sums
+    //      are exact BIGINTs and no token-sized state is persisted. ----
+    sqlChecked("t_dsir",
+      s"""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+         |    unnest(string_split($normSql, ' ')) AS term FROM documents),
+         |tb AS (SELECT doc_id, tgt,
+         |    ('0x' || substr(md5(term), 1, 15))::BIGINT % 128 AS b
+         |  FROM toks),
+         |cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_all,
+         |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+         |  FROM tb GROUP BY b),
+         |tot AS (SELECT CAST(SUM(n_all) AS BIGINT) AS na,
+         |    CAST(SUM(n_t) AS BIGINT) AS nt FROM cb),
+         |lr AS (SELECT b, CAST(FLOOR((LN(CAST(n_t + 1 AS DOUBLE))
+         |      - LN(CAST(nt + 128 AS DOUBLE))
+         |      - LN(CAST(n_all + 1 AS DOUBLE))
+         |      + LN(CAST(na + 128 AS DOUBLE))) * 10000000.0 + 0.5)
+         |    AS BIGINT) AS q
+         |  FROM cb CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 10000000.0 AS dsir_score,
+         |  CAST(SUM(q) AS DOUBLE) / COUNT(*) / 10000000.0 > 0 AS keep
+         |FROM tb JOIN lr USING (b)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextAnalysis.dsirScores(t(s, d, "documents"), col("doc_id"),
+          col("text"), col("lang") === "en", buckets = 128)
+        .orderBy(col("doc_id"))
     })
 }

@@ -384,6 +384,62 @@ object RelationalQueries7 {
         .agg((sum(col("wt") * col("b.v")) / sum(col("wt"))).as("ewma"))
         .select(col("hre"), round(col("ewma"), 6).as("ewma"))
         .orderBy(col("hre"))
+    },
+
+    // ---- Z-order (Morton-curve) clustering for two-dimensional data
+    //      skipping: interleave 10 bits each of part and supplier key,
+    //      bucket the curve into 256 runs (the write-time file split),
+    //      and measure every bucket's bounding box in BOTH dims against
+    //      the same table bucketed in natural (order-key) layout. The
+    //      z-layout's total bbox area is orders of magnitude smaller —
+    //      exactly the min/max-stats pruning a 100 TB scan gets when
+    //      the sort key is the z-value instead of one column. All
+    //      outputs are exact BIGINTs (no float drift); the curve is a
+    //      codegen'd shift/mask expression (core/ZOrder). ----
+    sqlChecked("s15_zorder", {
+      val zSql = graft.core.ZOrder.zValueSql(Seq("px", "sx"), 10)
+      s"""WITH b AS (SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sx,
+         |    l_orderkey AS ok FROM lineitem),
+         |mx AS (SELECT MAX(ok) AS mok FROM b),
+         |z AS (SELECT px, sx, $zSql // 4096 AS bucket FROM b),
+         |n AS (SELECT px, sx,
+         |    CAST(FLOOR(ok * 256.0 / (mok + 1)) AS BIGINT) AS bucket
+         |  FROM b, mx),
+         |za AS (SELECT bucket,
+         |    (MAX(px) - MIN(px) + 1) * (MAX(sx) - MIN(sx) + 1) AS area
+         |  FROM z GROUP BY bucket),
+         |na AS (SELECT bucket,
+         |    (MAX(px) - MIN(px) + 1) * (MAX(sx) - MIN(sx) + 1) AS area
+         |  FROM n GROUP BY bucket)
+         |SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(area) AS BIGINT) AS total_bbox_area,
+         |  CAST(MAX(area) AS BIGINT) AS max_bbox_area FROM na
+         |UNION ALL
+         |SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+         |  CAST(SUM(area) AS BIGINT), CAST(MAX(area) AS BIGINT) FROM za
+         |ORDER BY layout""".stripMargin
+    }) { (s, d) =>
+      val b = t(s, d, "lineitem").select(
+        (col("l_partkey") % 1024).cast("long").as("px"),
+        (col("l_suppkey") % 1024).cast("long").as("sx"),
+        col("l_orderkey").cast("long").as("ok"))
+      val mx = b.agg(max(col("ok")).as("mok"))
+      val z = b.withColumn("bucket",
+        (graft.core.ZOrder.zValue(Seq(col("px"), col("sx")), 10) /
+          lit(4096L)).cast("long"))
+      val n = b.crossJoin(broadcast(mx)).withColumn("bucket",
+        floor(col("ok") * 256.0 / (col("mok") + 1)).cast("long"))
+      def areas(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy(col("bucket"))
+          .agg(((max(col("px")) - min(col("px")) + 1) *
+            (max(col("sx")) - min(col("sx")) + 1)).as("area"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(col("area")).as("total_bbox_area"),
+            max(col("area")).as("max_bbox_area"))
+          .select(lit(name).as("layout"), col("n_buckets"),
+            col("total_bbox_area"), col("max_bbox_area"))
+      areas(n, "natural").unionAll(areas(z, "zorder"))
+        .orderBy(col("layout"))
     }
   )
 }

@@ -288,4 +288,22 @@ class PlanSpec extends SparkSpec {
         s"$q: no partial aggregation in the collapse pass:\n$p")
     }
   }
+
+  test("t_dsir: the log-ratio table broadcasts back onto the token stream") {
+    val p = plan("t_dsir")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-bucket log-ratio table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the 128-row join:\n$p")
+  }
+
+  test("s15_zorder / m48_brr_fay: exact-integer passes stay in hash aggregates") {
+    for (q <- Seq("s15_zorder", "m48_brr_fay")) {
+      val p = plan(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: no partial aggregation:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: unexpected cartesian product:\n$p")
+    }
+  }
 }
