@@ -26,7 +26,8 @@ object SparkEntry {
       graft.relational.LlmQueries.all ++
       graft.relational.LlmQueries2.all ++
       graft.relational.LlmQueries3.all ++
-      graft.relational.LlmQueries4.all
+      graft.relational.LlmQueries4.all ++
+      graft.relational.LlmQueries5.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

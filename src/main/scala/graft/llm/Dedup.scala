@@ -66,17 +66,16 @@ object Dedup {
     * measured 30× slower. Explode + partial-aggregate is also the
     * 100-TB shape: map-side combine collapses each partition to one row
     * per doc before the shuffle. Returns (id, sig ArrayType(Long)). */
-  def minhashSignatures(df: DataFrame, id: Column, text: Column,
-      shingleK: Int, numHashes: Int,
-      hasher: Column => Column = xxHash): DataFrame = {
-    // One string hash per shingle, then numHashes cheap integer
-    // permutations h_i = (a_i·h + b_i) mod p — the standard MinHash
-    // construction; avoids numHashes string hashes per shingle.
+  /** The (id, h) shingle-hash stream shared by signature building and
+    * exact set verification: k-gram shingles via posexplode + lead
+    * windows (codegen'd), hashed and reduced mod the MinHash prime.
+    * NOT distinct per doc — min() downstream is idempotent; exact-set
+    * consumers dropDuplicates themselves. */
+  private[llm] def shingleHashStream(df: DataFrame, id: Column, text: Column,
+      shingleK: Int, hasher: Column => Column): DataFrame = {
     val P = 2147483647L
     // shingling + hashing is CPU-bound: spread input rows across cores
-    // first (a small-file parquet scan otherwise pins it to one task),
-    // then build k-grams with posexplode + lead windows — fully
-    // codegen'd, unlike the transform/slice higher-order formulation
+    // first (a small-file parquet scan otherwise pins it to one task)
     val spread = df.select(id.as("id"), text.as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val words = spread.select(col("id"),
@@ -91,9 +90,17 @@ object Dedup {
             lead(col("w"), shingleK - 1).over(byDoc).isNotNull.as("full"))
           .filter(col("full"))
       }
-    // no per-doc distinct needed: min() is idempotent over duplicates
-    val exploded = grams
-      .select(col("id"), pmod(hasher(col("sh")), lit(P)).as("h"))
+    grams.select(col("id"), pmod(hasher(col("sh")), lit(P)).as("h"))
+  }
+
+  def minhashSignatures(df: DataFrame, id: Column, text: Column,
+      shingleK: Int, numHashes: Int,
+      hasher: Column => Column = xxHash): DataFrame = {
+    // One string hash per shingle, then numHashes cheap integer
+    // permutations h_i = (a_i·h + b_i) mod p — the standard MinHash
+    // construction; avoids numHashes string hashes per shingle.
+    val P = 2147483647L
+    val exploded = shingleHashStream(df, id, text, shingleK, hasher)
     val mins = (0 until numHashes).map { i =>
       val a = 1103515245L * (i + 1) % P
       val b = 12345L + 7919L * i
@@ -611,6 +618,109 @@ object Dedup {
     val hot = grams.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs && col("n_docs") <= maxDocs)
     grams.join(hot, Seq("h"))
+  }
+
+  /** Maximal duplicated-span extraction (the exact-substring dedup
+    * signal of Lee et al. 2022): positions of n-grams repeated across
+    * documents, merged into maximal runs per document with the
+    * gaps-and-islands trick (pos − row_number is constant on a run).
+    * A run of m consecutive duplicated n-gram starts covers m+n−1
+    * tokens. Only full n-grams participate (docs shorter than n words
+    * emit nothing). The per-doc island window partitions on the doc
+    * id — parallel across documents at any scale; the df filter caps
+    * boilerplate grams exactly as [[repeatedPassages]].
+    *
+    * Returns (id, span_start, span_tokens) — one row per maximal
+    * duplicated span. */
+  def duplicatedSpans(df: DataFrame, id: Column, text: Column, n: Int,
+      minDocs: Int = 2, maxDocs: Int = Int.MaxValue,
+      hasher: Column => Column = xxHash): DataFrame = {
+    val spread = df.select(id.as("id"), text.as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val words = spread.select(col("id"),
+      posexplode(split(normalize(col("__text")), " ")).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = col("w") +: (1 until n).map(o => lead(col("w"), o).over(byDoc))
+    val grams = words
+      .select(col("id"), col("pos"), concat_ws(" ", parts: _*).as("__g"),
+        lead(col("w"), n - 1).over(byDoc).isNotNull.as("__full"))
+      .filter(col("__full"))
+      .select(col("id"), col("pos"), hasher(col("__g")).as("h"))
+      .persist()
+    val hot = grams.select(col("id"), col("h")).dropDuplicates("id", "h")
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs && col("n_docs") <= maxDocs)
+      .select(col("h"))
+    val dup = grams.join(hot, Seq("h"))
+      .select(col("id"), col("pos")).dropDuplicates("id", "pos")
+    val isl = dup.withColumn("__grp",
+      col("pos") - row_number().over(byDoc))
+    isl.groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (count(lit(1)) + (n - 1)).as("span_tokens"))
+      .select(col("id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** LSH quality evaluation: how good are [[minhashPairs]] candidates
+    * against EXACT shingle-set Jaccard? Precision is exact-verified on
+    * every candidate pair; recall is estimated on a fixed-size
+    * deterministic document sample (top-`sampleSize` by the keyed RNG),
+    * keeping the ground-truth pair set bounded (sampleSize² pairs) at
+    * any corpus size. Exact intersections run as equi-joins on the
+    * hashed shingle stream — no per-pair array materialization.
+    *
+    * Returns one row: (n_cand, n_tp, precision, n_truth, n_hit,
+    * recall). */
+  def lshEvaluation(df: DataFrame, id: Column, text: Column,
+      shingleK: Int, numHashes: Int, bands: Int, threshold: Double,
+      hasher: Column => Column = xxHash,
+      sampleSize: Int = 64, sampleSalt: Long = 99L): DataFrame = {
+    val hh = shingleHashStream(df, id, text, shingleK, hasher)
+      .dropDuplicates("id", "h").persist()
+    val sz = hh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    def trueJaccard(pairs: DataFrame): DataFrame = {
+      val inter = pairs
+        .join(hh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
+        .join(hh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      pairs
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .join(sz.select(col("id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
+        .join(sz.select(col("id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
+        .withColumn("j_true",
+          coalesce(col("inter"), lit(0L)).cast("double") /
+            (col("sza") + col("szb") - coalesce(col("inter"), lit(0L))))
+    }
+    val cands = minhashPairs(df, id, text, shingleK, numHashes, bands,
+        threshold, hasher)
+      .select(col("id_a"), col("id_b")).persist()
+    val prec = trueJaccard(cands).agg(
+      count(lit(1)).as("n_cand"),
+      coalesce(sum(when(col("j_true") >= threshold, 1L).otherwise(0L)),
+        lit(0L)).as("n_tp"))
+    val sampled = hh.select(col("id")).distinct()
+      .withColumn("__u", graft.core.Rng.uniform(col("id"), sampleSalt))
+      .orderBy(col("__u"), col("id")).limit(sampleSize)
+      .select(col("id"))
+    val sp = sampled.select(col("id").as("id_a"))
+      .crossJoin(broadcast(sampled.select(col("id").as("id_b"))))
+      .filter(col("id_a") < col("id_b"))
+    val struth = trueJaccard(sp).filter(col("j_true") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val rec = struth.join(cands.withColumn("__hit", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(coalesce(col("__hit"), lit(0))).cast("long"), lit(0L))
+          .as("n_hit"))
+    prec.crossJoin(rec).select(
+      col("n_cand"), col("n_tp"),
+      round(when(col("n_cand") > 0,
+        col("n_tp").cast("double") / col("n_cand")).otherwise(0.0), 6)
+        .as("precision"),
+      col("n_truth"), col("n_hit"),
+      round(when(col("n_truth") > 0,
+        col("n_hit").cast("double") / col("n_truth")).otherwise(0.0), 6)
+        .as("recall"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key. */

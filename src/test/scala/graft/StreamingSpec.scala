@@ -270,4 +270,39 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((w10, "view", 1L)) && rows.contains((w12, "view", 1L)),
       s"expected closed windows missing: $rows")
   }
+
+  test("dropDuplicatesWithinWatermark dedups retries, re-admits after expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+    // at-least-once ingestion: the same event id may be retried within
+    // the delivery window; dedup state must also EXPIRE so unbounded
+    // id cardinality cannot pin unbounded state — exactly what
+    // dropDuplicatesWithinWatermark gives over plain dropDuplicates
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = ms.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_ddww_out")
+      .start()
+
+    ms.addData((ts("10:00"), 1L), (ts("10:05"), 1L), (ts("10:02"), 2L))
+    q.processAllAvailable()
+    // advance the watermark far past 10:05 + 30m, expiring id 1's state
+    ms.addData((ts("12:00"), 3L))
+    q.processAllAvailable()
+    // the same business id arrives again AFTER expiry → re-admitted
+    ms.addData((ts("12:10"), 1L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("graft_ddww_out")
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == Seq(1L, 1L, 2L, 3L),
+      s"expected in-window retry deduped and post-expiry re-admission, got $got")
+  }
 }
