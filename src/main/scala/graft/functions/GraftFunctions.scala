@@ -22,13 +22,25 @@ object GraftFunctions {
     all.foreach { case (name, builder) =>
       GraftSqlBridge.registerFunction(spark, name, builder)
     }
+
+  /** Full live-session install: SQL functions + the engine's optimizer
+    * rules (range-join bucketing). Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    register(spark)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RangeJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+  }
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VectorExpressions", name),
         builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

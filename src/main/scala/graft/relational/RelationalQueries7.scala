@@ -440,6 +440,37 @@ object RelationalQueries7 {
             col("total_bbox_area"), col("max_bbox_area"))
       areas(n, "natural").unionAll(areas(z, "zorder"))
         .orderBy(col("layout"))
+    },
+
+    // ---- j11: the RANGE-JOIN OPTIMIZER RULE end-to-end — the same
+    //      point-in-interval semantics as j9, but written as the naive
+    //      `p BETWEEN lo AND hi` join a user would type; the injected
+    //      Catalyst rule (plans/RangeJoinRewrite, installed via
+    //      GraftFunctions.install / GraftExtensions) rewrites it into
+    //      the bucketed equi-join automatically. Same oracle as a
+    //      plain SQL BETWEEN join — the rewrite must be invisible. ----
+    sqlChecked("j11_range_auto",
+      """WITH promo AS (SELECT i AS promo_id,
+        |    9131 + i * 180 AS lo, 9131 + i * 180 + 250 AS hi
+        |  FROM generate_series(0, 11) t(i)),
+        |pts AS (SELECT o_orderkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d
+        |  FROM orders)
+        |SELECT p.o_orderkey, CAST(pr.promo_id AS BIGINT) AS promo_id
+        |FROM pts p JOIN promo pr ON p.d BETWEEN pr.lo AND pr.hi
+        |ORDER BY o_orderkey, promo_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.install(s)
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "256")
+      val promo = (0 to 11)
+        .map(i => (i.toLong, (9131 + i * 180).toLong, (9131 + i * 180 + 250).toLong))
+        .toDF("promo_id", "lo", "hi")
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+        .join(promo, col("d") >= col("lo") && col("d") <= col("hi"))
+        .select(col("o_orderkey"), col("promo_id"))
+        .orderBy(col("o_orderkey"), col("promo_id"))
     }
   )
 }

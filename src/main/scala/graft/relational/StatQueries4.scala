@@ -27,6 +27,31 @@ object StatQueries4 {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** Unrolled 2-parameter logistic-IRLS CTE stack (the StatQueries.irlsSql
+    * recurrence) ENDING at `it$nIter` (b0, b1) unrounded, so downstream
+    * CTEs can consume the fitted coefficients. */
+  private def irlsCtes(nIter: Int, baseSql: String): String = {
+    val sb = new StringBuilder
+    sb.append(s"base AS ($baseSql),\n")
+    sb.append("it0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1)")
+    for (k <- 1 to nIter) {
+      sb.append(",\n")
+      sb.append(
+        s"""it$k AS (
+           |  SELECT b0 + (h11*g0 - h01*g1)/(h00*h11 - h01*h01) AS b0,
+           |         b1 + (h00*g1 - h01*g0)/(h00*h11 - h01*h01) AS b1
+           |  FROM (
+           |    SELECT MAX(s.b0) AS b0, MAX(s.b1) AS b1,
+           |      SUM(w*mu*(1-mu)) AS h00, SUM(w*mu*(1-mu)*x) AS h01,
+           |      SUM(w*mu*(1-mu)*x*x) AS h11,
+           |      SUM(w*(y-mu)) AS g0, SUM(w*(y-mu)*x) AS g1
+           |    FROM (SELECT base.y, base.x, base.w, p.b0, p.b1,
+           |            1/(1+EXP(-(p.b0 + p.b1*base.x))) AS mu
+           |          FROM base, it${k - 1} p) s))""".stripMargin)
+    }
+    sb.toString
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ---- M46: Woodruff confidence interval for the design-weighted
@@ -253,5 +278,146 @@ object StatQueries4 {
         round(sqrt(sum(pow(col("est") - col("theta"), 2)) / (R * 0.25)), 6)
           .as("se_brr"),
         lit(R.toLong).as("r_reps"))
+    },
+
+    // ---- M49: caliper propensity matching (with replacement) — the
+    //      matching-based cousin of IPSW/PSAS: fit the propensity by
+    //      the pinned 6-iteration logistic IRLS, quantize scores to
+    //      integer micro-units (1e-6 — cross-engine ulp noise cannot
+    //      move a score across a caliper boundary), then match every
+    //      treated unit to its nearest control within a 0.02 caliper.
+    //      Candidates come from a ±1 bucket band join on the score
+    //      (bucket = caliper width), so pair generation is linear in
+    //      candidates, never treated×controls; the argmin is a
+    //      lexicographic struct-min (distance, then control id) — no
+    //      per-treated window over the data. ----
+    sqlChecked("m49_caliper_match", {
+      val baseSql =
+        """SELECT c_custkey AS id,
+          |  CASE WHEN c_custkey % 7 = 0 THEN 1.0 ELSE 0.0 END AS y,
+          |  c_acctbal / 10000.0 AS x, 1.0 AS w FROM customer""".stripMargin
+      s"""WITH ${irlsCtes(6, baseSql)},
+         |sc AS (SELECT id, y,
+         |    CAST(FLOOR((1/(1+EXP(-(p.b0 + p.b1*x)))) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS sq
+         |  FROM base, it6 p),
+         |tr AS (SELECT id AS t_id, sq AS t_sq FROM sc WHERE y = 1.0),
+         |ct AS (SELECT id AS c_id, sq AS c_sq, sq // 20000 AS b
+         |  FROM sc WHERE y = 0.0),
+         |tb AS (SELECT t_id, t_sq,
+         |    unnest([t_sq // 20000 - 1, t_sq // 20000, t_sq // 20000 + 1]) AS b
+         |  FROM tr),
+         |cand AS (SELECT t_id, t_sq, c_id, c_sq, ABS(t_sq - c_sq) AS dist
+         |  FROM tb JOIN ct USING (b) WHERE ABS(t_sq - c_sq) <= 20000),
+         |best AS (SELECT t_id, c_id, c_sq, dist FROM (
+         |    SELECT t_id, c_id, c_sq, dist, ROW_NUMBER() OVER (
+         |      PARTITION BY t_id ORDER BY dist, c_id) AS rn FROM cand)
+         |  WHERE rn = 1)
+         |SELECT tr.t_id, tr.t_sq, b.c_id, b.c_sq, b.dist
+         |FROM tr LEFT JOIN best b USING (t_id)
+         |ORDER BY t_id""".stripMargin
+    }) { (s, d) =>
+      val base = t(s, d, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        when(col("c_custkey") % 7 === 0, 1.0).otherwise(0.0).as("y"),
+        (col("c_acctbal") / 10000.0).as("x"))
+      val fit = graft.stats.WeightedGLM.logistic(base,
+        graft.core.FeatureArray.withIntercept(Seq(col("x"))),
+        col("y"), lit(1.0), p = 2, maxIter = 6, tol = 0.0)
+      val (b0, b1) = (fit.coefficients(0), fit.coefficients(1))
+      val C = 20000L
+      val sc = base.withColumn("sq",
+        floor((lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))))
+          * 1000000.0 + 0.5).cast("long"))
+      val tr = sc.filter(col("y") === 1.0)
+        .select(col("id").as("t_id"), col("sq").as("t_sq"))
+      val ct = sc.filter(col("y") === 0.0)
+        .select(col("id").as("c_id"), col("sq").as("c_sq"),
+          expr(s"sq div $C").as("b"))
+      val tb = tr.withColumn("b", explode(array(
+        expr(s"t_sq div $C") - 1, expr(s"t_sq div $C"),
+        expr(s"t_sq div $C") + 1)))
+      val cand = tb.join(ct, Seq("b"))
+        .withColumn("dist", abs(col("t_sq") - col("c_sq")))
+        .filter(col("dist") <= C)
+      val best = cand.groupBy(col("t_id"))
+        .agg(min(struct(col("dist"), col("c_id"), col("c_sq"))).as("m"))
+        .select(col("t_id"), col("m.c_id").as("c_id"),
+          col("m.c_sq").as("c_sq"), col("m.dist").as("dist"))
+      tr.join(best, Seq("t_id"), "left")
+        .select(col("t_id"), col("t_sq"), col("c_id"), col("c_sq"),
+          col("dist"))
+        .orderBy(col("t_id"))
+    },
+
+    // ---- M50: bounded (logit-distance) calibration — Deville–Särndal
+    //      on the reference's own turf (survey calibration): adjust the
+    //      design weights of a 2/3 subsample so its totals of (1, x)
+    //      hit the full-frame targets, with every calibration factor
+    //      CONSTRAINED to [0.5, 2]. Eight pinned Newton steps, each ONE
+    //      hash-aggregate scan (p-vector residual + p×p Jacobian to the
+    //      driver); the oracle replays the identical fixed point and
+    //      the factor-bounds check. Targets ride an exact-cents BIGINT
+    //      sum so both engines aim at the same doubles. ----
+    sqlChecked("m50_bounded_calib", {
+      val n = 8
+      val sb = new StringBuilder
+      sb.append("WITH base AS (SELECT c_acctbal / 10000.0 AS x, 1.5 AS d\n")
+      sb.append("  FROM customer WHERE c_custkey % 3 <> 0),\n")
+      sb.append("""tgt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t0,
+        |    CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 / 10000.0 AS t1 FROM customer),
+        |it0 AS (SELECT CAST(0.0 AS DOUBLE) AS l0, CAST(0.0 AS DOUBLE) AS l1)""".stripMargin)
+      for (k <- 1 to n) {
+        sb.append(",\n")
+        sb.append(
+          s"""it$k AS (
+             |  SELECT l0 + (j11*r0 - j01*r1)/(j00*j11 - j01*j01) AS l0,
+             |         l1 + (j00*r1 - j01*r0)/(j00*j11 - j01*j01) AS l1
+             |  FROM (
+             |    SELECT MAX(s.l0) AS l0, MAX(s.l1) AS l1,
+             |      MAX(s.t0) - SUM(d*f) AS r0, MAX(s.t1) - SUM(d*f*x) AS r1,
+             |      SUM(d*fp) AS j00, SUM(d*fp*x) AS j01, SUM(d*fp*x*x) AS j11
+             |    FROM (SELECT base.x, base.d, p.l0, p.l1, g.t0, g.t1,
+             |            (0.5 + 1.0*z)/(1.0 + 0.5*z) AS f,
+             |            2.25*z/((1.0 + 0.5*z)*(1.0 + 0.5*z)) AS fp
+             |          FROM (SELECT base.x, base.d, p.l0, p.l1,
+             |              EXP(3.0*(p.l0 + p.l1*base.x)) AS z
+             |            FROM base, it${k - 1} p) base, it${k - 1} p, tgt g) s))""".stripMargin)
+      }
+      sb.append(s"""
+        |, fin AS (SELECT base.x, base.d,
+        |    (0.5 + 1.0*EXP(3.0*(p.l0 + p.l1*base.x)))
+        |      / (1.0 + 0.5*EXP(3.0*(p.l0 + p.l1*base.x))) AS f,
+        |    p.l0, p.l1
+        |  FROM base, it$n p)
+        |SELECT ROUND(MAX(l0), 6) AS lambda0, ROUND(MAX(l1), 6) AS lambda1,
+        |  ROUND(SUM(d*f), 4) AS sum_w, ROUND(MAX(g.t0), 4) AS target_n,
+        |  ROUND(SUM(d*f*x), 4) AS sum_wx, ROUND(MAX(g.t1), 4) AS target_x,
+        |  ROUND(MIN(f), 6) AS f_min, ROUND(MAX(f), 6) AS f_max
+        |FROM fin, tgt g""".stripMargin)
+      sb.toString
+    }) { (s, d) =>
+      import graft.weights.BoundedCalib
+      val cust = t(s, d, "customer")
+      val base = cust.filter(col("c_custkey") % 3 =!= 0)
+        .select((col("c_acctbal") / 10000.0).as("x"), lit(1.5).as("d"))
+      val tgtRow = cust.agg(
+        count(lit(1)).cast("double").as("t0"),
+        (sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).cast("double")
+          / 100.0 / 10000.0).as("t1")).head()
+      val targets = Array(tgtRow.getDouble(0), tgtRow.getDouble(1))
+      val lambda = BoundedCalib.solve(base, Seq(lit(1.0), col("x")),
+        col("d"), targets, l = 0.5, u = 2.0, iters = 8)
+      val f = BoundedCalib.factor(Seq(lit(1.0), col("x")), lambda, 0.5, 2.0)
+      base.select(col("x"), col("d"), f.as("f"))
+        .agg(round(lit(lambda(0)), 6).as("lambda0"),
+          round(lit(lambda(1)), 6).as("lambda1"),
+          round(sum(col("d") * col("f")), 4).as("sum_w"),
+          round(lit(targets(0)), 4).as("target_n"),
+          round(sum(col("d") * col("f") * col("x")), 4).as("sum_wx"),
+          round(lit(targets(1)), 4).as("target_x"),
+          round(min(col("f")), 6).as("f_min"),
+          round(max(col("f")), 6).as("f_max"))
     })
 }

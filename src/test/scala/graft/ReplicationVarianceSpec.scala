@@ -35,6 +35,35 @@ class ReplicationVarianceSpec extends SparkSpec {
     assert(theta > 2000 && theta < 7000, s"theta implausible: $theta")
   }
 
+  test("m49_caliper_match: every match is within caliper, nearest, deterministic") {
+    val rows = SparkEntry.queries("m49_caliper_match")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val matched = rows.filter(!_.isNullAt(2))
+    assert(matched.nonEmpty, "no treated unit found a control in caliper")
+    matched.foreach { r =>
+      val (tSq, cSq, dist) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(dist == math.abs(tSq - cSq), s"dist inconsistent: $r")
+      assert(dist <= 20000L, s"match outside caliper: $r")
+    }
+    // with replacement: a control may serve several treated units, and
+    // treated ids are unique in the output
+    val tIds = rows.map(_.getLong(0))
+    assert(tIds.distinct.length == tIds.length, "duplicate treated rows")
+  }
+
+  test("m50_bounded_calib: factors bounded in [0.5, 2], totals calibrated") {
+    val r = SparkEntry.queries("m50_bounded_calib")(spark, sf).collect().head
+    val (sumW, tgtN) = (r.getDouble(2), r.getDouble(3))
+    val (sumWx, tgtX) = (r.getDouble(4), r.getDouble(5))
+    val (fMin, fMax) = (r.getDouble(6), r.getDouble(7))
+    assert(fMin >= 0.5 - 1e-9 && fMax <= 2.0 + 1e-9,
+      s"calibration factor escaped bounds: [$fMin, $fMax]")
+    assert(math.abs(sumW - tgtN) / tgtN < 1e-4,
+      s"count total not calibrated: $sumW vs $tgtN")
+    assert(math.abs(sumWx - tgtX) / math.abs(tgtX) < 1e-3,
+      s"x total not calibrated: $sumWx vs $tgtX")
+  }
+
   test("m48_brr_fay: BRR SE positive, theta matches full-sample mean") {
     val r = run("m48_brr_fay")
     val theta = r.getDouble(0)
