@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.core.{Rng, Tables}
-import graft.llm.{Dedup, Multimodal}
+import graft.llm.{Dedup, HeavyHitters, Multimodal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
@@ -141,5 +141,22 @@ object LlmQueries5 {
           col("n_samples").cast("long").as("n_samples"),
           round(col("rms"), 6).as("rms"), col("zcr").cast("long").as("zcr"))
         .orderBy(col("media_id"), col("frame"))
+    },
+
+    // ---- exact top-20 corpus tokens via the Misra–Gries mergeable
+    //      sketch + exact recount: the frequent-items primitive a
+    //      100 TB vocabulary sweep needs (bounded per-partition state,
+    //      merge-order-safe guarantee, then exact counts of the ≤
+    //      capacity candidates only). The oracle is the plain exact
+    //      top-k — the sketch must be invisible in the result. ----
+    sqlChecked("t_heavy_hitters",
+      s"""WITH toks AS (SELECT unnest(string_split($normSql, ' ')) AS term
+         |  FROM documents)
+         |SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks
+         |GROUP BY term ORDER BY cnt DESC, term LIMIT 20""".stripMargin) { (s, d) =>
+      HeavyHitters.topK(
+        t(s, d, "documents").select(explode(
+          split(Dedup.normalize(col("text")), " ")).as("term")),
+        col("term"), k = 20, capacity = 512)
     })
 }
