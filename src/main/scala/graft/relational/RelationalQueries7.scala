@@ -471,6 +471,56 @@ object RelationalQueries7 {
         .join(promo, col("d") >= col("lo") && col("d") <= col("hi"))
         .select(col("o_orderkey"), col("promo_id"))
         .orderBy(col("o_orderkey"), col("promo_id"))
+    },
+
+    // ---- o11: interval-union coverage (sweep-line as a window):
+    //      each event opens a 30–120 min activity interval; per user,
+    //      merge overlaps and report distinct active seconds + merged
+    //      session count. The sweep is the gaps-and-islands trick on a
+    //      running exclusive MAX(end) — one per-user window pass, all
+    //      integer seconds, no self-join of intervals. ----
+    sqlChecked("o11_coverage",
+      """WITH iv AS (SELECT user_id,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 + (event_id % 4) * 1800 AS e,
+        |    event_id
+        |  FROM events),
+        |sw AS (SELECT user_id, s, e,
+        |    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx,
+        |    event_id FROM iv),
+        |br AS (SELECT user_id, s, e, event_id,
+        |    CASE WHEN mx IS NULL OR s > mx THEN 1 ELSE 0 END AS brk
+        |  FROM sw),
+        |isl AS (SELECT user_id, s, e,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        |  FROM br),
+        |cov AS (SELECT user_id, g, MAX(e) - MIN(s) AS seconds
+        |  FROM isl GROUP BY user_id, g)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(seconds) AS BIGINT) AS covered_seconds
+        |FROM cov GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val iv = Tables.events(s, d).select(col("user_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) + 1800 +
+          (col("event_id") % 4) * 1800).as("e"),
+        col("event_id"))
+      val order = Seq(col("s"), col("e"), col("event_id"))
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("user_id")).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("mx", max(col("e")).over(wPrev))
+        .withColumn("brk",
+          when(col("mx").isNull || col("s") > col("mx"), 1L).otherwise(0L))
+        .withColumn("g", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("g"))
+        .agg((max(col("e")) - min(col("s"))).as("seconds"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("seconds")).as("covered_seconds"))
+        .orderBy(col("user_id"))
     }
   )
 }

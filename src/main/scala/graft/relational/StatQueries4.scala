@@ -419,5 +419,138 @@ object StatQueries4 {
           round(lit(targets(1)), 4).as("target_x"),
           round(min(col("f")), 6).as("f_min"),
           round(max(col("f")), 6).as("f_max"))
+    },
+
+    // ---- M51: two-phase sampling with the double-expansion (π*)
+    //      estimator: phase 1 an even-key half sample, phase 2 a
+    //      stratified Poisson subsample whose retention differs by
+    //      market segment (½ for AUTOMOBILE/BUILDING, ¼ elsewhere).
+    //      π*_i = π₁·π₂|₁ is exact by construction, so the estimator
+    //      and its Poisson-independence variance Σ(1−π)(y/π)² are
+    //      single hash aggregates — integer cents keep every sum
+    //      exact across engines. ----
+    sqlChecked("m51_two_phase",
+      """WITH s2 AS (SELECT
+        |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS yq,
+        |    CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        |      THEN 0.25 ELSE 0.125 END AS pi
+        |  FROM customer
+        |  WHERE c_custkey % 2 = 0 AND (
+        |    (c_mktsegment IN ('AUTOMOBILE', 'BUILDING') AND c_custkey % 4 = 0)
+        |    OR (c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING')
+        |        AND c_custkey % 8 = 0))),
+        |agg AS (SELECT
+        |    CAST(SUM(CASE WHEN pi = 0.25 THEN yq * 4 ELSE yq * 8 END)
+        |      AS BIGINT) AS tq,
+        |    CAST(SUM(CASE WHEN pi = 0.25 THEN yq * yq * 12
+        |      ELSE yq * yq * 56 END) AS BIGINT) AS vq,
+        |    CAST(COUNT(*) AS BIGINT) AS n2
+        |  FROM s2)
+        |SELECT ROUND(CAST(tq AS DOUBLE) / 100.0, 2) AS total_hat,
+        |  ROUND(SQRT(CAST(vq AS DOUBLE)) / 100.0, 4) AS se_hat, n2
+        |FROM agg""".stripMargin) { (s, d) =>
+      // the variance terms (1−π)(y/π)² stay integral in cents²:
+      // π = 1/4 → (3/4)·16 = 12;  π = 1/8 → (7/8)·64 = 56
+      val seg2 = col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+      val s2 = t(s, d, "customer")
+        .filter(col("c_custkey") % 2 === 0 &&
+          ((seg2 && col("c_custkey") % 4 === 0) ||
+            (!seg2 && col("c_custkey") % 8 === 0)))
+        .select(floor(col("c_acctbal") * 100 + 0.5).cast("long").as("yq"),
+          when(seg2, 0.25).otherwise(0.125).as("pi"))
+      s2.agg(
+        sum(when(col("pi") === 0.25, col("yq") * 4)
+          .otherwise(col("yq") * 8)).as("tq"),
+        sum(when(col("pi") === 0.25, col("yq") * col("yq") * 12)
+          .otherwise(col("yq") * col("yq") * 56)).as("vq"),
+        count(lit(1)).as("n2"))
+        .select(round(col("tq").cast("double") / 100.0, 2).as("total_hat"),
+          round(sqrt(col("vq").cast("double")) / 100.0, 4).as("se_hat"),
+          col("n2"))
+    },
+
+    // ---- M52: Fay–Herriot small-area EBLUP — the regression-assisted
+    //      upgrade of M45's shrinkage: per-nation direct means from a
+    //      1/3 subsample, a census covariate (full-frame area mean),
+    //      Prasad–Rao moment estimate of the model variance, and the
+    //      EBLUP blend γ·direct + (1−γ)·synthetic. Area moments ride
+    //      exact integer cents; only the 25-row area-level OLS and
+    //      moment step are floating (rounded in both engines). ----
+    sqlChecked("m52_fay_herriot",
+      """WITH samp AS (SELECT c_nationkey AS a,
+        |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS yq
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |dir AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(yq) AS BIGINT) AS sy,
+        |    CAST(SUM(yq * yq) AS BIGINT) AS syy
+        |  FROM samp GROUP BY a HAVING COUNT(*) >= 2),
+        |cen AS (SELECT c_nationkey AS a,
+        |    CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*) / 100.0 AS x
+        |  FROM customer GROUP BY c_nationkey),
+        |ar AS (SELECT d.a, CAST(d.sy AS DOUBLE) / d.n / 100.0 AS y,
+        |    (CAST(d.syy AS DOUBLE) / 10000.0
+        |      - CAST(d.sy AS DOUBLE) * d.sy / d.n / 10000.0)
+        |      / (d.n - 1) / d.n AS psi,
+        |    c.x, CAST(d.n AS BIGINT) AS n
+        |  FROM dir d JOIN cen c USING (a)),
+        |ols AS (SELECT (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+        |      / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) AS b1,
+        |    SUM(y) / COUNT(*) AS my, SUM(x) / COUNT(*) AS mx,
+        |    CAST(COUNT(*) AS DOUBLE) AS m
+        |  FROM ar),
+        |mom AS (SELECT GREATEST(0.0,
+        |    SUM((y - (my - b1 * mx) - b1 * x) * (y - (my - b1 * mx) - b1 * x)
+        |      - psi) / (m - 2)) AS sv
+        |  FROM ar, ols GROUP BY m),
+        |eb AS (SELECT a, y, x, n, psi, sv / (sv + psi) AS gamma,
+        |    (o.my - o.b1 * o.mx) + o.b1 * x AS synth
+        |  FROM ar, ols o, mom)
+        |SELECT a AS nation, n, ROUND(y, 4) AS direct,
+        |  ROUND(synth, 4) AS synthetic,
+        |  ROUND(gamma, 4) AS gamma,
+        |  ROUND(gamma * y + (1 - gamma) * synth, 4) AS eblup
+        |FROM eb ORDER BY nation""".stripMargin) { (s, d) =>
+      val cust = t(s, d, "customer")
+      val samp = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_nationkey").as("a"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("yq"))
+      val dir = samp.groupBy(col("a")).agg(count(lit(1)).as("n"),
+          sum(col("yq")).as("sy"), sum(col("yq") * col("yq")).as("syy"))
+        .filter(col("n") >= 2)
+      val cen = cust.groupBy(col("c_nationkey").as("a"))
+        .agg((sum(floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+          .cast("double") / count(lit(1)) / 100.0).as("x"))
+      val ar = dir.join(cen, Seq("a")).select(col("a"),
+        (col("sy").cast("double") / col("n") / 100.0).as("y"),
+        ((col("syy").cast("double") / 10000.0 -
+          col("sy").cast("double") * col("sy") / col("n") / 10000.0) /
+          (col("n") - 1) / col("n")).as("psi"),
+        col("x"), col("n")).persist()
+      val ols = ar.agg(
+        ((sum(col("x") * col("y")) - sum(col("x")) * sum(col("y")) / count(lit(1)))
+          / (sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")) / count(lit(1))))
+          .as("b1"),
+        (sum(col("y")) / count(lit(1))).as("my"),
+        (sum(col("x")) / count(lit(1))).as("mx"),
+        count(lit(1)).cast("double").as("m"))
+      val resid = col("y") - (col("my") - col("b1") * col("mx")) -
+        col("b1") * col("x")
+      val mom = ar.crossJoin(broadcast(ols))
+        .groupBy(col("m"))
+        .agg(greatest(lit(0.0),
+          sum(resid * resid - col("psi")) / (col("m") - 2)).as("sv"))
+        .select(col("sv"))
+      val eb = ar.crossJoin(broadcast(ols)).crossJoin(broadcast(mom))
+        .withColumn("gamma", col("sv") / (col("sv") + col("psi")))
+        .withColumn("synth",
+          (col("my") - col("b1") * col("mx")) + col("b1") * col("x"))
+      eb.select(col("a").as("nation"), col("n"),
+          round(col("y"), 4).as("direct"),
+          round(col("synth"), 4).as("synthetic"),
+          round(col("gamma"), 4).as("gamma"),
+          round(col("gamma") * col("y") +
+            (lit(1) - col("gamma")) * col("synth"), 4).as("eblup"))
+        .orderBy(col("nation"))
     })
 }
