@@ -552,5 +552,113 @@ object StatQueries4 {
           round(col("gamma") * col("y") +
             (lit(1) - col("gamma")) * col("synth"), 4).as("eblup"))
         .orderBy(col("nation"))
+    },
+
+    // ---- M53: decile lift table of the fitted propensity — the
+    //      model-eval companion of M49: quantized scores, EXACT decile
+    //      cutoffs from the integer-score cumsum (no global ntile
+    //      window), per-decile observed events, expected events
+    //      (Σ score — exact BIGINT micro-units), rate and lift. ----
+    sqlChecked("m53_lift", liftSql(detail = true)) { (s, d) =>
+      liftTable(s, d).orderBy(col("decile"))
+    },
+
+    // ---- M54: Hosmer–Lemeshow goodness-of-fit over the same deciles:
+    //      HL = Σ_d (O_d − E_d)² / (n_d·p̄_d·(1 − p̄_d)), p̄_d = E_d/n_d,
+    //      E in exact micro-units → both engines aggregate identical
+    //      integers before the one floating finish. ----
+    sqlChecked("m54_hosmer", liftSql(detail = false)) { (s, d) =>
+      val lt = liftTable(s, d)
+      val p = col("eq").cast("double") / 1e6 / col("n")
+      lt.select(col("decile"), col("n"), col("o"), col("eq"))
+        .agg(count(lit(1)).as("g"),
+          round(sum(pow(col("o") - col("eq").cast("double") / 1e6, 2) /
+            (col("n") * p * (lit(1.0) - p))), 6).as("hl_stat"))
     })
+
+  /** Shared engine path for M53/M54: pinned-IRLS propensity, 1e-6
+    * quantized scores, exact integer decile cutoffs via the
+    * distinct-value cumsum (Windows two-phase scan inside
+    * WeightedQuantile), broadcast cutoff row, one hash agg. */
+  private def liftTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val base = t(s, d, "customer").select(
+      col("c_custkey").cast("long").as("id"),
+      when(col("c_custkey") % 7 === 0, 1.0).otherwise(0.0).as("y"),
+      (col("c_acctbal") / 10000.0).as("x"))
+    val fit = graft.stats.WeightedGLM.logistic(base,
+      graft.core.FeatureArray.withIntercept(Seq(col("x"))),
+      col("y"), lit(1.0), p = 2, maxIter = 6, tol = 0.0)
+    val (b0, b1) = (fit.coefficients(0), fit.coefficients(1))
+    val sc = base.withColumn("sq",
+      floor((lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))))
+        * 1000000.0 + 0.5).cast("long")).persist()
+    val cuts = graft.stats.WeightedQuantile.weightedQuantiles(
+      sc, lit(1), col("sq"), lit(1L), (1 to 9).map(k => (k, 10)),
+      sizeHint = graft.core.Windows.SizeHint.Large)
+    val decile = (1 to 9).map(k => when(col("sq") > col(s"q_${k}_10"), 1)
+      .otherwise(0)).reduce(_ + _) + 1
+    val agg = sc.crossJoin(broadcast(cuts.drop("grp", "w_total")))
+      .withColumn("decile", decile.cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).cast("long").as("o"),
+        sum(col("sq")).as("eq"))
+    val tot = agg.agg(sum(col("o")).as("o_all"), sum(col("n")).as("n_all"))
+    agg.crossJoin(broadcast(tot)).select(
+      col("decile"), col("n"), col("o"), col("eq"),
+      round(col("o").cast("double") / col("n"), 6).as("rate"),
+      round(col("o").cast("double") / col("n") /
+        (col("o_all").cast("double") / col("n_all")), 6).as("lift"))
+  }
+
+  /** Shared DuckDB replay: IRLS + quantized scores + exact decile
+    * cutoffs + per-decile aggregates; `detail` selects the per-decile
+    * table (M53) vs the HL statistic (M54). */
+  private def liftSql(detail: Boolean): String = {
+    val baseSql =
+      """SELECT c_custkey AS id,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 1.0 ELSE 0.0 END AS y,
+        |  c_acctbal / 10000.0 AS x, 1.0 AS w FROM customer""".stripMargin
+    val cutCols = (1 to 9).map(k =>
+      s"MIN(CASE WHEN cw * 10 >= tot * $k THEN sq END) AS q_${k}_10")
+      .mkString(",\n    ")
+    val decileExpr = (1 to 9).map(k =>
+      s"CASE WHEN sq > q_${k}_10 THEN 1 ELSE 0 END").mkString(" + ")
+    val common =
+      s"""WITH ${irlsCtes(6, baseSql)},
+         |sc AS (SELECT id, y,
+         |    CAST(FLOOR((1/(1+EXP(-(p.b0 + p.b1*x)))) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS sq
+         |  FROM base, it6 p),
+         |dv AS (SELECT sq, CAST(COUNT(*) AS BIGINT) AS wv FROM sc GROUP BY sq),
+         |cum AS (SELECT sq, CAST(SUM(wv) OVER (ORDER BY sq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+         |  FROM dv),
+         |tt AS (SELECT CAST(SUM(wv) AS BIGINT) AS tot FROM dv),
+         |cuts AS (SELECT
+         |    $cutCols
+         |  FROM cum, tt),
+         |dd AS (SELECT sc.id, sc.y, sc.sq,
+         |    CAST(($decileExpr) + 1 AS BIGINT) AS decile
+         |  FROM sc, cuts),
+         |agg AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS o, CAST(SUM(sq) AS BIGINT) AS eq
+         |  FROM dd GROUP BY decile),
+         |tot2 AS (SELECT CAST(SUM(o) AS BIGINT) AS o_all,
+         |    CAST(SUM(n) AS BIGINT) AS n_all FROM agg)""".stripMargin
+    if (detail)
+      s"""$common
+         |SELECT decile, n, o, eq,
+         |  ROUND(CAST(o AS DOUBLE) / n, 6) AS rate,
+         |  ROUND(CAST(o AS DOUBLE) / n
+         |    / (CAST(o_all AS DOUBLE) / n_all), 6) AS lift
+         |FROM agg, tot2 ORDER BY decile""".stripMargin
+    else
+      s"""$common
+         |SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         |  ROUND(SUM(POW(o - CAST(eq AS DOUBLE) / 1000000.0, 2)
+         |    / (n * (CAST(eq AS DOUBLE) / 1000000.0 / n)
+         |       * (1.0 - CAST(eq AS DOUBLE) / 1000000.0 / n))), 6) AS hl_stat
+         |FROM agg""".stripMargin
+  }
 }
