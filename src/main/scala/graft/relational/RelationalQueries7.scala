@@ -521,6 +521,108 @@ object RelationalQueries7 {
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("seconds")).as("covered_seconds"))
         .orderBy(col("user_id"))
+    },
+
+    // ---- ev_ohlc: open/high/low/close resampling of the event value
+    //      series per (user, hour) — the classic time-series
+    //      downsampler. Open/close are struct-min/max selections
+    //      ordered by (µs, event_id), so ties are total-ordered and no
+    //      row_number window over the stream is needed; one hash agg. ----
+    sqlChecked("ev_ohlc",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr FROM events),
+        |r AS (SELECT user_id, hr, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, hr
+        |      ORDER BY us, event_id) AS ra,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, hr
+        |      ORDER BY us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT user_id, hr,
+        |  MAX(CASE WHEN ra = 1 THEN value END) AS open,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      e.groupBy(col("user_id"), col("hr"))
+        .agg(
+          min(struct(col("us"), col("event_id"), col("value")))
+            .getField("value").as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(struct(col("us"), col("event_id"), col("value")))
+            .getField("value").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("hr"))
+    },
+
+    // ---- ev_twap: time-weighted average value per (user, hour) —
+    //      each observation holds until the next one (or the hour
+    //      end). Dwell times are integer milliseconds and values are
+    //      quantized to 1e-4, so the weighted sums are exact BIGINTs
+    //      in any aggregation order; the one per-user-hour LEAD window
+    //      partitions on the (user, hour) key. ----
+    sqlChecked("ev_twap",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vq,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hr FROM events),
+        |seg AS (SELECT user_id, hr, vq,
+        |    (COALESCE(LEAD(us) OVER (PARTITION BY user_id, hr
+        |        ORDER BY us, event_id), (hr + 1) * 3600000000) - us) // 1000
+        |      AS dms
+        |  FROM e),
+        |a AS (SELECT user_id, hr,
+        |    CAST(SUM(vq * dms) AS BIGINT) AS num,
+        |    CAST(SUM(dms) AS BIGINT) AS den,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seg GROUP BY user_id, hr)
+        |SELECT user_id, hr, n,
+        |  ROUND(CASE WHEN den > 0
+        |    THEN CAST(num AS DOUBLE) / den / 10000.0 ELSE 0.0 END, 6) AS twap
+        |FROM a ORDER BY user_id, hr""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("vq"),
+        expr("unix_timestamp(ts) div 3600").as("hr"))
+      val w = Window.partitionBy(col("user_id"), col("hr"))
+        .orderBy(col("us"), col("event_id"))
+      val seg = e.withColumn("dms",
+        ((coalesce(lead(col("us"), 1).over(w),
+          (col("hr") + 1) * 3600000000L) - col("us")) / 1000L).cast("long"))
+      seg.groupBy(col("user_id"), col("hr"))
+        .agg(sum(col("vq") * col("dms")).as("num"),
+          sum(col("dms")).as("den"), count(lit(1)).as("n"))
+        .select(col("user_id"), col("hr"), col("n"),
+          round(when(col("den") > 0,
+            col("num").cast("double") / col("den") / 10000.0)
+            .otherwise(0.0), 6).as("twap"))
+        .orderBy(col("user_id"), col("hr"))
+    },
+
+    // ---- agg_rollup: ROLLUP hierarchy totals (flag → flag+status →
+    //      grand total) with grouping markers — the reporting shape
+    //      GROUPING SETS (agg_grouping_sets) doesn't pin. Quantities
+    //      are integral-valued doubles, so every subtotal is exact. ----
+    sqlChecked("agg_rollup",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("q"))
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          sum(col("q")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+          col("g_status"), col("sum_qty"), col("n"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+          col("l_linestatus"))
     }
   )
 }
