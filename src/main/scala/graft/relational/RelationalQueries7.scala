@@ -598,31 +598,6 @@ object RelationalQueries7 {
             col("num").cast("double") / col("den") / 10000.0)
             .otherwise(0.0), 6).as("twap"))
         .orderBy(col("user_id"), col("hr"))
-    },
-
-    // ---- agg_rollup: ROLLUP hierarchy totals (flag → flag+status →
-    //      grand total) with grouping markers — the reporting shape
-    //      GROUPING SETS (agg_grouping_sets) doesn't pin. Quantities
-    //      are integral-valued doubles, so every subtotal is exact. ----
-    sqlChecked("agg_rollup",
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
-        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-        |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
-      t(s, d, "lineitem")
-        .select(col("l_returnflag"), col("l_linestatus"),
-          col("l_quantity").cast("long").as("q"))
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
-          grouping(col("l_linestatus")).cast("long").as("g_status"),
-          sum(col("q")).as("sum_qty"), count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
-          col("g_status"), col("sum_qty"), col("n"))
-        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
-          col("l_linestatus"))
     }
   )
 }
