@@ -271,6 +271,49 @@ class StreamingSpec extends SparkSpec {
       s"expected closed windows missing: $rows")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows after watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val views = MemoryStream[(java.sql.Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_ts", "user").withWatermark("c_ts", "10 minutes")
+    val v = views.toDF().toDF("v_ts", "v_user").withWatermark("v_ts", "10 minutes")
+    // left-outer: every click emits; with a view by the same user in
+    // the preceding 30 minutes if one exists, else nulls — but ONLY
+    // once the watermark proves no further view can arrive
+    val joined = c.join(v,
+      col("user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("c_ts"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_lsj_out").start()
+
+    clicks.addData((ts("10:00"), 1L), (ts("10:00"), 2L))
+    views.addData((ts("09:45"), 1L)) // matches user 1; user 2 unmatched
+    q.processAllAvailable()
+    // nothing can be final yet: user 2's null row needs the watermark
+    val early = spark.table("graft_lsj_out").filter(col("user") === 2)
+    assert(early.isEmpty, "unmatched left row emitted before watermark closed")
+    // advance both watermarks far past 10:00 + 30m
+    clicks.addData((ts("12:00"), 9L)); views.addData((ts("12:00"), 9L))
+    q.processAllAvailable()
+    clicks.addData((ts("12:30"), 9L)); views.addData((ts("12:30"), 9L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("graft_lsj_out")
+      .select(col("user"), col("v_user"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.contains((1L, 1L)), s"matched pair missing: ${rows.toSeq}")
+    assert(rows.contains((2L, -1L)),
+      s"unmatched click not emitted with nulls after watermark: ${rows.toSeq}")
+  }
+
   test("dropDuplicatesWithinWatermark dedups retries, re-admits after expiry") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
