@@ -598,6 +598,36 @@ object RelationalQueries7 {
             col("num").cast("double") / col("den") / 10000.0)
             .otherwise(0.0), 6).as("twap"))
         .orderBy(col("user_id"), col("hr"))
+    },
+
+    // ---- s16: the DSv2 EVENT source's batch path, bit-matched: the
+    //      same deterministic generator that serves the micro-batch
+    //      stream (sources/EventStreamSource; stream==batch proven in
+    //      StreamingSourceSpec) read as a table and replayed by the
+    //      DuckDB RNG twin — source tier fully closed: batch read,
+    //      streaming read, and a second engine all agree row-for-row. ----
+    sqlChecked("s16_event_source", {
+      val u1 = Rng.uniformSql("id", 12L)
+      val u2 = Rng.uniformSql("id", 24L)
+      val u3 = Rng.uniformSql("id", 38L)
+      s"""WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(5000)),
+         |u AS (SELECT id, $u1 AS u1, $u2 AS u2, $u3 AS u3 FROM ids)
+         |SELECT id AS event_id,
+         |  CAST(1704067200000000 + id * 977000
+         |    + FLOOR(u1 * 977000) AS BIGINT) AS ts_us,
+         |  CAST(FLOOR(u1 * 100) AS BIGINT) AS user_id,
+         |  CASE CAST(FLOOR(u2 * 5) AS BIGINT)
+         |    WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'purchase'
+         |    WHEN 3 THEN 'share' ELSE 'like' END AS event_type,
+         |  FLOOR(u3 * 50000 + 0.5) / 100.0 AS value
+         |FROM u ORDER BY event_id""".stripMargin
+    }) { (s, d) =>
+      s.read.format("graft.sources.EventStreamSource")
+        .option("maxRows", 5000).option("partitions", 8)
+        .option("seed", 1).option("users", 100).load()
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
     }
   )
 }

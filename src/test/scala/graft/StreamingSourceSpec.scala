@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 micro-batch event source: stream == batch row-for-row,
+  * offsets advance by rowsPerBatch, and a checkpoint restart resumes
+  * exactly-once from the committed offset.
+  */
+class StreamingSourceSpec extends SparkSpec {
+
+  private val fmt = "graft.sources.EventStreamSource"
+
+  test("micro-batched stream equals the batch read row-for-row") {
+    val batch = spark.read.format(fmt)
+      .option("maxRows", 2000).option("seed", 7).load()
+      .collect().map(_.toString).sorted
+    val q = spark.readStream.format(fmt)
+      .option("maxRows", 2000).option("rowsPerBatch", 300).option("seed", 7)
+      .load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_es_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("graft_es_out").collect().map(_.toString).sorted
+    assert(got.length == 2000, s"stream rows ${got.length}")
+    assert(got.sameElements(batch), "stream and batch reads disagree")
+  }
+
+  test("checkpointed restart: identical per-batch replay, lossless coverage") {
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-es-ckpt").toString
+    // batchId -> sorted ids; a re-run of an uncommitted batch after
+    // restart MUST replay the identical id range (offset-determinism
+    // is the source-side half of exactly-once) — last write wins
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    def run(stopEarly: Boolean): Unit = {
+      val q = spark.readStream.format(fmt)
+        .option("maxRows", 1000).option("rowsPerBatch", 200).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ids = df.select(col("event_id")).collect()
+            .map(_.getLong(0)).sorted.toSeq
+          Option(seen.get(id)).foreach { prev =>
+            assert(prev == ids, s"batch $id replayed differently")
+          }
+          seen.put(id, ids); ()
+        }
+        .start()
+      if (stopEarly) {
+        var waited = 0
+        while (seen.size < 2 && waited < 200) { Thread.sleep(100); waited += 1 }
+        q.stop()
+      } else { q.processAllAvailable(); q.stop() }
+    }
+    run(stopEarly = true)
+    run(stopEarly = false)
+    // foreachBatch is at-least-once across restarts BY CONTRACT (an
+    // uncommitted range may re-emit under a fresh batch id; exactly-
+    // once needs a batchId-idempotent sink). The source-side
+    // guarantees under test: a re-run batch id replays IDENTICAL rows
+    // (asserted inside the sink above) and no id is ever lost or
+    // invented — distinct coverage is exact.
+    import scala.jdk.CollectionConverters._
+    val distinct = seen.values.asScala.flatten.toSeq.distinct.sorted
+    assert(distinct == (0L until 1000L),
+      s"distinct coverage must be exactly 0..999, got ${distinct.size} ids")
+  }
+
+  test("rows are the pure function of (id, seed): spot-check the generator") {
+    val r = spark.read.format(fmt)
+      .option("maxRows", 10).option("seed", 3).option("users", 50).load()
+      .filter(col("event_id") === 4L).collect().head
+    val (tsUs, user, tpe, value) =
+      graft.sources.EventStreamSource.row(4L, 3L, 50L)
+    assert(r.getLong(2) == user && r.getString(3) == tpe &&
+      r.getDouble(4) == value,
+      s"row mismatch: $r vs ($tsUs, $user, $tpe, $value)")
+  }
+}
