@@ -331,22 +331,45 @@ object StatQueries4 {
           * 1000000.0 + 0.5).cast("long"))
       val tr = sc.filter(col("y") === 1.0)
         .select(col("id").as("t_id"), col("sq").as("t_sq"))
-      val ct = sc.filter(col("y") === 0.0)
-        .select(col("id").as("c_id"), col("sq").as("c_sq"),
-          expr(s"sq div $C").as("b"))
-      val tb = tr.withColumn("b", explode(array(
-        expr(s"t_sq div $C") - 1, expr(s"t_sq div $C"),
-        expr(s"t_sq div $C") + 1)))
-      val cand = tb.join(ct, Seq("b"))
-        .withColumn("dist", abs(col("t_sq") - col("c_sq")))
-        .filter(col("dist") <= C)
-      val best = cand.groupBy(col("t_id"))
-        .agg(min(struct(col("dist"), col("c_id"), col("c_sq"))).as("m"))
-        .select(col("t_id"), col("m.c_id").as("c_id"),
-          col("m.c_sq").as("c_sq"), col("m.dist").as("dist"))
-      tr.join(best, Seq("t_id"), "left")
-        .select(col("t_id"), col("t_sq"), col("c_id"), col("c_sq"),
-          col("dist"))
+      // nearest control WITHOUT enumerating in-caliper pairs: when the
+      // propensity model is weak the scores concentrate and every
+      // control is within caliper of every treated unit — a bucketed
+      // candidate join degenerates to treated×controls (measured 12 s
+      // at sf0.1). Instead: collapse controls to (score → min id),
+      // interleave with treated in score order, and LOCF both ways
+      // (two-phase, core/AsOf — no single-partition window); the
+      // nearest in-caliper control is provably the closer of the
+      // previous/next control score, with the same (distance, id)
+      // tiebreak the quadratic form uses.
+      val ctq = sc.filter(col("y") === 0.0)
+        .groupBy(col("sq").as("csq")).agg(min(col("id")).as("cid"))
+      val uni = ctq.select((col("csq") * 2).as("ord"), lit(null)
+          .cast("long").as("t_id"), col("csq").as("sq"),
+          col("csq").as("p_csq"), col("cid").as("p_cid"),
+          col("csq").as("n_csq"), col("cid").as("n_cid"))
+        .unionByName(tr.select((col("t_sq") * 2 + 1).as("ord"),
+          col("t_id"), col("t_sq").as("sq"),
+          lit(null).cast("long").as("p_csq"), lit(null).cast("long").as("p_cid"),
+          lit(null).cast("long").as("n_csq"), lit(null).cast("long").as("n_cid")))
+      // locfPartitioned carries fills as doubles; the values are exact
+      // integers ≤ 1e6-scale, so cast back to BIGINT for the oracle
+      def relong(df: org.apache.spark.sql.DataFrame, cs: Seq[String]) =
+        cs.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+      val withPrev = relong(graft.core.AsOf.locfPartitioned(uni, col("ord"),
+        Seq("p_csq", "p_cid")), Seq("p_csq", "p_cid"))
+      val withBoth = relong(graft.core.AsOf.locfPartitioned(withPrev,
+        -col("ord"), Seq("n_csq", "n_cid")), Seq("n_csq", "n_cid"))
+      def cand(csq: org.apache.spark.sql.Column,
+          cid: org.apache.spark.sql.Column) = when(csq.isNull, lit(null))
+        .otherwise(struct(abs(col("sq") - csq).as("dist"),
+          cid.as("c_id"), csq.as("c_sq")))
+      val best = withBoth.filter(col("t_id").isNotNull)
+        .withColumn("m", least(cand(col("p_csq"), col("p_cid")),
+          cand(col("n_csq"), col("n_cid"))))
+        .withColumn("m", when(col("m.dist") <= C, col("m")))
+      best.select(col("t_id"), col("sq").as("t_sq"),
+          col("m.c_id").as("c_id"), col("m.c_sq").as("c_sq"),
+          col("m.dist").as("dist"))
         .orderBy(col("t_id"))
     },
 
