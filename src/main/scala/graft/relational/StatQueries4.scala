@@ -577,6 +577,38 @@ object StatQueries4 {
         .orderBy(col("nation"))
     },
 
+    // ---- M55: Wilson score interval for grouped proportions — the
+    //      small-sample-safe CI (never escapes [0,1], no ±∞ at p=0/1)
+    //      for per-segment fulfillment rates. One hash agg over exact
+    //      BIGINT counts; the closed form is evaluated in the same
+    //      literal order in both engines. ----
+    sqlChecked("m55_wilson",
+      """WITH a AS (SELECT c_mktsegment AS seg,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS o
+        |  FROM customer GROUP BY c_mktsegment),
+        |w AS (SELECT seg, n, o, CAST(o AS DOUBLE) / n AS p,
+        |    3.841458820694124 / n AS zz FROM a)
+        |SELECT seg, n, o, ROUND(p, 6) AS p_hat,
+        |  ROUND((p + zz / 2 - SQRT(p * (1 - p) * zz / n + zz * zz / 4))
+        |    / (1 + zz), 6) AS ci_lo,
+        |  ROUND((p + zz / 2 + SQRT(p * (1 - p) * zz / n + zz * zz / 4))
+        |    / (1 + zz), 6) AS ci_hi
+        |FROM w ORDER BY seg""".stripMargin) { (s, d) =>
+      val a = t(s, d, "customer").groupBy(col("c_mktsegment").as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_acctbal") > 0, 1L).otherwise(0L)).as("o"))
+      val p = col("o").cast("double") / col("n")
+      val zz = lit(3.841458820694124) / col("n")
+      val half = sqrt(p * (lit(1) - p) * zz / col("n") + zz * zz / 4)
+      a.select(col("seg"), col("n"), col("o"),
+          round(p, 6).as("p_hat"),
+          round((p + zz / 2 - half) / (lit(1) + zz), 6).as("ci_lo"),
+          round((p + zz / 2 + half) / (lit(1) + zz), 6).as("ci_hi"))
+        .orderBy(col("seg"))
+    },
+
     // ---- M53: decile lift table of the fitted propensity — the
     //      model-eval companion of M49: quantized scores, EXACT decile
     //      cutoffs from the integer-score cumsum (no global ntile
