@@ -630,11 +630,18 @@ object Dedup {
     * id — parallel across documents at any scale; the df filter caps
     * boilerplate grams exactly as [[repeatedPassages]].
     *
+    * The gram stream is persisted (it feeds both the df filter and the
+    * join-back); pass `release` to unpersist it after your action —
+    * with no buffer it stays cached until the session's next
+    * `clearCache` (the Verify/Bench harnesses clear between queries).
+    *
     * Returns (id, span_start, span_tokens) — one row per maximal
     * duplicated span. */
   def duplicatedSpans(df: DataFrame, id: Column, text: Column, n: Int,
       minDocs: Int = 2, maxDocs: Int = Int.MaxValue,
-      hasher: Column => Column = xxHash): DataFrame = {
+      hasher: Column => Column = xxHash,
+      release: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     val spread = df.select(id.as("id"), text.as("__text"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val words = spread.select(col("id"),
@@ -647,6 +654,7 @@ object Dedup {
       .filter(col("__full"))
       .select(col("id"), col("pos"), hasher(col("__g")).as("h"))
       .persist()
+    release.foreach(_ += grams)
     val hot = grams.select(col("id"), col("h")).dropDuplicates("id", "h")
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs && col("n_docs") <= maxDocs)
@@ -663,18 +671,30 @@ object Dedup {
 
   /** LSH quality evaluation: how good are [[minhashPairs]] candidates
     * against EXACT shingle-set Jaccard? Precision is exact-verified on
-    * every candidate pair; recall is estimated on a fixed-size
-    * deterministic document sample (top-`sampleSize` by the keyed RNG),
-    * keeping the ground-truth pair set bounded (sampleSize² pairs) at
-    * any corpus size. Exact intersections run as equi-joins on the
-    * hashed shingle stream — no per-pair array materialization.
+    * a BOUNDED deterministic subset of candidate pairs (`maxScore`
+    * keyed-RNG draws — at 100 TB the candidate set scales with the
+    * corpus, so an uncapped exact-verify arm would dwarf the dedup it
+    * evaluates); the scored count and fraction are REPORTED in the
+    * output row (`n_cand_scored`, `frac_scored`) so a capped run can
+    * never masquerade as full coverage. Recall is estimated on a
+    * fixed-size deterministic document sample (top-`sampleSize` by the
+    * keyed RNG), keeping the ground-truth pair set bounded
+    * (sampleSize² pairs) at any corpus size. Exact intersections run
+    * as equi-joins on the hashed shingle stream — no per-pair array
+    * materialization.
     *
-    * Returns one row: (n_cand, n_tp, precision, n_truth, n_hit,
-    * recall). */
+    * The one-row summary is materialized EAGERLY so the scratch
+    * persists (shingle stream, candidate pairs) are released before
+    * returning — no cached blocks outlive the call.
+    *
+    * Returns one row: (n_cand, n_cand_scored, frac_scored, n_tp,
+    * precision, n_truth, n_hit, recall). */
   def lshEvaluation(df: DataFrame, id: Column, text: Column,
       shingleK: Int, numHashes: Int, bands: Int, threshold: Double,
       hasher: Column => Column = xxHash,
-      sampleSize: Int = 64, sampleSalt: Long = 99L): DataFrame = {
+      sampleSize: Int = 64, sampleSalt: Long = 99L,
+      maxScore: Int = 20000, scoreSalt: Long = 77L): DataFrame = {
+    val spark = df.sparkSession
     val hh = shingleHashStream(df, id, text, shingleK, hasher)
       .dropDuplicates("id", "h").persist()
     val sz = hh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
@@ -694,10 +714,19 @@ object Dedup {
     val cands = minhashPairs(df, id, text, shingleK, numHashes, bands,
         threshold, hasher)
       .select(col("id_a"), col("id_b")).persist()
-    val prec = trueJaccard(cands).agg(
-      count(lit(1)).as("n_cand"),
+    // bounded precision arm: a deterministic keyed-RNG top-`maxScore`
+    // draw of candidate pairs (TakeOrdered — no single-task sort)
+    val scored = cands
+      .withColumn("__u", graft.core.Rng.uniform(
+        col("id_a") * 1000003L + col("id_b"), scoreSalt))
+      .orderBy(col("__u"), col("id_a"), col("id_b")).limit(maxScore)
+      .select(col("id_a"), col("id_b"))
+    val nCand = cands.groupBy().agg(count(lit(1)).as("n_cand"))
+    val prec = trueJaccard(scored).agg(
+      count(lit(1)).as("n_cand_scored"),
       coalesce(sum(when(col("j_true") >= threshold, 1L).otherwise(0L)),
         lit(0L)).as("n_tp"))
+      .crossJoin(nCand)
     val sampled = hh.select(col("id")).distinct()
       .withColumn("__u", graft.core.Rng.uniform(col("id"), sampleSalt))
       .orderBy(col("__u"), col("id")).limit(sampleSize)
@@ -712,15 +741,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_truth"),
         coalesce(sum(coalesce(col("__hit"), lit(0))).cast("long"), lit(0L))
           .as("n_hit"))
-    prec.crossJoin(rec).select(
-      col("n_cand"), col("n_tp"),
+    val out = prec.crossJoin(rec).select(
+      col("n_cand"), col("n_cand_scored"),
       round(when(col("n_cand") > 0,
-        col("n_tp").cast("double") / col("n_cand")).otherwise(0.0), 6)
+        col("n_cand_scored").cast("double") / col("n_cand"))
+        .otherwise(1.0), 6).as("frac_scored"),
+      col("n_tp"),
+      round(when(col("n_cand_scored") > 0,
+        col("n_tp").cast("double") / col("n_cand_scored")).otherwise(0.0), 6)
         .as("precision"),
       col("n_truth"), col("n_hit"),
       round(when(col("n_truth") > 0,
         col("n_hit").cast("double") / col("n_truth")).otherwise(0.0), 6)
         .as("recall"))
+    // single summary row: collect it now so the scratch persists can be
+    // dropped before returning (the caller's action replays nothing)
+    val row = out.collect()
+    hh.unpersist(blocking = false)
+    cands.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking key. */

@@ -63,20 +63,54 @@ object HeavyHitters {
   }
 
   /** Exact top-k items of `item` by count: MG candidate sweep, then an
-    * exact recount of candidates only. Requires the k-th item's true
-    * frequency to exceed N/(capacity+1) — size `capacity` accordingly
-    * (the spec exercises the guarantee at the boundary). */
+    * exact recount of candidates only. The MG guarantee makes the
+    * result exact whenever the k-th item's true frequency exceeds
+    * N/(capacity+1) — and instead of trusting the doc comment, the
+    * guarantee is VERIFIED at runtime against the recounted k-th
+    * count; if an undersized capacity fails the check, the method
+    * falls back to the plain exact groupBy top-k (one extra pass, a
+    * loud log line, never a silently wrong "exact" answer). */
   def topK(df: DataFrame, item: org.apache.spark.sql.Column,
       k: Int, capacity: Int): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val toks = df.select(item.cast("string").as("term"))
-    val candidates = toks.select(xxhash64(col("term")).as("h")).as[Long]
-      .select(new MisraGries(capacity).toColumn.name("cand"))
-      .head()
-    toks.filter(xxhash64(col("term")).isin(candidates.toSeq: _*))
+    def exactTopK(input: DataFrame): DataFrame = input
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term"))
       .limit(k)
+    // one scan yields BOTH the candidate set and the total N the
+    // guarantee check needs (the Aggregator re-registered untyped)
+    val mg = udaf(new MisraGries(capacity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val head = toks
+      .agg(mg(xxhash64(col("term"))).as("cand"), count(lit(1)).as("n"))
+      .head()
+    val candidates = head.getAs[scala.collection.Seq[Long]](0).toSeq
+    val n = head.getLong(1)
+    val rows = exactTopK(
+        toks.filter(xxhash64(col("term")).isin(candidates: _*)))
+      .collect()
+    // sufficient condition for exactness: every item OUTSIDE the
+    // candidate set has true frequency ≤ N/(capacity+1) (MG), so if
+    // the k-th recounted count strictly exceeds that threshold no
+    // missed item can displace (or tie into) the returned top-k
+    val guaranteed = n == 0L ||
+      (rows.length == k && rows.last.getLong(1) * (capacity + 1L) > n)
+    if (guaranteed) {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("term",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"MG capacity $capacity cannot certify exact top-$k " +
+          s"(k-th count ${rows.lastOption.map(_.getLong(1))} vs " +
+          s"threshold N/(capacity+1) = ${n / (capacity + 1.0)}); " +
+          "falling back to the exact full groupBy")
+      exactTopK(toks)
+    }
   }
 }

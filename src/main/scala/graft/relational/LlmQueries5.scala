@@ -58,21 +58,25 @@ object LlmQueries5 {
     //      arithmetic. ----
     sqlChecked("d18_lsh_eval", {
       val uSql = Rng.uniformSql("doc_id", 99L)
+      val uScore = Rng.uniformSql("id_a * 1000003 + id_b", 77L)
       s"""WITH ${LlmQueries.minhashCtes},
          |hh AS (SELECT DISTINCT doc_id, h FROM h),
          |szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
          |  FROM hh GROUP BY doc_id),
-         |cint AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM pairs p
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM pairs),
+         |ps AS (SELECT id_a, id_b FROM pairs
+         |  ORDER BY $uScore, id_a, id_b LIMIT 20000),
+         |cint AS (SELECT p.id_a, p.id_b, COUNT(*) AS inter FROM ps p
          |  JOIN hh a ON a.doc_id = p.id_a
          |  JOIN hh b ON b.doc_id = p.id_b AND b.h = a.h
          |  GROUP BY p.id_a, p.id_b),
          |cj AS (SELECT p.id_a, p.id_b, COALESCE(ci.inter, 0) AS inter,
          |    sa.sz AS sza, sb.sz AS szb
-         |  FROM pairs p
+         |  FROM ps p
          |  LEFT JOIN cint ci ON ci.id_a = p.id_a AND ci.id_b = p.id_b
          |  JOIN szs sa ON sa.doc_id = p.id_a
          |  JOIN szs sb ON sb.doc_id = p.id_b),
-         |ctp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand,
+         |ctp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_scored,
          |    CAST(COALESCE(SUM(CASE WHEN CAST(inter AS DOUBLE)
          |        / (sza + szb - inter) >= 0.30 THEN 1 ELSE 0 END), 0)
          |      AS BIGINT) AS n_tp FROM cj),
@@ -98,17 +102,23 @@ object LlmQueries5 {
          |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
          |  FROM struth s
          |  LEFT JOIN pairs p ON p.id_a = s.id_a AND p.id_b = s.id_b)
-         |SELECT n_cand, n_tp,
-         |  ROUND(CASE WHEN n_cand > 0 THEN CAST(n_tp AS DOUBLE) / n_cand
+         |SELECT nc.n_cand, ctp.n_cand_scored,
+         |  ROUND(CASE WHEN nc.n_cand > 0
+         |    THEN CAST(ctp.n_cand_scored AS DOUBLE) / nc.n_cand
+         |    ELSE 1.0 END, 6) AS frac_scored,
+         |  n_tp,
+         |  ROUND(CASE WHEN n_cand_scored > 0
+         |    THEN CAST(n_tp AS DOUBLE) / n_cand_scored
          |    ELSE 0.0 END, 6) AS precision,
          |  n_truth, n_hit,
          |  ROUND(CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth
          |    ELSE 0.0 END, 6) AS recall
-         |FROM ctp, recs""".stripMargin
+         |FROM ctp, recs, nc""".stripMargin
     }) { (s, d) =>
       Dedup.lshEvaluation(t(s, d, "documents"), col("doc_id"), col("text"),
         shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30,
-        hasher = Dedup.md5Hash60, sampleSize = 64, sampleSalt = 99L)
+        hasher = Dedup.md5Hash60, sampleSize = 64, sampleSalt = 99L,
+        maxScore = 20000, scoreSalt = 77L)
     },
 
     // ---- per-frame audio features over REAL parsed WAV bytes: RMS

@@ -461,16 +461,29 @@ object RelationalQueries7 {
         |ORDER BY o_orderkey, promo_id""".stripMargin) { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.install(s)
+      // the width conf is session-global: set it, force planning (the
+      // rule reads the conf at OPTIMIZATION time, so the plan must be
+      // built while the width is active — queryExecution caches it),
+      // then restore so later queries in the shared session see their
+      // own plan shapes unchanged
+      val prev = s.conf.getOption(graft.plans.RangeJoinRewrite.WidthConf)
       s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "256")
-      val promo = (0 to 11)
-        .map(i => (i.toLong, (9131 + i * 180).toLong, (9131 + i * 180 + 250).toLong))
-        .toDF("promo_id", "lo", "hi")
-      t(s, d, "orders")
-        .select(col("o_orderkey"),
-          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
-        .join(promo, col("d") >= col("lo") && col("d") <= col("hi"))
-        .select(col("o_orderkey"), col("promo_id"))
-        .orderBy(col("o_orderkey"), col("promo_id"))
+      try {
+        val promo = (0 to 11)
+          .map(i => (i.toLong, (9131 + i * 180).toLong, (9131 + i * 180 + 250).toLong))
+          .toDF("promo_id", "lo", "hi")
+        val out = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+          .join(promo, col("d") >= col("lo") && col("d") <= col("hi"))
+          .select(col("o_orderkey"), col("promo_id"))
+          .orderBy(col("o_orderkey"), col("promo_id"))
+        out.queryExecution.executedPlan // eager: plan under width=256
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, v)
+        case None => s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+      }
     },
 
     // ---- o11: interval-union coverage (sweep-line as a window):
@@ -610,12 +623,13 @@ object RelationalQueries7 {
       val u1 = Rng.uniformSql("id", 12L)
       val u2 = Rng.uniformSql("id", 24L)
       val u3 = Rng.uniformSql("id", 38L)
+      val u4 = Rng.uniformSql("id", 54L)
       s"""WITH ids AS (SELECT CAST(range AS BIGINT) AS id FROM range(5000)),
-         |u AS (SELECT id, $u1 AS u1, $u2 AS u2, $u3 AS u3 FROM ids)
+         |u AS (SELECT id, $u1 AS u1, $u2 AS u2, $u3 AS u3, $u4 AS u4 FROM ids)
          |SELECT id AS event_id,
          |  CAST(1704067200000000 + id * 977000
          |    + FLOOR(u1 * 977000) AS BIGINT) AS ts_us,
-         |  CAST(FLOOR(u1 * 100) AS BIGINT) AS user_id,
+         |  CAST(FLOOR(u4 * 100) AS BIGINT) AS user_id,
          |  CASE CAST(FLOOR(u2 * 5) AS BIGINT)
          |    WHEN 0 THEN 'view' WHEN 1 THEN 'click' WHEN 2 THEN 'purchase'
          |    WHEN 3 THEN 'share' ELSE 'like' END AS event_type,

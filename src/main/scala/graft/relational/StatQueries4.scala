@@ -99,6 +99,8 @@ object StatQueries4 {
       val cum = Windows.groupedScan(byX, Seq(lit(1)), Seq(col("x")),
           Seq(col("wv") -> "cw"), sizeHint = Windows.SizeHint.Large)
         .withColumn("cw", col("cw").cast("long"))
+        // persisted through the caller's action (the returned plan
+        // reads it twice); freed by the harness clearCache per query
         .select(col("x"), col("cw")).persist()
       val tot = cum.agg(max(col("cw")).as("b"))
       val med = cum.crossJoin(broadcast(tot)).agg(
@@ -195,8 +197,13 @@ object StatQueries4 {
           sizeHint = Windows.SizeHint.Large)
         .withColumn("rk", col("rk").cast("long"))
       // the draw frame: (stratum × replicate × draw j ≤ n_h−1); RNG key
-      // mixes all three so streams never collide
-      val draws = broadcast(segs)
+      // mixes all three so streams never collide. Standard Rao–Wu–Yue
+      // requires n_h ≥ 2: a singleton stratum would make Spark's
+      // sequence(1, 0) auto-step DOWN to [1, 0] (where DuckDB's
+      // range(1, 1) is empty) and the nh/(nh−1) rescale divide by
+      // zero — filter them out explicitly so both engines agree even
+      // if the data ever produces one.
+      val draws = broadcast(segs.filter(col("nh") > 1))
         .withColumn("r", explode(sequence(lit(1L), lit(R.toLong))))
         .withColumn("j", explode(sequence(lit(1L), col("nh") - 1)))
         .withColumn("rk", lit(1L) + floor(Rng.uniform(
@@ -644,6 +651,8 @@ object StatQueries4 {
       graft.core.FeatureArray.withIntercept(Seq(col("x"))),
       col("y"), lit(1.0), p = 2, maxIter = 6, tol = 0.0)
     val (b0, b1) = (fit.coefficients(0), fit.coefficients(1))
+    // persisted through the caller's action (cutoffs + final agg both
+    // read it); freed by the harness clearCache between queries
     val sc = base.withColumn("sq",
       floor((lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))))
         * 1000000.0 + 0.5).cast("long")).persist()

@@ -58,8 +58,12 @@ object EventStreamSource {
     val u1 = Rng.uniformJvm(id, seed + 11L)
     val u2 = Rng.uniformJvm(id, seed + 23L)
     val u3 = Rng.uniformJvm(id, seed + 37L)
+    // user_id draws its OWN uniform: reusing u1 here would make the
+    // user a deterministic function of the ts jitter, collapsing the
+    // synthetic stream's dimensionality for downstream joins/groupBys
+    val u4 = Rng.uniformJvm(id, seed + 53L)
     val tsUs = BaseUs + id * StepUs + math.floor(u1 * StepUs).toLong
-    val user = math.floor(u1 * users).toLong
+    val user = math.floor(u4 * users).toLong
     val tpe = Types(math.floor(u2 * Types.length).toInt)
     val value = math.floor(u3 * 50000.0 + 0.5) / 100.0
     (tsUs, user, tpe, value)

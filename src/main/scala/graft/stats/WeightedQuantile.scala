@@ -30,7 +30,9 @@ object WeightedQuantile {
   def weightedQuantiles(df: DataFrame, group: Column, x: Column,
       weight: Column, ps: Seq[(Int, Int)],
       sizeHint: graft.core.Windows.SizeHint =
-        graft.core.Windows.SizeHint.Auto): DataFrame = {
+        graft.core.Windows.SizeHint.Auto,
+      release: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     val byX = df.select(group.as("grp"), x.as("x"),
         weight.cast("long").as("w"))
       .groupBy(col("grp"), col("x")).agg(sum(col("w")).as("wv"))
@@ -55,11 +57,15 @@ object WeightedQuantile {
       min(when(col("cw") * den >= col("tot") * num, col("x")))
         .as(s"q_${num}_$den")
     }
-    val out = cum.join(broadcast(tot), Seq("grp"))
+    // The scan's internal persist must stay alive until the CALLER's
+    // action (it pins the concrete range partitioning the offsets were
+    // computed against) — so no eager materialization here: the plan
+    // returns lazy, and the scratch is handed to the caller's `release`
+    // buffer to unpersist after its action (absent a buffer it is freed
+    // by the session's next clearCache; Verify/Bench clear per query).
+    release.foreach(_ ++= scratch)
+    cum.join(broadcast(tot), Seq("grp"))
       .groupBy(col("grp"))
       .agg(max(col("tot")).as("w_total"), qCols: _*)
-      .localCheckpoint(eager = true)
-    scratch.foreach(_.unpersist(blocking = false))
-    out
   }
 }
