@@ -486,6 +486,79 @@ object RelationalQueries7 {
       }
     },
 
+    // ---- j12: the range-join rule's FLOATING path — the same naive
+    //      BETWEEN join but over DOUBLE price bands, exercised through
+    //      the floor(x/W) scaled-long bucketing (plus the catch-all
+    //      routing for non-finite values, inert on this data). Band
+    //      constants are exactly binary-representable so both engines
+    //      compare identical doubles. ----
+    sqlChecked("j12_range_auto_dbl",
+      """WITH promo AS (SELECT i AS promo_id,
+        |    500.0 + i * 14000.25 AS lo,
+        |    500.0 + i * 14000.25 + 6999.5 AS hi
+        |  FROM generate_series(0, 11) t(i))
+        |SELECT o.o_orderkey, CAST(pr.promo_id AS BIGINT) AS promo_id
+        |FROM orders o JOIN promo pr ON o.o_totalprice BETWEEN pr.lo AND pr.hi
+        |ORDER BY o_orderkey, promo_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.install(s)
+      val prev = s.conf.getOption(graft.plans.RangeJoinRewrite.WidthConf)
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "8192")
+      try {
+        val promo = (0 to 11)
+          .map(i => (i.toLong, 500.0 + i * 14000.25, 500.0 + i * 14000.25 + 6999.5))
+          .toDF("promo_id", "lo", "hi")
+        val out = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").as("p"))
+          .join(promo, col("p") >= col("lo") && col("p") <= col("hi"))
+          .select(col("o_orderkey"), col("promo_id"))
+          .orderBy(col("o_orderkey"), col("promo_id"))
+        out.queryExecution.executedPlan // plan under width=8192
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, v)
+        case None => s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+      }
+    },
+
+    // ---- j13: the rule's LEFT-SEMI shape — "orders inside ANY promo
+    //      window", the EXISTS form a user writes; j11's windows
+    //      overlap (step 180 < span 250) so the semi join must dedup
+    //      multi-window orders, proving the bucket fan-out cannot leak
+    //      duplicate preserved-side rows. ----
+    sqlChecked("j13_range_semi",
+      """WITH promo AS (SELECT i AS promo_id,
+        |    9131 + i * 180 AS lo, 9131 + i * 180 + 250 AS hi
+        |  FROM generate_series(0, 11) t(i)),
+        |pts AS (SELECT o_orderkey,
+        |    date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d
+        |  FROM orders)
+        |SELECT p.o_orderkey FROM pts p
+        |WHERE EXISTS (SELECT 1 FROM promo pr
+        |  WHERE p.d >= pr.lo AND p.d <= pr.hi)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.install(s)
+      val prev = s.conf.getOption(graft.plans.RangeJoinRewrite.WidthConf)
+      s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, "256")
+      try {
+        val promo = (0 to 11)
+          .map(i => (i.toLong, (9131 + i * 180).toLong, (9131 + i * 180 + 250).toLong))
+          .toDF("promo_id", "lo", "hi")
+        val out = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d"))
+          .join(promo, col("d") >= col("lo") && col("d") <= col("hi"), "left_semi")
+          .select(col("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+        out.queryExecution.executedPlan // plan under width=256
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set(graft.plans.RangeJoinRewrite.WidthConf, v)
+        case None => s.conf.unset(graft.plans.RangeJoinRewrite.WidthConf)
+      }
+    },
+
     // ---- o11: interval-union coverage (sweep-line as a window):
     //      each event opens a 30–120 min activity interval; per user,
     //      merge overlaps and report distinct active seconds + merged

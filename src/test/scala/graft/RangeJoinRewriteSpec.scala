@@ -77,6 +77,107 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  // ---- floating path ----
+
+  private def dPoints = {
+    import spark.implicits._
+    Seq(1L -> Some(-37.25), 2L -> Some(-0.5), 3L -> Some(0.0),
+      4L -> Some(12.75), 5L -> Some(99.99), 6L -> Some(150.0),
+      7L -> Some(Double.NaN), 8L -> Some(Double.PositiveInfinity),
+      9L -> Some(Double.NegativeInfinity), 10L -> None)
+      .toDF("pid", "p")
+  }
+  private def dIntervals = {
+    import spark.implicits._
+    Seq((1L, Some(-40.0), Some(-30.0)), (2L, Some(-1.0), Some(13.0)),
+      (3L, Some(0.0), Some(0.0)), (4L, Some(95.5), Some(80.0)) /* degenerate */,
+      (5L, Some(90.0), Some(Double.NaN)) /* NaN hi: catches NaN/+Inf points */,
+      (6L, Some(Double.NegativeInfinity), Some(-35.0)),
+      (7L, None, Some(5.0)), (8L, Some(100.0), None))
+      .toDF("iid", "lo", "hi")
+  }
+  private def dNaive = dPoints.join(dIntervals,
+    col("p") >= col("lo") && col("p") <= col("hi"))
+    .select(col("pid"), col("iid"))
+
+  test("floating path: exact semantics incl. NaN/±Inf/null routing") {
+    val expect = withRule(None) {
+      dNaive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet }
+    val got = withRule(Some(8L)) {
+      dNaive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet }
+    assert(expect.nonEmpty, "floating fixture matched nothing")
+    // sanity on Spark's NaN ordering: the NaN-hi interval catches the
+    // NaN and +Inf points (NaN sorts above everything)
+    assert(expect.contains((7L, 5L)) && expect.contains((8L, 5L)),
+      s"fixture lost its non-finite matches: $expect")
+    assert(got == expect,
+      s"floating rewrite changed results: ${got.diff(expect)} / ${expect.diff(got)}")
+  }
+
+  test("floating path: the plan is a bucket equi-join, both sides exploded") {
+    withRule(Some(8L)) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = dNaive
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"),
+          s"floating range join not rewritten:\n$p")
+        assert(p.toLowerCase.contains("generate"),
+          s"no bucket explode in floating plan:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  // ---- semi / anti / outer shapes ----
+
+  private def shaped(tpe: String) = points.join(intervals,
+    col("p") >= col("lo") && col("p") <= col("hi"), tpe)
+
+  test("left_semi/left_anti/left_outer (points left) keep exact semantics and fire") {
+    for (tpe <- Seq("left_semi", "left_anti", "left_outer")) {
+      val pick: org.apache.spark.sql.Row => (Long, Any) = r =>
+        (r.getLong(0), if (tpe == "left_outer") r.get(2) else null)
+      val expect = withRule(None) { shaped(tpe).collect().map(pick).toSeq.sorted(
+        Ordering.by((t: (Long, Any)) => (t._1, String.valueOf(t._2)))) }
+      val got = withRule(Some(7L)) { shaped(tpe).collect().map(pick).toSeq.sorted(
+        Ordering.by((t: (Long, Any)) => (t._1, String.valueOf(t._2)))) }
+      assert(got == expect, s"$tpe rewrite changed results")
+    }
+    withRule(Some(7L)) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = shaped("left_semi")
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          p.toLowerCase.contains("generate"),
+          s"semi range join not rewritten:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("shape guards: points-on-right outer and floating semi stay unrewritten") {
+    withRule(Some(7L)) {
+      // LeftOuter with the POINTS on the right would need the interval
+      // (preserved) side exploded — must not fire
+      val wrongSide = intervals.join(points,
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+      wrongSide.collect()
+      assert(!wrongSide.queryExecution.executedPlan.toString
+        .toLowerCase.contains("generate"),
+        "rule exploded the preserved side of a left_outer")
+      // floating semi: the 2x point fan-out would break EXISTS counts
+      val fsemi = dPoints.join(dIntervals,
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_semi")
+      fsemi.collect()
+      assert(!fsemi.queryExecution.executedPlan.toString
+        .toLowerCase.contains("generate"),
+        "rule fired on a floating-point semi join")
+    }
+  }
+
   test("rewrite agrees with the manual core/RangeJoin operator") {
     val manual = graft.core.RangeJoin.pointInInterval(
         points, col("pid"), col("p"),
