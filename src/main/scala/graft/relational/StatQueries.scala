@@ -106,6 +106,51 @@ object StatQueries {
       Seq((rnd(u(0), 4), rnd(info(0), 4))).toDF("score_u", "info_i")
     },
 
+    // ---- M2 tie-expanded score diagnostic (U2): the reference's
+    //      per-subject residual form U = Σ d·w·(x − H1(t)/H2(t))
+    //      (taylor_deviate.R:1167-1198) — risk-set suffix cumsums on
+    //      the tie-collapsed time table, propagated back to EVERY
+    //      subject at a tied time (the R code's H_uniq re-expansion),
+    //      then the weighted residual sum. Algebraically equal to the
+    //      grouped form in m2_cox_score; this query pins the EXPANSION
+    //      mechanics (tie join-back) both engines must share. Sums
+    //      collapse to (t,x,w) cells first so double addition runs
+    //      over ≤dozens of terms per cell — engine/oracle agree far
+    //      beyond the rounding. ----
+    sqlChecked("m2_cox_score2",
+      s"""WITH base AS ($survSql),
+         |c AS (SELECT t, x, w, SUM(d) AS nd, COUNT(*) AS n
+         |  FROM base GROUP BY t, x, w),
+         |g AS (SELECT t, SUM(n * w * EXP(0.25 * x)) AS s0g,
+         |    SUM(n * w * EXP(0.25 * x) * x) AS s1g
+         |  FROM c GROUP BY t),
+         |h AS (SELECT t,
+         |    SUM(s0g) OVER rw AS s0, SUM(s1g) OVER rw AS s1
+         |  FROM g WINDOW rw AS (ORDER BY t DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT ROUND(SUM(c.nd * c.w * (c.x - h.s1 / h.s0)), 4) AS score_u2,
+         |  CAST(COUNT(DISTINCT c.t) AS BIGINT) AS n_times,
+         |  CAST(SUM(c.n) AS BIGINT) AS n_rows
+         |FROM c JOIN h ON h.t = c.t""".stripMargin) { (s, d) =>
+      val base = survFrame(s, d)
+      val cells = base.groupBy(col("t"), col("x"), col("w"))
+        .agg(sum(col("d")).as("nd"), count(lit(1)).as("n"))
+      val we = col("n") * col("w") * exp(lit(0.25) * col("x"))
+      val g = cells.groupBy(col("t"))
+        .agg(sum(we).as("s0g"), sum(we * col("x")).as("s1g"))
+      // risk-set totals at each distinct time (suffix sums over the
+      // tie-collapsed step table), broadcast back onto the cells —
+      // the tie expansion as a join, no per-subject window
+      val h = Windows.suffixSum(g, col("t"),
+        Seq(col("s0g") -> "s0", col("s1g") -> "s1"))
+      cells.join(broadcast(h.select(col("t"), col("s0"), col("s1"))), Seq("t"))
+        .agg(
+          round(sum(col("nd") * col("w") *
+            (col("x") - col("s1") / col("s0"))), 4).as("score_u2"),
+          countDistinct(col("t")).as("n_times"),
+          sum(col("n")).as("n_rows"))
+    },
+
     // ---- M2 full NR fit: 4 pinned Newton iterations, unrolled into
     //      DuckDB CTEs (free convergence is ScalaTest-covered) ----
     sqlChecked("m2_cox_fit",

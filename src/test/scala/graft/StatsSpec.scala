@@ -51,6 +51,31 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(u(0)) < 1e-8)
   }
 
+  test("M2 U2 tie-expanded per-subject score residual ≈ 0 at the fit") {
+    // heavier ties than the M2 fixture: only three distinct event
+    // times, several subjects per time (taylor_deviate.R:1167-1198's
+    // H_uniq re-expansion path is exercised on every row)
+    val df = Seq(
+      (1.0, 1.0, 1.0, 0.5), (1.0, 1.0, 2.0, -0.2), (1.0, 0.0, 1.0, 0.9),
+      (2.0, 1.0, 1.0, 1.0), (2.0, 1.0, 1.0, 0.3), (2.0, 0.0, 1.5, -0.5),
+      (3.0, 1.0, 1.0, 0.8), (3.0, 1.0, 1.0, 1.2), (3.0, 0.0, 2.0, -1.0)
+    ).toDF("t", "d", "w", "x")
+    val fit = CoxPH.fit(df, col("t"), col("d"), col("w"), Seq(col("x")))
+    assert(fit.converged)
+    val beta = fit.coefficients(0)
+    // per-subject residual form: suffix risk-set sums on the
+    // tie-collapsed step table, joined back to every subject
+    val we = col("w") * exp(lit(beta) * col("x"))
+    val g = df.groupBy(col("t")).agg(sum(we).as("s0g"),
+      sum(we * col("x")).as("s1g"))
+    val h = graft.core.Windows.suffixSum(g, col("t"),
+      Seq(col("s0g") -> "s0", col("s1g") -> "s1"))
+    val u2 = df.join(h.select(col("t"), col("s0"), col("s1")), Seq("t"))
+      .agg(sum(col("d") * col("w") * (col("x") - col("s1") / col("s0"))))
+      .head().getDouble(0)
+    assert(math.abs(u2) < 1e-8, s"tie-expanded U2 not ~0: $u2")
+  }
+
   test("M8 Breslow cumulative baseline hazard steps") {
     val df = Seq(
       (1.0, 1.0, 1.0, 0.5), (1.0, 1.0, 2.0, -0.2), (2.0, 1.0, 1.0, 1.0),
