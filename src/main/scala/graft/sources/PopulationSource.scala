@@ -67,7 +67,7 @@ private class PopulationTable extends Table with SupportsRead {
       options.getLong("seed", 1L))
 }
 
-/** Scan with BOTH pushdowns a generated source can honor:
+/** Scan with the THREE pushdowns a generated source can honor:
   *
   *  - id-range filters (`id <=/</>=/>/= k`) clamp the generated range
   *    itself, so `WHERE id <= 1000` over a billion-row population
@@ -75,15 +75,28 @@ private class PopulationTable extends Table with SupportsRead {
   *    source-level analogue of partition pruning;
   *  - column pruning drops the Box–Muller computation entirely when
   *    `z` is not requested (two transcendental calls per row saved —
-  *    visible in the scan's readSchema, like a parquet ReadSchema).
+  *    visible in the scan's readSchema, like a parquet ReadSchema);
+  *  - aggregate pushdown for ungrouped COUNT(*)/COUNT(id)/MIN(id)/
+  *    MAX(id): over a contiguous generated range these are CLOSED
+  *    FORM — count = hi−lo+1, min = lo, max = hi — so `count(*)` over
+  *    a billion-row population answers from arithmetic, generating
+  *    nothing. Spark only attempts the push when every filter was
+  *    consumed (the id clamps), so the answers are post-filter exact.
+  *    The same single answer row serves complete pushdown and, were
+  *    Spark to fall back to partial mode, is a valid partial (its
+  *    final SUM/MIN/MAX over one row is the identity).
   *
   * Non-id filters are left to Spark (`pushedFilters` returns only what
   * the source fully honors, so Spark re-applies the rest — the
-  * standard residual-filter contract).
+  * standard residual-filter contract — and their presence blocks the
+  * aggregate push entirely).
   */
 private class PopulationScan(n: Long, partitions: Int, seed: Long)
     extends ScanBuilder with Scan with Batch
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.sources._
 
   private var lo = 1L
@@ -119,30 +132,97 @@ private class PopulationScan(n: Long, partitions: Int, seed: Long)
     cols = StructType(PopulationSource.schema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = this
-  override def readSchema(): StructType = cols
-  override def toBatch: Batch = this
+  // pushed aggregate specs, in Spark's requested output order
+  private var aggs: Option[Seq[String]] = None
 
-  // contiguous id ranges over the CLAMPED [lo, hi]
-  override def planInputPartitions(): Array[InputPartition] = {
-    val count = math.max(0L, hi - lo + 1)
-    val p = math.max(1, math.min(partitions.toLong, count)).toInt
-    Array.tabulate(p) { k =>
-      PopulationPartition(
-        lo + k * count / p, lo + (k + 1) * count / p, seed,
-        cols.fieldNames.toIndexedSeq)
+  private def translate(aggregation: Aggregation): Option[Seq[String]] = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    if (aggregation.groupByExpressions.nonEmpty) None
+    else {
+      val specs = aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count")
+        // ids are unique and non-null, so COUNT(id) — even DISTINCT —
+        // equals the range count
+        case c: Count if isId(c.column) => Some("count")
+        case m: Min if isId(m.column) => Some("min")
+        case m: Max if isId(m.column) => Some("max")
+        case _ => None
+      }
+      if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get))
+      else None
     }
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translate(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    translate(aggregation) match {
+      case Some(s) => aggs = Some(s); true
+      case None => false
+    }
+
+  override def build(): Scan = this
+  override def readSchema(): StructType = aggs match {
+    case Some(s) => StructType(s.zipWithIndex.map { case (a, i) =>
+      // count over any range is non-null; min/max are null on an
+      // empty (over-clamped) range, as SQL requires
+      StructField(s"agg_$i", LongType, nullable = a != "count")
+    })
+    case None => cols
+  }
+  override def toBatch: Batch = this
+  override def description(): String = aggs match {
+    case Some(s) => s"graft_population PushedAggregates: [${s.mkString(", ")}]"
+    case None => "graft_population"
+  }
+
+  // contiguous id ranges over the CLAMPED [lo, hi] — or, with pushed
+  // aggregates, ONE closed-form answer row and no generation at all
+  override def planInputPartitions(): Array[InputPartition] = aggs match {
+    case Some(s) =>
+      Array(PopulationAggPartition(math.max(0L, hi - lo + 1), lo, hi, s))
+    case None =>
+      val count = math.max(0L, hi - lo + 1)
+      val p = math.max(1, math.min(partitions.toLong, count)).toInt
+      Array.tabulate(p) { k =>
+        PopulationPartition(
+          lo + k * count / p, lo + (k + 1) * count / p, seed,
+          cols.fieldNames.toIndexedSeq)
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PopulationReaderFactory
 }
 
+private case class PopulationAggPartition(count: Long, lo: Long, hi: Long,
+    specs: Seq[String]) extends InputPartition
+
 private case class PopulationPartition(start: Long, end: Long, seed: Long,
     cols: IndexedSeq[String]) extends InputPartition
 
 private class PopulationReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case agg: PopulationAggPartition => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow = InternalRow(agg.specs.map {
+          case "count" => agg.count
+          case "min" => if (agg.count > 0) agg.lo else null
+          case "max" => if (agg.count > 0) agg.hi else null
+        }: _*)
+        override def close(): Unit = ()
+      }
+      case _ => rowReader(p)
+    }
+
+  private def rowReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val pp = p.asInstanceOf[PopulationPartition]
       private var cur = pp.start - 1

@@ -129,4 +129,38 @@ class SourcesSpec extends SparkSpec {
     assert(!uPlan.contains("z#"), s"z not pruned from the scan:\n$uPlan")
     assert(uOnly.collect().length == 5)
   }
+
+  test("DSv2 population source: COUNT/MIN/MAX(id) answer closed-form, no generation") {
+    val df = spark.read.format("graft.sources.PopulationSource")
+      .option("n", 50000000).option("partitions", 8).option("seed", 3)
+      .load()
+
+    // 50M-row count must be instant arithmetic: the pushed-agg scan
+    // plans ONE answer row and Spark drops its own aggregate
+    val cnt = df.agg(count(lit(1)))
+    val t0 = System.nanoTime()
+    assert(cnt.head().getLong(0) == 50000000L)
+    val dt = (System.nanoTime() - t0) / 1e9
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(cntPlan.contains("PushedAggregates"),
+      s"aggregate not pushed into the scan:\n$cntPlan")
+    assert(dt < 5.0, s"pushed count(*) took ${dt}s — generated the rows?")
+
+    // min/max compose with the id-range clamp (post-filter exactness)
+    val mm = df.filter(col("id") > 100 && col("id") <= 2000)
+      .agg(min(col("id")), max(col("id")), count(col("id"))).head()
+    assert((mm.getLong(0), mm.getLong(1), mm.getLong(2)) == ((101L, 2000L, 1900L)))
+
+    // a residual (non-pushable) filter must BLOCK the push: Spark
+    // re-aggregates over really-generated rows
+    val guarded = spark.read.format("graft.sources.PopulationSource")
+      .option("n", 1000).option("partitions", 4).option("seed", 3).load()
+      .filter(col("u") > 0.5).agg(count(lit(1)))
+    assert(!guarded.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"), "agg pushed past a residual filter")
+    val manual = spark.read.format("graft.sources.PopulationSource")
+      .option("n", 1000).option("partitions", 4).option("seed", 3).load()
+      .collect().count(_.getDouble(1) > 0.5).toLong
+    assert(guarded.head().getLong(0) == manual)
+  }
 }
