@@ -297,6 +297,47 @@ class PlanSpec extends SparkSpec {
       s"token stream must not shuffle for the 128-row join:\n$p")
   }
 
+  test("m49_caliper_match: sorted-NN matching — no pair join, no global window") {
+    val p = plan("m49_caliper_match")
+    // the r6 redesign replaced the degenerate bucketed candidate join
+    // (treated × controls at a concentrated score) with interleaved
+    // LOCF carries: any regression re-surfaces as a pair-enumerating
+    // join or a single-task global window
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"m49 regressed to pair enumeration:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"m49 regressed to a single-partition global window:\n$p")
+    // the carries run per range-partition (windows keyed on the pid)
+    assert(p.contains("windowspecdefinition(__graft_pid"),
+      s"expected pid-partitioned carry windows:\n$p")
+  }
+
+  test("j11_range_auto: the optimizer rule yields a bucket equi-join") {
+    val p = plan("j11_range_auto")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range-join rewrite did not fire:\n$p")
+    assert(p.contains("__graft_bucket") && p.toLowerCase.contains("generate"),
+      s"no bucket explode / bucket key in plan:\n$p")
+  }
+
+  test("j12_range_auto_dbl: the floating path fires with catch-all routing") {
+    val p = plan("j12_range_auto_dbl")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"floating range-join rewrite did not fire:\n$p")
+    assert(p.contains("__graft_bucket"), s"no bucket key in plan:\n$p")
+  }
+
+  test("s16_event_source: batch path reads the DSv2 scan directly") {
+    val p = plan("s16_event_source")
+    assert(p.contains("BatchScan graft_event_stream"),
+      s"expected the DSv2 batch scan:\n$p")
+    assert(!p.contains("HashAggregate"), // pure scan + sort, no agg
+      s"unexpected aggregation in the source read:\n$p")
+  }
+
   test("s15_zorder / m48_brr_fay: exact-integer passes stay in hash aggregates") {
     for (q <- Seq("s15_zorder", "m48_brr_fay")) {
       val p = plan(q)
