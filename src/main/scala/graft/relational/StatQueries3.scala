@@ -477,17 +477,21 @@ object StatQueries3 {
         |  FROM customer GROUP BY c_nationkey),
         |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(t_i) AS tot,
         |    var_samp(t_i) AS s2 FROM psu)
-        |SELECT CAST(k AS BIGINT) AS k, ROUND(tot, 4) AS total,
-        |  ROUND(k * s2, 2) AS var_tot,
+        |SELECT CAST(k AS BIGINT) AS k, ROUND(tot, 2) AS total,
+        |  ROUND(k * s2, -4) AS var_tot,
         |  ROUND(SQRT(k * s2), 4) AS se
         |FROM a""".stripMargin) { (s, d) =>
       val psu = t(s, d, "customer")
         .groupBy(col("c_nationkey")).agg(sum(col("c_acctbal")).as("t_i"))
       psu.agg(count(lit(1)).cast("double").as("k"),
           sum(col("t_i")).as("tot"), var_samp(col("t_i")).as("s2"))
+        // var_tot is O(5e13): its double ulp (~0.008) times the PSU
+        // sum's accumulated drift exceeds any positive-scale quantum,
+        // so round to the nearest 1e4 (relative resolution ~2e-10) —
+        // the raw-ulp compare flipped on the sf1 probe
         .select(col("k").cast("long").as("k"),
-          round(col("tot"), 4).as("total"),
-          round(col("k") * col("s2"), 2).as("var_tot"),
+          round(col("tot"), 2).as("total"),
+          round(col("k") * col("s2"), -4).as("var_tot"),
           round(sqrt(col("k") * col("s2")), 4).as("se"))
     },
 

@@ -293,11 +293,13 @@ object StatQueries4 {
     //      integer micro-units (1e-6 — cross-engine ulp noise cannot
     //      move a score across a caliper boundary), then match every
     //      treated unit to its nearest control within a 0.02 caliper.
-    //      Candidates come from a ±1 bucket band join on the score
-    //      (bucket = caliper width), so pair generation is linear in
-    //      candidates, never treated×controls; the argmin is a
-    //      lexicographic struct-min (distance, then control id) — no
-    //      per-treated window over the data. ----
+    //      BOTH engines use the sorted nearest-neighbor form (controls
+    //      collapsed to distinct scores, interleaved with treated in
+    //      score order, LOCF both directions, closer-of-prev/next with
+    //      a (distance, id) tiebreak): the weak propensity model
+    //      concentrates scores, so any in-caliper pair enumeration —
+    //      engine OR oracle — degenerates to treated×controls (the
+    //      sf1 probe OOM'd DuckDB on the old band-join oracle). ----
     sqlChecked("m49_caliper_match", {
       val baseSql =
         """SELECT c_custkey AS id,
@@ -309,20 +311,41 @@ object StatQueries4 {
          |      AS BIGINT) AS sq
          |  FROM base, it6 p),
          |tr AS (SELECT id AS t_id, sq AS t_sq FROM sc WHERE y = 1.0),
-         |ct AS (SELECT id AS c_id, sq AS c_sq, sq // 20000 AS b
-         |  FROM sc WHERE y = 0.0),
-         |tb AS (SELECT t_id, t_sq,
-         |    unnest([t_sq // 20000 - 1, t_sq // 20000, t_sq // 20000 + 1]) AS b
-         |  FROM tr),
-         |cand AS (SELECT t_id, t_sq, c_id, c_sq, ABS(t_sq - c_sq) AS dist
-         |  FROM tb JOIN ct USING (b) WHERE ABS(t_sq - c_sq) <= 20000),
-         |best AS (SELECT t_id, c_id, c_sq, dist FROM (
-         |    SELECT t_id, c_id, c_sq, dist, ROW_NUMBER() OVER (
-         |      PARTITION BY t_id ORDER BY dist, c_id) AS rn FROM cand)
-         |  WHERE rn = 1)
-         |SELECT tr.t_id, tr.t_sq, b.c_id, b.c_sq, b.dist
-         |FROM tr LEFT JOIN best b USING (t_id)
-         |ORDER BY t_id""".stripMargin
+         |ctq AS (SELECT sq AS csq, MIN(id) AS cid
+         |  FROM sc WHERE y = 0.0 GROUP BY sq),
+         |uni AS (SELECT csq * 2 AS ord, CAST(NULL AS BIGINT) AS t_id,
+         |    csq AS sq, csq AS c_csq, cid AS c_cid FROM ctq
+         |  UNION ALL SELECT t_sq * 2 + 1, t_id, t_sq, NULL, NULL FROM tr),
+         |lw AS (SELECT ord, t_id, sq,
+         |    LAST_VALUE(c_csq IGNORE NULLS) OVER (ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_csq,
+         |    LAST_VALUE(c_cid IGNORE NULLS) OVER (ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_cid,
+         |    FIRST_VALUE(c_csq IGNORE NULLS) OVER (ORDER BY ord
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_csq,
+         |    FIRST_VALUE(c_cid IGNORE NULLS) OVER (ORDER BY ord
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_cid
+         |  FROM uni),
+         |best AS (SELECT t_id, sq AS t_sq,
+         |    CASE
+         |      WHEN p_csq IS NULL AND n_csq IS NULL THEN NULL
+         |      WHEN n_csq IS NULL THEN p_cid
+         |      WHEN p_csq IS NULL THEN n_cid
+         |      WHEN (ABS(sq - p_csq), p_cid) <= (ABS(sq - n_csq), n_cid)
+         |        THEN p_cid ELSE n_cid END AS c_id,
+         |    CASE
+         |      WHEN p_csq IS NULL AND n_csq IS NULL THEN NULL
+         |      WHEN n_csq IS NULL THEN p_csq
+         |      WHEN p_csq IS NULL THEN n_csq
+         |      WHEN (ABS(sq - p_csq), p_cid) <= (ABS(sq - n_csq), n_cid)
+         |        THEN p_csq ELSE n_csq END AS c_sq
+         |  FROM lw WHERE t_id IS NOT NULL)
+         |SELECT t_id, t_sq,
+         |  CASE WHEN ABS(t_sq - c_sq) <= 20000 THEN c_id END AS c_id,
+         |  CASE WHEN ABS(t_sq - c_sq) <= 20000 THEN c_sq END AS c_sq,
+         |  CASE WHEN ABS(t_sq - c_sq) <= 20000
+         |    THEN ABS(t_sq - c_sq) END AS dist
+         |FROM best ORDER BY t_id""".stripMargin
     }) { (s, d) =>
       val base = t(s, d, "customer").select(
         col("c_custkey").cast("long").as("id"),

@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Build BENCH_sf1_probe.json: sf1 timings for the most expensive
+queries vs their sf0.1 baseline, with scaling ratios.
+
+Usage: python3 tools/bench_probe.py <sf1_bench_json_line_file> [out]
+
+The input is a file containing graft.Bench's final JSON line from a
+run with SPARK_GRAFT_SF_DIR pointed at the sf1 scale-up directory and
+SPARK_GRAFT_BENCH_ONLY restricted to the probe set. The sf0.1 baseline
+is read from bench_queries_r06.json (the driver's full per-query map).
+A ratio beyond ~15x on 10x data flags super-linear behavior the sf0.1
+bench cannot see (hidden skew, quadratic candidate growth, ...).
+"""
+import json, sys
+
+def main(inp, out="BENCH_sf1_probe.json"):
+    line = [l for l in open(inp) if '"metric"' in l][-1]
+    sf1 = json.loads(line)
+    base = json.load(open("bench_queries_r06.json"))["queries"]
+    rows = {}
+    for name, sec in sorted(sf1["queries"].items(), key=lambda x: -x[1]):
+        b = base.get(name)
+        rows[name] = {
+            "sf1_sec": sec,
+            "sf01_sec": b,
+            "ratio": round(sec / b, 2) if b else None,
+        }
+    flagged = [n for n, r in rows.items()
+               if r["ratio"] is not None and r["ratio"] > 15.0]
+    doc = {
+        "metric": "sf1_probe",
+        "sf1_total_sec": sf1["value"],
+        "n_queries": len(rows),
+        "failed": sf1.get("failed", []),
+        "flagged_superlinear": flagged,
+        "note": "sf1 = deterministic 10x scale-up of sf0.1 "
+                "(graft.ScaleUp); ratio = sf1/sf0.1 seconds, "
+                "linear scaling ~10, >15 flags super-linear behavior",
+        "queries": rows,
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({k: doc[k] for k in
+        ("sf1_total_sec", "n_queries", "failed", "flagged_superlinear")}))
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -62,9 +62,20 @@ def compare(name, spark_df, duck_df):
     return None
 
 def main(sf_dir, out_dir):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    import os
+    def connect():
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            # Spark-written tables are directories of part files (the
+            # sf1 scale-up probe); the driver's single-file layout
+            # stays as-is
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return con
+    con = connect()
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok, bad, miss = [], [], []
     for name, sql in sorted(oracle.items()):
@@ -76,7 +87,16 @@ def main(sf_dir, out_dir):
         try:
             duck_df = con.execute(sql).fetchdf()
         except Exception as e:
-            bad.append((name, f"ORACLE-SQL-ERROR {e}")); continue
+            bad.append((name, f"ORACLE-SQL-ERROR {e}"))
+            # a blown-up oracle (e.g. an OOM) can leave the connection
+            # unable to serve even tiny allocations — reconnect so one
+            # hog cannot cascade failures over the rest of the catalog
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect()
+            continue
         err = compare(name, spark_df, duck_df)
         (bad.append((name, err)) if err else ok.append(name))
     print(f"PASS {len(ok)}/{len(oracle)}")
