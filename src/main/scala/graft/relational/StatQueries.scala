@@ -193,10 +193,15 @@ object StatQueries {
         .orderBy(col("c_custkey"))
     },
 
-    // ---- M5: KW pseudo-weights, compact kernel + zero-row rescue ----
+    // ---- M5: KW pseudo-weights, compact kernel + zero-row rescue.
+    //      Survey side capped at 1000 suppliers like a7_kernel_norm
+    //      (fixed survey sample; no-op at <= sf0.1) — the engine's
+    //      band join is cohort-linear either way, but the oracle's
+    //      dense replay is not. ----
     sqlChecked("m5_kw",
       """WITH s AS (SELECT s_suppkey AS s_id, s_acctbal / 1000.0 AS q_s,
-        |             (s_suppkey % 5) + 1.0 AS wt_s FROM supplier),
+        |             (s_suppkey % 5) + 1.0 AS wt_s FROM supplier
+        |           WHERE s_suppkey < 1000),
         |     c AS (SELECT c_custkey AS c_id, c_acctbal / 1000.0 AS q_c FROM customer),
         |     k AS (SELECT s_id, wt_s, c_id,
         |             GREATEST(0.0, 1.0 - ABS((q_s - q_c) / 0.05)) AS k
@@ -212,7 +217,8 @@ object StatQueries {
       // to the dense cross join (band≡dense asserted in StatsSpec) and
       // prunes the pair stream to O(matching pairs)
       graft.weights.KernelWeights.compute(
-          t(s, d, "supplier"), col("s_suppkey"), col("s_acctbal") / 1000.0,
+          t(s, d, "supplier").filter(col("s_suppkey") < 1000),
+          col("s_suppkey"), col("s_acctbal") / 1000.0,
           (col("s_suppkey") % 5 + 1.0).cast("double"),
           t(s, d, "customer"), col("c_custkey"), col("c_acctbal") / 1000.0,
           h = 0.05, kernel = Kernels.triangular, bandJoin = true)
@@ -226,7 +232,8 @@ object StatQueries {
     // contributes nothing and its mass leaves the system) ----
     sqlChecked("m5_kw_rms",
       """WITH s AS (SELECT s_suppkey AS s_id, s_acctbal / 1000.0 AS q_s,
-        |             (s_suppkey % 5) + 1.0 AS wt_s FROM supplier),
+        |             (s_suppkey % 5) + 1.0 AS wt_s FROM supplier
+        |           WHERE s_suppkey < 1000),
         |     c AS (SELECT c_custkey AS c_id, c_acctbal / 1000.0 AS q_c FROM customer),
         |     k AS (SELECT s_id, wt_s, c_id,
         |             GREATEST(0.0, 1.0 - ABS((q_s - q_c) / 0.05)) AS k
@@ -239,7 +246,8 @@ object StatQueries {
         |FROM c LEFT JOIN contrib ON contrib.c_id = c.c_id
         |ORDER BY c.c_id""".stripMargin) { (s, d) =>
       graft.weights.KernelWeights.compute(
-          t(s, d, "supplier"), col("s_suppkey"), col("s_acctbal") / 1000.0,
+          t(s, d, "supplier").filter(col("s_suppkey") < 1000),
+          col("s_suppkey"), col("s_acctbal") / 1000.0,
           (col("s_suppkey") % 5 + 1.0).cast("double"),
           t(s, d, "customer"), col("c_custkey"), col("c_acctbal") / 1000.0,
           h = 0.05, kernel = Kernels.triangular, bandJoin = true,

@@ -130,6 +130,42 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("decimal (≤15-digit) points ride the floating path exactly") {
+    import spark.implicits._
+    // decimal(10,2) values are exact in a double, so the floor(x/W)
+    // bucketing is value-faithful; >15-digit decimals must NOT rewrite
+    val dp = (-20L to 20L).map(p => (p, BigDecimal(p * 25) + BigDecimal("0.25")))
+      .toDF("pid", "praw")
+      .select(col("pid"), col("praw").cast("decimal(10,2)").as("p"))
+    val di = Seq((1L, "-300.00", "-100.50"), (2L, "-0.25", "120.75"),
+        (3L, "400.00", "300.00") /* degenerate */, (4L, "499.25", "500.25"))
+      .toDF("iid", "lo0", "hi0")
+      .select(col("iid"), col("lo0").cast("decimal(10,2)").as("lo"),
+        col("hi0").cast("decimal(10,2)").as("hi"))
+    def run = dp.join(di, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select(col("pid"), col("iid"))
+    val expect = withRule(None) { run.collect().map(r => (r.getLong(0), r.getLong(1))).toSet }
+    val got = withRule(Some(64L)) {
+      val df = run
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_bucket"), s"decimal rewrite did not fire:\n$p")
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(expect.nonEmpty && got == expect,
+      s"decimal rewrite changed results: ${got.diff(expect)} / ${expect.diff(got)}")
+    // wide decimals (precision > 15) are not double-exact: stay out
+    withRule(Some(64L)) {
+      val wide = dp.select(col("pid"), col("p").cast("decimal(30,10)").as("p"))
+        .join(di.select(col("iid"), col("lo").cast("decimal(30,10)").as("lo"),
+          col("hi").cast("decimal(30,10)").as("hi")),
+          col("p") >= col("lo") && col("p") <= col("hi"))
+      wide.collect()
+      assert(!wide.queryExecution.executedPlan.toString.contains("__graft_bucket"),
+        "rule fired on a 30-digit decimal")
+    }
+  }
+
   // ---- semi / anti / outer shapes ----
 
   private def shaped(tpe: String) = points.join(intervals,
