@@ -13,7 +13,7 @@ bench cannot see (hidden skew, quadratic candidate growth, ...).
 """
 import json, sys
 
-def main(inp, out="BENCH_sf1_probe.json"):
+def main(inp, out="BENCH_sf1_probe.json", scale="10"):
     line = [l for l in open(inp) if '"metric"' in l][-1]
     sf1 = json.loads(line)
     base = json.load(open("bench_queries_r06.json"))["queries"]
@@ -21,27 +21,29 @@ def main(inp, out="BENCH_sf1_probe.json"):
     for name, sec in sorted(sf1["queries"].items(), key=lambda x: -x[1]):
         b = base.get(name)
         rows[name] = {
-            "sf1_sec": sec,
+            "scaled_sec": sec,
             "sf01_sec": b,
             "ratio": round(sec / b, 2) if b else None,
         }
+    scale = float(scale)
     flagged = [n for n, r in rows.items()
-               if r["ratio"] is not None and r["ratio"] > 15.0]
+               if r["ratio"] is not None and r["ratio"] > 1.5 * scale]
     doc = {
-        "metric": "sf1_probe",
-        "sf1_total_sec": sf1["value"],
+        "metric": "scale_probe",
+        "scaled_total_sec": sf1["value"],
         "n_queries": len(rows),
         "failed": sf1.get("failed", []),
         "flagged_superlinear": flagged,
-        "note": "sf1 = deterministic 10x scale-up of sf0.1 "
-                "(graft.ScaleUp); ratio = sf1/sf0.1 seconds, "
-                "linear scaling ~10, >15 flags super-linear behavior",
+        "scale_vs_sf01": scale,
+        "note": "deterministic scale-up of sf0.1 (graft.ScaleUp); "
+                "ratio = scaled/sf0.1 seconds; linear scaling ~= the "
+                "scale factor, >1.5x scale flags super-linear behavior",
         "queries": rows,
     }
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps({k: doc[k] for k in
-        ("sf1_total_sec", "n_queries", "failed", "flagged_superlinear")}))
+        ("scaled_total_sec", "n_queries", "failed", "flagged_superlinear")}))
 
 if __name__ == "__main__":
     main(*sys.argv[1:])
