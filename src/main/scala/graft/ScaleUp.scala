@@ -41,9 +41,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val dst = args(1)
-    val copies = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,7 +49,12 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0), args(1),
+      if (args.length > 2) args(2).toInt else 10)
+    finally spark.stop()
+  }
 
+  def run(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
@@ -136,7 +138,5 @@ object ScaleUp {
         if (k == 0) col("embedding")
         else transform(sequence(lit(0), lit(dim - 1)),
           i => col("embedding")(pmod(i + k, lit(dim)))))), "embeddings", 2)
-
-    spark.stop()
   }
 }
