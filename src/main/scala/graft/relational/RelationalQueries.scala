@@ -428,11 +428,13 @@ object RelationalQueries {
     // ---- A9: stratified variance of totals ----
     sqlChecked("a9_var_total",
       """SELECT l_returnflag,
-        |  ROUND(COUNT(*) * var_samp(l_extendedprice * (1 - l_discount)), 2) AS v_pps
+        |  ROUND(COUNT(*) * var_samp(l_extendedprice * (1 - l_discount)), -6) AS v_pps
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        // v_pps is O(1e15) at sf1 — a positive-scale quantum sits below
+        // the double's own ulp (0.25 there), so round to the nearest 1e6
         .agg(round(count(lit(1)) *
-          var_samp(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("v_pps"))
+          var_samp(col("l_extendedprice") * (lit(1) - col("l_discount"))), -6).as("v_pps"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -674,11 +676,11 @@ object RelationalQueries {
     // ---- events: tumbling time-window aggregation (§2.10 batch analogue) ----
     sqlChecked("ev_tumbling",
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS win,
-        |  event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+        |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS v
         |FROM events GROUP BY 1, 2 ORDER BY win, event_type""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
         .select(unix_timestamp(col("w.start")).as("win"), col("event_type"),
           col("n"), col("v"))
         .orderBy(col("win"), col("event_type"))

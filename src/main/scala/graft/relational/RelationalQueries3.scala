@@ -235,11 +235,11 @@ object RelationalQueries3 {
         |  UNION ALL
         |  SELECT w1 - INTERVAL '30 minutes' AS win, value FROM b)
         |SELECT CAST(epoch(win) AS BIGINT) AS win, COUNT(*) AS n,
-        |  ROUND(SUM(value), 2) AS v
+        |  ROUND(SUM(value), 4) AS v
         |FROM exploded GROUP BY 1 ORDER BY win""".stripMargin) { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
         .select(unix_timestamp(col("w.start")).as("win"), col("n"), col("v"))
         .orderBy(col("win"))
     },

@@ -632,7 +632,7 @@ object RelationalQueries5 {
         |      WINDOW w AS (PARTITION BY event_type ORDER BY hr
         |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
         |SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hr,
-        |  ROUND(v, 2) AS v,
+        |  ROUND(v, 4) AS v,
         |  ROUND(CASE WHEN n >= 12 AND sd > 0 THEN (v - mu) / sd END, 4) AS z,
         |  CASE WHEN n >= 12 AND sd > 0 AND ABS((v - mu) / sd) > 3
         |       THEN 1 ELSE 0 END AS anomaly
@@ -647,7 +647,7 @@ object RelationalQueries5 {
         .withColumn("sd", stddev_samp(col("v")).over(w))
         .withColumn("n", count(lit(1)).over(w))
         .select(col("event_type"), unix_timestamp(col("hr")).as("hr"),
-          round(col("v"), 2).as("v"),
+          round(col("v"), 4).as("v"),
           round(when(col("n") >= 12 && col("sd") > 0,
             (col("v") - col("mu")) / col("sd")), 4).as("z"),
           when(col("n") >= 12 && col("sd") > 0 &&
