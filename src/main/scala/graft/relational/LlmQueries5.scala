@@ -157,45 +157,6 @@ object LlmQueries5 {
         .orderBy(col("media_id"), col("frame"))
     },
 
-    // ---- sequence packing for pretraining: concatenate the corpus in
-    //      doc order and split every C tokens (the GPT-style pack —
-    //      documents may span chunk boundaries). Per doc: its token
-    //      count and the first/last training chunk it lands in —
-    //      everything downstream sharding needs (chunk → shard, span
-    //      docs → duplication across shards). The global token prefix
-    //      sum runs as the two-phase scan (no single-task window);
-    //      all arithmetic is exact BIGINT, C is a power of two, so
-    //      both engines agree bit-for-bit at any corpus size. ----
-    sqlChecked("t_seq_pack",
-      s"""WITH toks AS (SELECT doc_id,
-         |    CAST(len(string_split($normSql, ' ')) AS BIGINT) AS tok
-         |  FROM documents),
-         |c AS (SELECT doc_id, tok,
-         |    SUM(tok) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM toks)
-         |SELECT doc_id, tok,
-         |  CAST((cum - tok) // 2048 AS BIGINT) AS chunk_first,
-         |  CAST((cum - 1) // 2048 AS BIGINT) AS chunk_last,
-         |  CAST((cum - 1) // 2048 - (cum - tok) // 2048 + 1 AS BIGINT)
-         |    AS n_chunks
-         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val toks = t(s, d, "documents").select(col("doc_id"),
-        size(split(Dedup.normalize(col("text")), " ")).cast("long").as("tok"))
-      // token totals stay far below 2^53, so the scan's double
-      // accumulators are exact and the BIGINT cast loses nothing
-      val cum = graft.core.Windows.scan(toks, Seq(col("doc_id")),
-          Seq(col("tok") -> "cum"),
-          sizeHint = graft.core.Windows.SizeHint.Large)
-        .withColumn("cum", col("cum").cast("long"))
-      cum.select(col("doc_id"), col("tok"),
-          expr("(cum - tok) div 2048").as("chunk_first"),
-          expr("(cum - 1) div 2048").as("chunk_last"),
-          (expr("(cum - 1) div 2048") - expr("(cum - tok) div 2048") + 1L)
-            .as("n_chunks"))
-        .orderBy(col("doc_id"))
-    },
-
     // ---- exact top-20 corpus tokens via the Misra–Gries mergeable
     //      sketch + exact recount: the frequent-items primitive a
     //      100 TB vocabulary sweep needs (bounded per-partition state,

@@ -338,14 +338,6 @@ class PlanSpec extends SparkSpec {
       s"unexpected aggregation in the source read:\n$p")
   }
 
-  test("t_seq_pack: the global token prefix sum is two-phase, never one task") {
-    val p = plan("t_seq_pack")
-    assert(!p.contains("Exchange SinglePartition"),
-      s"packing cumsum funneled through one task:\n$p")
-    assert(p.contains("windowspecdefinition(__graft_pid"),
-      s"expected the pid-partitioned two-phase scan:\n$p")
-  }
-
   test("s15_zorder / m48_brr_fay: exact-integer passes stay in hash aggregates") {
     for (q <- Seq("s15_zorder", "m48_brr_fay")) {
       val p = plan(q)
