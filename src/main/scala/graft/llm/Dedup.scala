@@ -763,7 +763,10 @@ object Dedup {
       spark.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
   }
 
-  /** Embedding-cosine near-duplicate pairs within a blocking key. */
+  /** Embedding-cosine near-duplicate pairs within a blocking key.
+    * Exact and quadratic in the block size — use for bounded blocks
+    * or bounded batches ([[embeddingNearDupBatch]]); whole-corpus
+    * semantic pruning belongs to the LSH-bucketed paths. */
   def embeddingNearDup(df: DataFrame, id: Column, vec: Column, block: Column,
       minCos: Double): DataFrame = {
     val base = df.select(id.as("id"), block.as("blk"),
@@ -771,6 +774,24 @@ object Dedup {
     val a = base.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Batch-vs-corpus variant of [[embeddingNearDup]]: every `batch`
+    * vector is exact-screened against the strictly-later corpus
+    * vectors sharing its block — the per-ingestion admission check,
+    * linear in the corpus for a fixed batch (the broadcast side is
+    * the batch). Pairs internal to the batch appear once (id_a <
+    * id_b). */
+  def embeddingNearDupBatch(batch: DataFrame, corpus: DataFrame,
+      id: Column, vec: Column, block: Column, minCos: Double): DataFrame = {
+    val a = batch.select(block.as("blk"), id.as("id_a"),
+      vec.cast("array<double>").as("v_a"))
+    val b = corpus.select(block.as("blk"), id.as("id_b"),
+      vec.cast("array<double>").as("v_b"))
+    b.join(broadcast(a), Seq("blk")).filter(col("id_b") > col("id_a"))
       .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))

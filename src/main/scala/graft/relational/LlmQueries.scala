@@ -171,7 +171,13 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // ---- embedding-cosine near-dup within label block ----
+    // ---- embedding-cosine near-dup: a FIXED 200-vector ingestion
+    //      batch exact-screened against the label-blocked corpus —
+    //      the admission check a pipeline runs per batch. Cost is
+    //      batch × corpus (linear in the corpus); the full
+    //      corpus-vs-corpus label self-join was quadratic on the sf1
+    //      probe (16x on 10x data) — whole-corpus semantic pruning is
+    //      d13_semdedup / sim_bucketed_ann's LSH-bucketed job. ----
     sqlChecked("d5_embed_neardup",
       """WITH base AS (SELECT vec_id, label,
         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -179,12 +185,14 @@ object LlmQueries {
         |  ROUND(list_dot_product(a.v, b.v) /
         |    (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))),
         |    6) AS cos
-        |FROM base a JOIN base b ON a.label = b.label AND a.vec_id < b.vec_id
+        |FROM base a JOIN base b
+        |  ON a.label = b.label AND a.vec_id < 200 AND b.vec_id > a.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |    (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      Dedup.embeddingNearDup(t(s, d, "embeddings"), col("vec_id"),
-          col("embedding"), col("label"), minCos = 0.45)
+      val emb = t(s, d, "embeddings")
+      Dedup.embeddingNearDupBatch(emb.filter(col("vec_id") < 200), emb,
+          col("vec_id"), col("embedding"), col("label"), minCos = 0.45)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     },

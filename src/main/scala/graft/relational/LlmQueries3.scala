@@ -134,15 +134,17 @@ object LlmQueries3 {
         .orderBy(col("label"))
     },
 
-    // ---- batched exact k-NN join: every 25th vector is a query; each
+    // ---- batched exact k-NN join: a FIXED 80-query batch; each query
     //      gets its top-5 corpus neighbors in ONE broadcast nested-loop
     //      pass + a query-partitioned window (no corpus self-shuffle).
     //      The batched-retrieval shape: RAG candidate fetch, eval-set
-    //      neighbor audits. ----
+    //      neighbor audits — the batch size is a workload constant
+    //      while the corpus grows (a %-of-corpus query set made this
+    //      query quadratic on the sf1 probe: 32x on 10x data). ----
     sqlChecked("sim_knn_join",
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 80),
         |scored AS (SELECT q.q_id, e.vec_id AS c_id,
         |    list_dot_product(e.v, q.qv) /
         |      (SQRT(list_dot_product(e.v, e.v)) *
@@ -156,7 +158,7 @@ object LlmQueries3 {
       val emb = t(s, d, "embeddings")
       Similarity.knnJoin(
           emb, col("vec_id"), col("embedding"),
-          emb.filter(col("vec_id") % 25 === 0), col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 80), col("vec_id"), col("embedding"),
           k = 5)
         .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"),
           col("rk").cast("long").as("rk"))

@@ -525,18 +525,26 @@ object RelationalQueries5 {
     // ---- j8: blocked fuzzy self-join (record linkage on short
     //      strings): candidates from a brand-block equi-join, length-
     //      difference lower bound pruned, thresholded Levenshtein ≤ 2.
-    //      The oracle replays the identical blocking and distance. ----
+    //      Linkage runs over DISTINCT (brand, name) records (min part
+    //      id as the representative) — duplicated rows of one entity
+    //      are exact-dedup's job (d1), and pairing them here both
+    //      re-reports the same name pair O(dups²) times and made the
+    //      sf1 probe quadratic (24x on 10x data). The oracle replays
+    //      the identical collapse, blocking, and distance. ----
     sqlChecked("j8_fuzzy_join",
-      """WITH p AS (SELECT p_partkey, p_name, p_brand FROM part)
-        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      """WITH p AS (SELECT p_brand, p_name, MIN(p_partkey) AS id
+        |  FROM part GROUP BY p_brand, p_name)
+        |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         |FROM p a JOIN p b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  ON a.p_brand = b.p_brand AND a.id < b.id
         |  AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
         |  AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val recs = t(s, d, "part").groupBy(col("p_brand"), col("p_name"))
+        .agg(min(col("p_partkey")).as("id"))
       graft.llm.EntityResolution.blockedFuzzyJoin(
-          t(s, d, "part"), col("p_partkey"), col("p_name"), col("p_brand"),
+          recs, col("id"), col("p_name"), col("p_brand"),
           maxDist = 2)
         .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
         .orderBy(col("id_a"), col("id_b"))

@@ -7,7 +7,7 @@ Usage: python3 tools/bench_probe.py <sf1_bench_json_line_file> [out]
 The input is a file containing graft.Bench's final JSON line from a
 run with SPARK_GRAFT_SF_DIR pointed at the sf1 scale-up directory and
 SPARK_GRAFT_BENCH_ONLY restricted to the probe set. The sf0.1 baseline
-is read from bench_queries_r06.json (the driver's full per-query map).
+is read from bench_queries_r07.json (the current full per-query map).
 A ratio beyond ~15x on 10x data flags super-linear behavior the sf0.1
 bench cannot see (hidden skew, quadratic candidate growth, ...).
 """
@@ -16,7 +16,7 @@ import json, sys
 def main(inp, out="BENCH_sf1_probe.json", scale="10"):
     line = [l for l in open(inp) if '"metric"' in l][-1]
     sf1 = json.loads(line)
-    base = json.load(open("bench_queries_r06.json"))["queries"]
+    base = json.load(open("bench_queries_r07.json"))["queries"]
     rows = {}
     for name, sec in sorted(sf1["queries"].items(), key=lambda x: -x[1]):
         b = base.get(name)
