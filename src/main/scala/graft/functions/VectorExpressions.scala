@@ -29,6 +29,11 @@ object VectorExpressions {
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Order-preserving IEEE-754 bit image of a double (see
+    * [[SortableBits]]). */
+  def sortableBits(a: Column): Column =
+    GraftSqlBridge.column(SortableBits(GraftSqlBridge.expression(a)))
 }
 
 trait VectorBinary extends BinaryExpression {
@@ -99,4 +104,53 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinary 
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Order-preserving map from a double to a signed long: the exact
+  * IEEE-754 trick radix sorts use. For non-negative doubles the raw
+  * bit pattern, read as a signed long, already ascends with the value
+  * (0x0000… for +0.0 up to 0x7FF0… for +Inf); for negatives the bits
+  * ascend as the value DEscends, so they are reflected below zero with
+  * `Long.MinValue - bits`. Properties, all exact by bit layout (no
+  * floating arithmetic, so no rounding argument needed):
+  *
+  *   - strictly monotone over ordered doubles: x < y ⇒ f(x) < f(y);
+  *   - f(-0.0) = f(+0.0) = 0 (numerically equal values collide, which
+  *     is what an order key wants);
+  *   - NaN (canonicalized by doubleToLongBits) maps above +Inf —
+  *     matching Spark SQL's NaN-greatest ordering.
+  *
+  * Any arithmetic right-shift of the result is then a weakly-monotone
+  * RADIX BUCKET of the double line — the deterministic, sample-free
+  * partitioning key behind [[graft.stats.WeightedQuantile]] (a
+  * `repartitionByRange` re-samples boundaries on every materialization;
+  * `shiftright(sortable_bits(x), 48)` never changes).
+  */
+case class SortableBits(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sortable_bits needs DOUBLE, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = java.lang.Double.doubleToLongBits(input.asInstanceOf[Double])
+    if (b >= 0L) b else Long.MinValue - b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => {
+      val b = ctx.freshName("bits")
+      s"""
+         |long $b = java.lang.Double.doubleToLongBits($d);
+         |${ev.value} = ($b >= 0L) ? $b : (java.lang.Long.MIN_VALUE - $b);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

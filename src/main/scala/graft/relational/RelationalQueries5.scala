@@ -399,8 +399,10 @@ object RelationalQueries5 {
     //      are BIGINTs and levels exact rationals, so every threshold
     //      comparison is integer arithmetic — no floating cumsum, and
     //      ties pre-aggregate to distinct-x granularity (order-free).
-    //      One hash agg + one per-group window over DISTINCT values +
-    //      one final agg: no raw-table sort, no collect. ----
+    //      Engine side: sample-free radix search (three scan+hash-agg
+    //      passes over IEEE sortable-bit buckets — WeightedQuantile),
+    //      deterministic under recomputation; the oracle states the
+    //      same quantile as a window cumsum over distinct values. ----
     sqlChecked("a_weighted_quantile",
       """WITH c AS (SELECT l_returnflag AS grp, l_extendedprice AS x,
         |    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
@@ -418,9 +420,7 @@ object RelationalQueries5 {
         |GROUP BY grp ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       graft.stats.WeightedQuantile.weightedQuantiles(
           t(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
-          col("l_quantity"), Seq((1, 4), (1, 2), (3, 4)),
-          // near-unique prices: the distinct-value table is data-sized
-          sizeHint = graft.core.Windows.SizeHint.Large)
+          col("l_quantity"), Seq((1, 4), (1, 2), (3, 4)))
         .select(col("grp").as("l_returnflag"), col("w_total"),
           col("q_1_4"), col("q_1_2"), col("q_3_4"))
         .orderBy(col("l_returnflag"))

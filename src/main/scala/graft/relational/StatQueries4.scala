@@ -662,9 +662,9 @@ object StatQueries4 {
     })
 
   /** Shared engine path for M53/M54: pinned-IRLS propensity, 1e-6
-    * quantized scores, exact integer decile cutoffs via the
-    * distinct-value cumsum (Windows two-phase scan inside
-    * WeightedQuantile), broadcast cutoff row, one hash agg. */
+    * quantized scores, exact integer decile cutoffs via the sample-free
+    * radix search (WeightedQuantile), broadcast cutoff row, one hash
+    * agg. */
   private def liftTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val base = t(s, d, "customer").select(
       col("c_custkey").cast("long").as("id"),
@@ -680,8 +680,7 @@ object StatQueries4 {
       floor((lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))))
         * 1000000.0 + 0.5).cast("long")).persist()
     val cuts = graft.stats.WeightedQuantile.weightedQuantiles(
-      sc, lit(1), col("sq"), lit(1L), (1 to 9).map(k => (k, 10)),
-      sizeHint = graft.core.Windows.SizeHint.Large)
+      sc, lit(1), col("sq"), lit(1L), (1 to 9).map(k => (k, 10)))
     val decile = (1 to 9).map(k => when(col("sq") > col(s"q_${k}_10"), 1)
       .otherwise(0)).reduce(_ + _) + 1
     val agg = sc.crossJoin(broadcast(cuts.drop("grp", "w_total")))
