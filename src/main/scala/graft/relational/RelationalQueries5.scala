@@ -455,16 +455,22 @@ object RelationalQueries5 {
         |    AS n_outlier
         |FROM a JOIN med m1 USING (lang) JOIN mad m2 USING (lang)
         |GROUP BY a.lang ORDER BY a.lang""".stripMargin) { (s, d) =>
-      import graft.stats.WeightedQuantile.weightedQuantiles
+      // character counts are a BOUNDED domain (≤ max doc length
+      // distinct values per language) → the one-pass distinct-cumsum
+      // beats the three-scan radix search; see WeightedQuantile's
+      // decision rule. `dev` feeds BOTH the MAD quantile and the
+      // final outlier agg — persist it once (safe: the distinct path
+      // has no cache contract; freed by the harness clearCache).
+      import graft.stats.WeightedQuantile.weightedQuantilesDistinct
       val docs = t(s, d, "documents")
         .select(col("lang"), col("n_chars").cast("long").as("x"))
-      val med = weightedQuantiles(docs, col("lang"), col("x"), lit(1L),
-          Seq((1, 2)))
+      val med = weightedQuantilesDistinct(docs, col("lang"), col("x"),
+          lit(1L), Seq((1, 2)))
         .select(col("grp").as("lang"), col("q_1_2").as("med"))
       val dev = docs.join(med, Seq("lang"))
-        .withColumn("ax", abs(col("x") - col("med")))
-      val mad = weightedQuantiles(dev, col("lang"), col("ax"), lit(1L),
-          Seq((1, 2)))
+        .withColumn("ax", abs(col("x") - col("med"))).persist()
+      val mad = weightedQuantilesDistinct(dev, col("lang"), col("ax"),
+          lit(1L), Seq((1, 2)))
         .select(col("grp").as("lang"), col("q_1_2").as("mad"))
       dev.join(mad, Seq("lang"))
         .groupBy(col("lang"))

@@ -662,9 +662,12 @@ object StatQueries4 {
     })
 
   /** Shared engine path for M53/M54: pinned-IRLS propensity, 1e-6
-    * quantized scores, exact integer decile cutoffs via the sample-free
-    * radix search (WeightedQuantile), broadcast cutoff row, one hash
-    * agg. */
+    * quantized scores, exact integer decile cutoffs via the BOUNDED-
+    * domain distinct-cumsum path (scores live in [0, 10^6] by
+    * construction, so the distinct table is ≤ 10^6 + 1 rows and one
+    * scan beats the uniform three-pass radix search — measured 1.45×
+    * regression when these deciles rode the radix path in r8),
+    * broadcast cutoff row, one hash agg. */
   private def liftTable(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val base = t(s, d, "customer").select(
       col("c_custkey").cast("long").as("id"),
@@ -679,7 +682,7 @@ object StatQueries4 {
     val sc = base.withColumn("sq",
       floor((lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x")))))
         * 1000000.0 + 0.5).cast("long")).persist()
-    val cuts = graft.stats.WeightedQuantile.weightedQuantiles(
+    val cuts = graft.stats.WeightedQuantile.weightedQuantilesDistinct(
       sc, lit(1), col("sq"), lit(1L), (1 to 9).map(k => (k, 10)))
     val decile = (1 to 9).map(k => when(col("sq") > col(s"q_${k}_10"), 1)
       .otherwise(0)).reduce(_ + _) + 1

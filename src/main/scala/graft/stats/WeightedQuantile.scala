@@ -49,8 +49,44 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Null x rows are dropped (a null carries no quantile information);
   * NaN sorts greatest, matching Spark's ordering.
+  *
+  * x must be NUMERIC: the radix bucket key is `double(x)`, and the
+  * search is only correct when that cast is weakly monotone w.r.t.
+  * x's native ordering and null-free on non-null x — true of every
+  * numeric type (longs beyond 2^53 may SHARE a double image, which
+  * is fine: pass 3 breaks the tie in the original type), false of
+  * e.g. strings (lexicographic order ≠ numeric order, and a failed
+  * cast yields a null bucket key that would corrupt the histogram
+  * cumsum). Enforced with a `require` at plan-build time.
   */
 object WeightedQuantile {
+
+  /** The tiny broadcast level table: one row per requested quantile,
+    * levels as exact rationals. */
+  private def levelTable(df: DataFrame, ps: Seq[(Int, Int)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    broadcast(ps.zipWithIndex
+      .map { case ((n, d), i) => (i, n.toLong, d.toLong) }
+      .toDF("qi", "num", "den"))
+  }
+
+  /** Pivot (grp, qi, tot, q) long form to one row per group with a
+    * q_<num>_<den> column per level. */
+  private def pivotLevels(perLevel: DataFrame, ps: Seq[(Int, Int)]): DataFrame = {
+    val qCols = ps.zipWithIndex.map { case ((n, d), i) =>
+      min(when(col("qi") === i, col("q"))).as(s"q_${n}_$d")
+    }
+    perLevel.groupBy(col("grp"))
+      .agg(max(col("tot")).as("w_total"), qCols: _*)
+  }
+
+  private def requireNumeric(df: DataFrame, x: Column): Unit = {
+    val t = df.select(x.as("x")).schema.head.dataType
+    require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"weighted quantiles need a numeric x whose double cast is " +
+        s"order-preserving; got $t")
+  }
 
   /** Per-group exact weighted quantiles at levels `ps` (given as exact
     * rationals `(num, den)`, e.g. (1,4), (1,2), (3,4)). Returns one row
@@ -59,18 +95,21 @@ object WeightedQuantile {
   def weightedQuantiles(df: DataFrame, group: Column, x: Column,
       weight: Column, ps: Seq[(Int, Int)]): DataFrame = {
     require(ps.nonEmpty, "at least one quantile level")
+    requireNumeric(df, x)
     val base = df.select(group.as("grp"), x.as("x"),
         weight.cast("long").as("w"))
       .filter(col("x").isNotNull)
       .withColumn("sk",
         graft.functions.VectorExpressions.sortableBits(col("x").cast("double")))
+      // belt-and-braces: a null bucket key would sort FIRST in the
+      // histogram window and corrupt every cumulative offset after it.
+      // Numeric casts never null a non-null x (enforced above), so
+      // this filter is a no-op that costs nothing — but it turns a
+      // silent wrong answer into a dropped row if the contract is
+      // ever violated.
+      .filter(col("sk").isNotNull)
 
-    // tiny literal level table: one row per requested quantile
-    val spark = df.sparkSession
-    import spark.implicits._
-    val lvl = broadcast(ps.zipWithIndex
-      .map { case ((n, d), i) => (i, n.toLong, d.toLong) }
-      .toDF("qi", "num", "den"))
+    val lvl = levelTable(df, ps)
 
     // ---- pass 1: 16-bit radix histogram; crossing bucket per level.
     // The histogram is ≤ 65 536 rows per group, so the per-group window
@@ -125,10 +164,48 @@ object WeightedQuantile {
       .groupBy(col("grp"), col("qi"))
       .agg(max(col("tot")).as("tot"), min(col("x")).as("q"))
 
-    val qCols = ps.zipWithIndex.map { case ((n, d), i) =>
-      min(when(col("qi") === i, col("q"))).as(s"q_${n}_$d")
-    }
-    perLevel.groupBy(col("grp"))
-      .agg(max(col("tot")).as("w_total"), qCols: _*)
+    pivotLevels(perLevel, ps)
+  }
+
+  /** Bounded-DOMAIN variant: one distinct-value cumsum pass instead of
+    * the three radix scans. Same contract and output schema as
+    * [[weightedQuantiles]]; the caller asserts that x's distinct-value
+    * domain per group is BOUNDED (quantized scores, code points,
+    * character counts — not raw continuous measures).
+    *
+    * Decision rule (measured at sf0.1, min-of-3): for a domain of
+    * ≤ ~10^6 distinct values per group the distinct table is no larger
+    * than the radix path's own pass-1 histogram, so one scan + one
+    * domain-bounded window strictly beats three scans — the decile
+    * callers (1e-6-quantized propensities, ~60k distinct) and the
+    * MAD screen (character counts) regressed 1.2–1.45× when moved to
+    * the uniform radix path and recover here. For unbounded domains
+    * (prices, measures) the distinct table is data-sized, the window
+    * becomes a per-group sort of the data, and the radix path wins —
+    * that asymmetry is why the dispatch is an explicit caller choice
+    * rather than a cardinality guess inside the function.
+    *
+    * 100 TB shape: one codegen'd scan + partial hash agg to the
+    * distinct table (≤ domain × groups rows), one window over it,
+    * level resolution on the broadcast rational table. No persist, no
+    * repartitionByRange, deterministic under recomputation. */
+  def weightedQuantilesDistinct(df: DataFrame, group: Column, x: Column,
+      weight: Column, ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile level")
+    requireNumeric(df, x)
+    val base = df.select(group.as("grp"), x.as("x"),
+        weight.cast("long").as("w"))
+      .filter(col("x").isNotNull)
+    val dx = base.groupBy(col("grp"), col("x"))
+      .agg(sum(col("w")).as("wv"))
+    val runX = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = dx.withColumn("cw", sum(col("wv")).over(runX))
+      .withColumn("tot", sum(col("wv")).over(Window.partitionBy(col("grp"))))
+    val perLevel = c.crossJoin(levelTable(df, ps))
+      .where(col("cw") * col("den") >= col("tot") * col("num"))
+      .groupBy(col("grp"), col("qi"))
+      .agg(max(col("tot")).as("tot"), min(col("x")).as("q"))
+    pivotLevels(perLevel, ps)
   }
 }

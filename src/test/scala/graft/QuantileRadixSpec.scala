@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The sample-free radix quantile machinery (stats/WeightedQuantile +
+  * functions SortableBits), exercised on the regions the sf fixtures
+  * never reach: negatives (the `Long.MinValue - bits` reflection),
+  * the -0.0/+0.0 collision, NaN/±Inf routing, longs beyond 2^53 whose
+  * double images collide (the pass-3 original-type tie-break), and a
+  * randomized brute-force oracle over mixed-sign doubles.
+  */
+class QuantileRadixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortableBitsOf(xs: Seq[Double]): Seq[Long] =
+    xs.toDF("x")
+      .select(graft.functions.VectorExpressions.sortableBits(col("x")).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+
+  test("SortableBits: strictly monotone over ordered doubles, negatives included") {
+    val ordered = Seq(
+      Double.NegativeInfinity, -1.7e308, -1.5, -Double.MinPositiveValue,
+      0.0, Double.MinPositiveValue, 1.5, 1.7e308,
+      Double.PositiveInfinity, Double.NaN)
+    val bits = sortableBitsOf(ordered)
+    ordered.indices.drop(1).foreach { i =>
+      assert(bits(i - 1) < bits(i),
+        s"f(${ordered(i - 1)})=${bits(i - 1)} !< f(${ordered(i)})=${bits(i)}")
+    }
+  }
+
+  test("SortableBits: -0.0 and +0.0 collide at 0; NaN maps above +Inf") {
+    val Seq(nz, pz, inf, nan) =
+      sortableBitsOf(Seq(-0.0, 0.0, Double.PositiveInfinity, Double.NaN))
+    assert(nz == 0L && pz == 0L, s"zeros must collide at 0: $nz vs $pz")
+    assert(nan > inf, "NaN must sort above +Inf (Spark NaN-greatest)")
+  }
+
+  /** Brute-force left-continuous weighted quantile over the sorted
+    * distinct values: min x with cum(w) * den >= W * num. */
+  private def bruteForce(rows: Seq[(Double, Long)], num: Long, den: Long): Double = {
+    val byX = rows.groupBy(_._1).map { case (x, g) => (x, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val w = byX.map(_._2).sum
+    var cum = 0L
+    byX.collectFirst {
+      case (x, wv) if { cum += wv; cum * den >= w * num } => x
+    }.get
+  }
+
+  test("radix path matches a brute-force oracle on mixed-sign random doubles") {
+    val rnd = new scala.util.Random(20260814L)
+    // heavy-tailed mixed-sign values with forced duplicates and -0.0
+    val pool = Seq.fill(60)(math.exp(rnd.nextGaussian() * 8) *
+      (if (rnd.nextBoolean()) -1 else 1)) ++ Seq(-0.0, 0.0, -1.0, 1.0)
+    val data = (1 to 400).map { _ =>
+      val g = "g" + rnd.nextInt(3)
+      (g, pool(rnd.nextInt(pool.length)), 1L + rnd.nextInt(5))
+    }
+    val ps = Seq((1, 10), (1, 4), (1, 2), (3, 4), (9, 10), (1, 1))
+    val got = graft.stats.WeightedQuantile.weightedQuantiles(
+        data.toDF("grp", "x", "w"), col("grp"), col("x"), col("w"), ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(2 + i))).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val flat = rows.map(r => (r._2, r._3))
+      ps.zipWithIndex.foreach { case ((n, d), i) =>
+        val want = bruteForce(flat, n, d)
+        // -0.0 == 0.0 under ==; bit equality not required (they collide
+        // by design), value equality is
+        assert(got(g)(i) == want,
+          s"group $g q_${n}_$d: got ${got(g)(i)}, want $want")
+      }
+    }
+  }
+
+  test("distinct-domain path agrees with the radix path (and the oracle)") {
+    val rnd = new scala.util.Random(42L)
+    val data = (1 to 300).map { _ =>
+      ("g" + rnd.nextInt(2), (rnd.nextInt(40) - 20).toDouble, 1L + rnd.nextInt(3))
+    }
+    val ps = Seq((1, 4), (1, 2), (3, 4))
+    def collectQ(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => r.getString(0) ->
+        (r.getLong(1), ps.indices.map(i => r.getDouble(2 + i)))).toMap
+    val df = data.toDF("grp", "x", "w")
+    val radix = collectQ(graft.stats.WeightedQuantile.weightedQuantiles(
+      df, col("grp"), col("x"), col("w"), ps))
+    val dist = collectQ(graft.stats.WeightedQuantile.weightedQuantilesDistinct(
+      df, col("grp"), col("x"), col("w"), ps))
+    assert(radix == dist, s"paths disagree: $radix vs $dist")
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      ps.zipWithIndex.foreach { case ((n, d), i) =>
+        assert(radix(g)._2(i) == bruteForce(rows.map(r => (r._2, r._3)), n, d))
+      }
+    }
+  }
+
+  test("pass-3 tie-break: distinct longs sharing one double image resolve exactly") {
+    // 2^53 and 2^53 + 1 both round to the same double, so they land in
+    // the SAME radix bucket at every granularity — only the pass-3
+    // cumsum in the original long order can separate them
+    val big = 1L << 53
+    val df = Seq(("g", big, 1L), ("g", big + 1, 1L), ("g", big + 3, 2L))
+      .toDF("grp", "x", "w")
+    assert(big.toDouble == (big + 1).toDouble, "fixture must collide")
+    val r = graft.stats.WeightedQuantile.weightedQuantiles(
+        df, col("grp"), col("x"), col("w"), Seq((1, 4), (1, 2), (1, 1)))
+      .collect().head
+    // W=4: q_1/4 → first cum ≥ 1 → 2^53 exactly; q_1/2 → cum ≥ 2 →
+    // 2^53+1 (the collided neighbor, NOT 2^53); q_1/1 → 2^53+3
+    assert(r.getLong(2) == big, s"q_1_4 ${r.getLong(2)}")
+    assert(r.getLong(3) == big + 1, s"q_1_2 ${r.getLong(3)}")
+    assert(r.getLong(4) == big + 3, s"q_1_1 ${r.getLong(4)}")
+  }
+
+  test("±Inf and NaN route to the extreme quantiles in order") {
+    val df = Seq(
+      ("g", Double.NegativeInfinity, 1L), ("g", 1.0, 1L),
+      ("g", Double.PositiveInfinity, 1L), ("g", Double.NaN, 1L))
+      .toDF("grp", "x", "w")
+    val r = graft.stats.WeightedQuantile.weightedQuantiles(df, col("grp"),
+        col("x"), col("w"), Seq((1, 4), (1, 2), (3, 4), (1, 1)))
+      .collect().head
+    assert(r.getDouble(2) == Double.NegativeInfinity)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == Double.PositiveInfinity)
+    assert(r.getDouble(5).isNaN, "max must be NaN (NaN-greatest)")
+  }
+
+  test("non-numeric x is rejected at plan-build time") {
+    val df = Seq(("g", "10", 1L)).toDF("grp", "x", "w")
+    val e = intercept[IllegalArgumentException] {
+      graft.stats.WeightedQuantile.weightedQuantiles(df, col("grp"),
+        col("x"), col("w"), Seq((1, 2)))
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+}
