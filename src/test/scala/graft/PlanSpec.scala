@@ -347,4 +347,48 @@ class PlanSpec extends SparkSpec {
         s"$q: unexpected cartesian product:\n$p")
     }
   }
+
+  test("radix quantile: three fact scans, broadcast pruning, no range sampling, no cache") {
+    // the r8 redesign's whole point: a deterministic sample-free search
+    // — bucket keys from sortable bits (value-deterministic), candidate
+    // rows shipped back as broadcasts, and NO repartitionByRange (whose
+    // boundaries re-sample per materialization) and NO persist anywhere
+    // in the engine path. Pin the engine function directly (the query
+    // entry adds a result orderBy whose 3-row rangepartitioning would
+    // muddy the assertion).
+    val df = graft.stats.WeightedQuantile.weightedQuantiles(
+      graft.core.Tables(spark, sf, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+      Seq((1, 4), (1, 2), (3, 4)))
+    df.collect()
+    // the AQE toString appends an "== Initial Plan ==" section that
+    // would double-count — pin the FINAL plan only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 3, s"radix search must scan the facts exactly 3x, got $scans:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no range sampling allowed anywhere in the radix path:\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      s"the radix path must not depend on a cache:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"passes 2-3 must prune via broadcast candidate joins:\n$p")
+  }
+
+  test("d5_embed_neardup: fixed batch broadcasts, corpus streams one equi-join pass") {
+    // batch-vs-corpus admission screen: the 200-vector batch is the
+    // BUILD side of a label equi-join (broadcast), the corpus the
+    // streamed probe — linear in the corpus, never an all-pairs shape.
+    // (At sf0.001 zero pairs clear the threshold and AQE collapses the
+    // final plan to EmptyRelation; the Initial Plan section still
+    // carries the join shape under test.)
+    val p = plan("d5_embed_neardup")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      s"batch side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"embedding screen degenerated to all-pairs:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,200)"),
+      s"batch bound must prune at the scan:\n$p")
+  }
 }

@@ -67,6 +67,58 @@ class StreamingSourceSpec extends SparkSpec {
       s"distinct coverage must be exactly 0..999, got ${distinct.size} ids")
   }
 
+  test("mid-batch kill: an aborted uncommitted batch replays identically on restart") {
+    // chaos variant of the clean-stop test above: the sink dies AFTER
+    // fully consuming a batch (addBatch work done) but BEFORE the
+    // commit log records it — the crash window where at-least-once
+    // delivery is decided. On restart the offset log still carries the
+    // planned-but-uncommitted range, so the SAME batch id must replay
+    // the IDENTICAL rows (source-side determinism is what makes a
+    // batchId-idempotent sink sufficient for exactly-once).
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-es-chaos").toString
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val replayedAfterKill = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(kill: Boolean): Option[Throwable] = {
+      val q = spark.readStream.format(fmt)
+        .option("maxRows", 1000).option("rowsPerBatch", 250).load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ids = df.select(col("event_id")).collect()
+            .map(_.getLong(0)).sorted.toSeq
+          Option(seen.get(id)).foreach { prev =>
+            assert(prev == ids, s"batch $id replayed differently after the kill")
+            replayedAfterKill.set(true)
+          }
+          seen.put(id, ids)
+          if (kill && id == 2 && killed.compareAndSet(false, true))
+            throw new RuntimeException("graft-chaos: die before commit")
+          ()
+        }
+        .start()
+      try { q.processAllAvailable(); q.stop(); None }
+      catch { case e: Throwable =>
+        try q.stop() catch { case _: Throwable => () }
+        Some(Option(q.exception.orNull: Throwable).getOrElse(e))
+      }
+    }
+    val err = run(kill = true)
+    assert(killed.get, "the chaos kill never fired")
+    assert(err.isDefined &&
+      err.get.toString.contains("graft-chaos"),
+      s"stream must surface the mid-batch failure, got $err")
+    val err2 = run(kill = false)
+    assert(err2.isEmpty, s"restart must complete cleanly, got $err2")
+    assert(replayedAfterKill.get,
+      "the killed batch id must re-run (and was asserted identical in-sink)")
+    import scala.jdk.CollectionConverters._
+    val distinct = seen.values.asScala.flatten.toSeq.distinct.sorted
+    assert(distinct == (0L until 1000L),
+      s"coverage after crash+restart must be exactly 0..999, got ${distinct.size}")
+  }
+
   test("rows are the pure function of (id, seed): spot-check the generator") {
     val r = spark.read.format(fmt)
       .option("maxRows", 10).option("seed", 3).option("users", 50).load()
