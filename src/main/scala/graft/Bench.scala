@@ -81,6 +81,20 @@ object Bench {
         .filter(_._2).map(_._1)
       name -> (if (samples.isEmpty) -1.0 else samples.min)
     }
+    // drift diagnosis: the reported min-of-passes hides WHEN a query
+    // was slow. With SPARK_GRAFT_BENCH_DEBUG set, dump every raw pass
+    // sample so a session-level accumulation (pass 2 systematically
+    // slower than pass 1 — codegen cache churn, metaspace growth)
+    // separates from plan regressions (both passes slower).
+    sys.env.get("SPARK_GRAFT_BENCH_DEBUG").foreach { path =>
+      def m(p: Map[String, (Double, Boolean)]): String =
+        p.toSeq.sortBy(_._1).map { case (k, (v, ok)) =>
+          "\"" + k + "\":" + (if (ok) (math.rint(v * 1e3) / 1e3).toString else "-1")
+        }.mkString("{", ",", "}")
+      val w = new java.io.PrintWriter(path)
+      try w.println(s"""{"pass1":${m(p1)},"pass2":${m(p2)},"pass3":${m(p3)}}""")
+      finally w.close()
+    }
     val failed = results.collect { case (n, v) if v < 0 => n }
     // the timing map carries SUCCEEDED queries only — the "failed" array
     // already identifies the rest, and a -1.0 sentinel would corrupt any

@@ -2,21 +2,26 @@
 """Build BENCH_sf1_probe.json: sf1 timings for the most expensive
 queries vs their sf0.1 baseline, with scaling ratios.
 
-Usage: python3 tools/bench_probe.py <sf1_bench_json_line_file> [out]
+Usage: python3 tools/bench_probe.py <bench_json_line_file> [out] [scale] [baseline]
 
 The input is a file containing graft.Bench's final JSON line from a
-run with SPARK_GRAFT_SF_DIR pointed at the sf1 scale-up directory and
+run with SPARK_GRAFT_SF_DIR pointed at a scale-up directory and
 SPARK_GRAFT_BENCH_ONLY restricted to the probe set. The sf0.1 baseline
-is read from bench_queries_r07.json (the current full per-query map).
-A ratio beyond ~15x on 10x data flags super-linear behavior the sf0.1
-bench cannot see (hidden skew, quadratic candidate growth, ...).
+defaults to the NEWEST bench_queries_r*.json (the current full
+per-query map) so re-timed queries compare against the code that is
+actually committed, not a stale round.
+A ratio beyond ~1.5x the scale factor flags super-linear behavior the
+sf0.1 bench cannot see (hidden skew, quadratic candidate growth, ...).
 """
-import json, sys
+import glob, json, sys
 
-def main(inp, out="BENCH_sf1_probe.json", scale="10"):
+def main(inp, out="BENCH_sf1_probe.json", scale="10", baseline=None):
     line = [l for l in open(inp) if '"metric"' in l][-1]
     sf1 = json.loads(line)
-    base = json.load(open("bench_queries_r07.json"))["queries"]
+    if baseline is None:
+        baseline = sorted(glob.glob("bench_queries_r*.json"))[-1]
+    base_line = [l for l in open(baseline) if '"metric"' in l][-1]
+    base = json.loads(base_line)["queries"]
     rows = {}
     for name, sec in sorted(sf1["queries"].items(), key=lambda x: -x[1]):
         b = base.get(name)

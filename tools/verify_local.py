@@ -16,6 +16,48 @@ import pandas as pd
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+# Queries whose outputs are APPROXIMATE by design (sketches) get a
+# tolerance-band check against an EXACT DuckDB oracle instead of the
+# hash compare. Band rationale (a_approx_sketches): Spark's
+# approx_count_distinct runs HLL++ at the default rsd = 0.05, and the
+# observed deterministic error on the fixtures is 2.4-2.7% — inside
+# the sketch's own 1-sigma contract but OUTSIDE a naive +/-2% band
+# (DuckDB's approx_count_distinct twin disagrees with Spark's by
+# ~2.3% as well, so banding two sketches against each other is no
+# tighter). The check is therefore: estimate within the CONFIGURED
+# rsd of the exact count; the approx median exact-bands at +/-2% (at
+# accuracy 10000 on a 50-value domain it is exactly the median); the
+# CMS byte size is a pure function of (eps, confidence) — constant
+# across groups and positive.
+APPROX = {
+    "a_approx_sketches": {
+        "oracle": """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS acd_exact,
+              quantile_disc(l_quantity, 0.5) AS p50_exact
+            FROM lineitem GROUP BY 1 ORDER BY 1""",
+        "key": "l_returnflag",
+        "bands": [("acd_part", "acd_exact", 0.05),
+                  ("p50_approx", "p50_exact", 0.02)],
+        "const_pos": ["cms_bytes"],
+    },
+}
+
+def check_approx(name, spark_df, con):
+    spec = APPROX[name]
+    exact = con.execute(spec["oracle"]).fetchdf()
+    if len(spark_df) != len(exact):
+        return f"ROWS spark={len(spark_df)} exact-oracle={len(exact)}"
+    m = spark_df.merge(exact, on=spec["key"])
+    if len(m) != len(exact):
+        return f"KEY MISMATCH joined {len(m)}/{len(exact)}"
+    for got, want, tol in spec["bands"]:
+        rel = ((m[got] - m[want]).abs() / m[want].abs().clip(lower=1)).max()
+        if rel > tol:
+            return f"BAND col={got} rel_err={rel:.4f} > {tol}"
+    for c in spec["const_pos"]:
+        if m[c].nunique() != 1 or (m[c] <= 0).any():
+            return f"CONST col={c} values={sorted(m[c].unique())}"
+    return None
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize ints/floats: everything numeric → float64 where possible
@@ -99,7 +141,21 @@ def main(sf_dir, out_dir):
             continue
         err = compare(name, spark_df, duck_df)
         (bad.append((name, err)) if err else ok.append(name))
-    print(f"PASS {len(ok)}/{len(oracle)}")
+    # sketch queries carry no SQL oracle (the driver records them
+    # rows-only) — band-check them here against their exact twins
+    banded = []
+    for name in sorted(APPROX):
+        import glob
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            continue  # not part of this (possibly filtered) dump
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)],
+                             ignore_index=True)
+        err = check_approx(name, spark_df, con)
+        (bad.append((name, err)) if err else banded.append(name))
+    total = len(oracle) + len(banded) + len([n for n, _ in bad if n in APPROX])
+    print(f"PASS {len(ok) + len(banded)}/{total}"
+          + (f" ({len(banded)} banded)" if banded else ""))
     for n, e in bad:
         print(f"FAIL {n}: {e}")
     for n in miss:
