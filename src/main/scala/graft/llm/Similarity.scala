@@ -150,7 +150,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, cId: Column, cVec: Column,
       queries: DataFrame, qId: Column, qVec: Column,
       centroids: Array[Array[Double]], nProbe: Int, k: Int): DataFrame = {
-    val c = corpus.select(cId.as("c_id"), cVec.cast("array<double>").as("c_v"))
+    val c0 = corpus.select(cId.as("c_id"), cVec.cast("array<double>").as("c_v"))
+    // one parquet file = one partition; the in-cell scoring below is the
+    // dense O(|corpus|·|probes|/K) stage and must run corpus-parallel
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = (if (c0.rdd.getNumPartitions < para) c0.repartition(para) else c0)
       .withColumn("cell", nearestCentroid(col("c_v"), centroids.toSeq))
     val probeArr = array(centroids.zipWithIndex.map { case (cc, i) =>
       struct(dist2(col("q_v"), cc).as("d"), lit(i).as("cid")) }: _*)
@@ -158,8 +162,13 @@ object Similarity {
       .withColumn("p", explode(slice(array_sort(probeArr), 1, nProbe)))
       .select(col("q_id"), col("q_v"), col("p").getField("cid").as("cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    // project to the skinny (q_id, c_id, cos) BEFORE the rank window:
+    // the candidate stream is |corpus|·nProbe/K rows, and a window sorts
+    // its whole input — carrying both 64-dim vectors through that sort
+    // is ~40× the bytes (it filled the scratch disk at the sf10 probe)
     c.join(broadcast(q), Seq("cell"))
-      .withColumn("cos", cosine(col("c_v"), col("q_v")))
+      .select(col("q_id"), col("c_id"),
+        cosine(col("c_v"), col("q_v")).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("cos"), col("rn"))
@@ -240,8 +249,11 @@ object Similarity {
     // recompiles the whole encode+join pipeline on every invocation
     // (measured 3.4 s → 0.8 s at sf0.1). At scale this is exactly the
     // build-once / probe-many index lifecycle.
-    val enc = corpus
-      .select(cId.as("c_id"), cVec.cast("array<double>").as("c_v"))
+    val c0 = corpus.select(cId.as("c_id"), cVec.cast("array<double>").as("c_v"))
+    // the ADC pair stream below is |corpus|·|queries| rows and must run
+    // corpus-parallel — one parquet file would pin it to one thread
+    val para = corpus.sparkSession.sparkContext.defaultParallelism
+    val enc = (if (c0.rdd.getNumPartitions < para) c0.repartition(para) else c0)
       .withColumn("codes", array((0 until m).map(j =>
         nearestCentroid(slice(col("c_v"), j * sub + 1, sub),
           codebooks(j).toSeq)): _*))
@@ -267,8 +279,11 @@ object Similarity {
         lit(j * kCodes) + element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id"))
+    // skinny (q_id, c_id, adist) BEFORE the rank window — the window
+    // sorts the whole |corpus|·|queries| stream, and dragging the
+    // 32-double LUT array through that sort is ~12× the bytes
     enc.crossJoin(broadcast(q))
-      .withColumn("adist", adist)
+      .select(col("q_id"), col("c_id"), adist.as("adist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("adist"), col("rn"))

@@ -266,7 +266,8 @@ object LlmQueries {
       val K = 8; val ITERS = 3; val NP = 2; val TOPK = 5; val DIMS = 64
       import KmeansReplay.assignSql
       s"""WITH ${KmeansReplay.ctes(K, ITERS, DIMS)},
-         |qset AS (SELECT vec_id, v FROM emb WHERE vec_id % 101 = 0),
+         |qset AS (SELECT vec_id, v FROM emb
+         |  WHERE vec_id % 101 = 0 AND vec_id < 51712),
          |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS cell
          |  FROM (${assignSql("qset", s"c$ITERS", "pr")}) WHERE pr <= $NP),
          |scored AS (SELECT p.q_id, s.vec_id AS c_id,
@@ -283,8 +284,15 @@ object LlmQueries {
       val emb = t(s, d, "embeddings")
       val cents = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
         k = 8, iters = 3)
+      // FIXED query panel: every 101st vector, capped at 512 probes
+      // (512·101 = 51712) — an ANN search serves a bounded query batch
+      // against a growing corpus, so search cost is O(|corpus|·nProbe/K),
+      // linear in the data. Uncapped, the panel itself grew with the
+      // corpus and the probe stage went quadratic (354× at the 100×
+      // probe). No-op at ≤ sf1 (panel ≤ 199 there).
       Similarity.ivfTopK(emb, col("vec_id"), col("embedding"),
-          emb.filter(col("vec_id") % 101 === 0), col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 51712),
+          col("vec_id"), col("embedding"),
           cents, nProbe = 2, k = 5)
         .select(col("q_id"), col("c_id"), round(col("cos"), 8).as("cos"),
           col("rn"))

@@ -164,7 +164,8 @@ object LlmQueries2 {
         .map(j => s"JOIN d$j USING (q_id, c_id)").mkString(" ")
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings),
-         |qset AS (SELECT vec_id, v FROM emb WHERE vec_id % 101 = 0),
+         |qset AS (SELECT vec_id, v FROM emb
+         |  WHERE vec_id % 101 = 0 AND vec_id < 51712),
          |$subCtes,
          |total AS (SELECT d0.q_id, d0.c_id, $dSum AS adist FROM d0 $dJoins),
          |ranked AS (SELECT q_id, c_id, adist,
@@ -176,8 +177,12 @@ object LlmQueries2 {
       val emb = t(s, d, "embeddings")
       val books = graft.llm.Similarity.pqFit(emb, col("vec_id"),
         col("embedding"), m = 4, k = 8, iters = 2)
+      // fixed 512-probe query panel (512·101 = 51712) — ADC scores the
+      // FULL corpus per query, so a corpus-growing panel is quadratic;
+      // a bounded batch keeps it O(|corpus|). No-op at ≤ sf1.
       graft.llm.Similarity.pqTopK(emb, col("vec_id"), col("embedding"),
-          emb.filter(col("vec_id") % 101 === 0), col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") % 101 === 0 && col("vec_id") < 51712),
+          col("vec_id"), col("embedding"),
           books, k = 5)
         .select(col("q_id"), col("c_id"), round(col("adist"), 8).as("adist"),
           col("rn"))

@@ -195,9 +195,15 @@ object RelationalQueries {
         |WHERE s_suppkey < 1000
         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin) { (s, d) =>
       val u = (col("s_acctbal") - col("c_acctbal")) / 1000.0
-      t(s, d, "supplier").filter(col("s_suppkey") < 1000)
-        .select(col("s_suppkey"), col("s_acctbal"))
-        .crossJoin(broadcast(t(s, d, "customer").select(col("c_acctbal"))))
+      // stream the cohort (the growing side), broadcast the 1000-row
+      // survey sample — the pair stream then parallelizes by cohort
+      // partitions, not by the survey filter's single partition
+      val c0 = t(s, d, "customer").select(col("c_acctbal"))
+      val para = s.sparkContext.defaultParallelism
+      val c = if (c0.rdd.getNumPartitions < para) c0.repartition(para) else c0
+      c.crossJoin(broadcast(t(s, d, "supplier")
+          .filter(col("s_suppkey") < 1000)
+          .select(col("s_suppkey"), col("s_acctbal"))))
         .groupBy(col("s_suppkey"))
         .agg(round(sum(graft.stats.Kernels.gaussian(u)), 4).as("ksum"))
         .orderBy(col("s_suppkey"))

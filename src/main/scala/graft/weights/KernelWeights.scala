@@ -62,9 +62,21 @@ object KernelWeights {
       sWt.cast("double").as("wt_s"))
     val c = cohort.select(cId.as("c_id"), cScore.cast("double").as("q_c"))
 
+    // Dense pair stream: STREAM the cohort, BROADCAST the survey. The
+    // survey side is the fixed-size probability sample (KB–MB); the
+    // cohort is the side that grows with the data, so it must be the
+    // partitioned stream — broadcasting it caps at the driver and, worse,
+    // leaves the n_s·n_c kernel evaluation parallelized by the SURVEY
+    // side's partitioning (a 1000-row filter output = 1 partition = one
+    // thread grinding 10^9 pairs; measured 434 s → linear at the sf10
+    // probe). A skinny cohort projection read from one parquet file is
+    // still 1 partition, so fan it out to the session parallelism first
+    // — a no-op on any input already wider than the core count.
+    val para = cohort.sparkSession.sparkContext.defaultParallelism
+    val cWide = if (c.rdd.getNumPartitions < para) c.repartition(para) else c
     val pairs =
       if (bandJoin) bandPairs(s, c, h)
-      else s.crossJoin(broadcast(c))
+      else cWide.crossJoin(broadcast(s))
 
     val withK = pairs.withColumn("k", kernel((col("q_s") - col("q_c")) / lit(h)))
 
