@@ -293,6 +293,60 @@ object Multimodal {
       .select(col("ida"), col("idb"), col("hamming"))
   }
 
+  /** Per-image near-duplicate rollup — the SCALE form of
+    * [[perceptualDupPairs]]. Pair enumeration is hoisted to the
+    * DISTINCT-HASH level: images are grouped by their 64-bit aHash
+    * first, candidate generation and popcount verification run over
+    * hash CLASSES (same 8-band pigeonhole bound, exact to radius 7),
+    * and per-image counts come back by multiplicity arithmetic —
+    * within-class partners are `cnt − 1` at Hamming 0, cross-class
+    * partners add the matched class's full multiplicity. The id×id
+    * pair stream is never materialized, which matters because near-dup
+    * DEGREE is linear in the corpus while the pair LIST is quadratic
+    * whenever duplication is dense (the sf10 probe's synthetic corpus
+    * collapses to 40 hash classes: its pair list is ~350M rows and
+    * filled the scratch disk; this rollup is ~40 verify pairs + one
+    * linear join).
+    *
+    * Returns (media_id, n_near, min_ham) for every image with at least
+    * one partner within `maxHamming`, ordered by nothing (caller sorts).
+    */
+  def perceptualDupStats(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7, "banded search over 8 bands is exact only to radius 7")
+    val dh = hashes.groupBy(col("ahash"))
+      .agg(first(col("bytes")).as("bytes"), count(lit(1)).as("cnt"))
+    val long = dh.select(col("ahash"), posexplode(col("bytes")).as(Seq("band", "byte")))
+    // symmetric candidate classes (a ≠ b, both directions — the rollup
+    // needs each class's full neighbor set)
+    val cand = long.as("a").join(long.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.ahash") =!= col("b.ahash"))
+      .select(col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    val verified = cand
+      .join(dh.select(col("ahash").as("ha"), col("bytes").as("ba")), "ha")
+      .join(dh.select(col("ahash").as("hb"), col("bytes").as("bb"),
+        col("cnt").as("cnt_b")), "hb")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (acc, v) -> acc + v)")
+        .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val neigh = verified.groupBy(col("ha").as("ahash"))
+      .agg(sum(col("cnt_b")).as("nbr_cnt"), min(col("hamming")).as("nbr_min"))
+    // no broadcast hint: the class table is tiny when duplication is
+    // dense but can approach |corpus| when images are unique — let AQE
+    // pick the strategy from the measured size
+    hashes.select(col("media_id"), col("ahash"))
+      .join(dh.select(col("ahash"), col("cnt"))
+        .join(neigh, Seq("ahash"), "left"), "ahash")
+      .withColumn("n_near",
+        (col("cnt") - 1 + coalesce(col("nbr_cnt"), lit(0L))).cast("long"))
+      .filter(col("n_near") > 0)
+      .withColumn("min_ham",
+        when(col("cnt") >= 2, lit(0L)).otherwise(col("nbr_min")))
+      .select(col("media_id"), col("n_near"), col("min_ham"))
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th frame,
     * decoded to (media_id, frame_idx, width, height, mean_val). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {

@@ -183,6 +183,15 @@ object LlmQueries4 {
     //      radius <= 7), popcount verify. The oracle replays the
     //      synthesis formula's pixels; the engine actually parses the
     //      BMPs it synthesized. ----
+    //      The output is the PER-IMAGE rollup (n_near, min_ham), not the
+    //      pair list: near-dup degree is linear in the corpus while the
+    //      pair list is quadratic whenever duplication is dense (the
+    //      synthetic corpus collapses to 40 hash classes — at the 100×
+    //      probe its pair list was ~350M rows and filled the scratch
+    //      disk). Same rollup-over-pairs contract as d12_containment.
+    //      The engine computes it at the distinct-hash level
+    //      (perceptualDupStats); the oracle replays naive all-pairs at
+    //      verify scale, where they agree exactly. ----
     sqlChecked("mm_phash",
       """WITH img AS (SELECT doc_id AS media_id, 8 + doc_id % 8 AS w,
         |    8 + doc_id % 5 AS h FROM documents WHERE doc_id % 3 = 0),
@@ -197,20 +206,19 @@ object LlmQueries4 {
         |      AS BIGINT) AS byte
         |  FROM px JOIN m ON px.media_id = m.media_id
         |  GROUP BY px.media_id, gy),
-        |cand AS (SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
-        |  FROM bits a JOIN bits b ON a.band = b.band AND a.byte = b.byte
-        |    AND a.media_id < b.media_id),
-        |ham AS (SELECT ida, idb,
-        |    CAST(SUM(bit_count(xor(x.byte, y.byte))) AS BIGINT) AS hamming
-        |  FROM cand JOIN bits x ON x.media_id = ida
-        |    JOIN bits y ON y.media_id = idb AND y.band = x.band
+        |ham AS (SELECT a.media_id AS ida, b.media_id AS idb,
+        |    CAST(SUM(bit_count(xor(a.byte, b.byte))) AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.band = b.band
+        |    AND a.media_id <> b.media_id
         |  GROUP BY ida, idb)
-        |SELECT ida, idb, hamming FROM ham WHERE hamming <= 2
-        |ORDER BY ida, idb""".stripMargin) { (s, d) =>
+        |SELECT ida AS media_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+        |  MIN(hamming) AS min_ham
+        |FROM ham WHERE hamming <= 2
+        |GROUP BY ida ORDER BY media_id""".stripMargin) { (s, d) =>
       val media = Multimodal.synthesize(t(s, d, "documents"),
         col("doc_id"), col("text"), col("source"))
-      Multimodal.perceptualDupPairs(Multimodal.aHashes(media), maxHamming = 2)
-        .orderBy(col("ida"), col("idb"))
+      Multimodal.perceptualDupStats(Multimodal.aHashes(media), maxHamming = 2)
+        .orderBy(col("media_id"))
     },
 
     // ---- DSIR-style importance scoring (Xie et al. 2023, "Data

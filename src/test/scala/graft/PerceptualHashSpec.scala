@@ -56,6 +56,24 @@ class PerceptualHashSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("distinct-hash rollup equals the brute-force per-image rollup") {
+    val ids = (0L until 300L by 3L).toSeq
+    val got = Multimodal.perceptualDupStats(Multimodal.aHashes(mediaFor(ids)), 2)
+      .select("media_id", "n_near", "min_ham").as[(Long, Long, Long)]
+      .collect().toSet
+    val hashes = ids.map(id => id -> refHash(id)).toMap
+    val want = ids.flatMap { a =>
+      val partners = ids.filter(_ != a).map { b =>
+        hashes(a).zip(hashes(b))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum.toLong
+      }.filter(_ <= 2L)
+      if (partners.isEmpty) None
+      else Some((a, partners.size.toLong, partners.min))
+    }.toSet
+    assert(want.nonEmpty, "fixture should produce at least one rolled-up image")
+    assert(got == want)
+  }
+
   test("skyline window computation equals brute-force dominance") {
     val sf = "/root/testdata/sf0.001"
     val q = LlmQueries4.all.find(_.name == "o10_skyline").get
