@@ -81,10 +81,9 @@ object RelationalQueries {
         |  CASE WHEN c_acctbal <= q30 THEN 1 WHEN c_acctbal <= q60 THEN 2 ELSE 3 END AS bin
         |FROM customer, q ORDER BY c_custkey""".stripMargin) { (s, d) =>
       val c = t(s, d, "customer")
-      val qr = c.agg(
-        expr("percentile(c_acctbal, 0.3)").as("q30"),
-        expr("percentile(c_acctbal, 0.6)").as("q60")).head()
-      val (q30, q60) = (qr.getDouble(0), qr.getDouble(1))
+      val qs = graft.stats.WeightedQuantile.interpolatedQuantilesGlobal(
+        c, col("c_acctbal"), lit(1L), Seq(0.3, 0.6))
+      val (q30, q60) = (qs(0), qs(1))
       c.select(col("c_custkey"),
           when(col("c_acctbal") <= q30, 1)
             .when(col("c_acctbal") <= q60, 2).otherwise(3).as("bin"))

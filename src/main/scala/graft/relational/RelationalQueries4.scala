@@ -111,27 +111,39 @@ object RelationalQueries4 {
 
     // ---- grouped exact percentiles: per-group interpolated quantiles
     //      + median, the reference's quantile/bandwidth machinery (O6)
-    //      grouped — one hash aggregate, sort only within each group's
-    //      collected values ----
+    //      grouped. Computed with the radix rank search
+    //      (WeightedQuantile.interpolatedQuantiles), NOT the builtin
+    //      `percentile` aggregate: that aggregate buffers a per-group
+    //      value-count map — data-sized state that at the 100× probe
+    //      meant ~20M-entry maps per group, 158 s and GC-bound
+    //      variance. The rank search is three bounded scans per value
+    //      column and measured 85× → ~8× there. ----
     sqlChecked("a_pctile_grouped",
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50,
         |  ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90,
         |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS med_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
-      // both price quantiles come from ONE percentile buffer (array
-      // percentages) — a per-group value-count map is the aggregate's
-      // whole cost, so don't build it twice for the same column
-      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+      import graft.stats.WeightedQuantile.interpolatedQuantiles
+      // BOTH value columns ride one rank search: each row explodes to
+      // (column id, value) and the column id joins the group key, so
+      // the three radix scans are shared instead of paid per column
+      // (qty's unused 0.9 target costs a few extra histogram rows)
+      val ex = t(s, d, "lineitem")
+        .select(col("l_returnflag"), explode(array(
+          struct(lit(0).as("ci"),
+            col("l_extendedprice").cast("double").as("v")),
+          struct(lit(1).as("ci"),
+            col("l_quantity").cast("double").as("v")))).as("e"))
+        .select(struct(col("l_returnflag").as("rf"),
+          col("e.ci").as("ci")).as("g"), col("e.v").as("v"))
+      val q = interpolatedQuantiles(ex, col("g"), col("v"), lit(1L),
+        Seq(0.5, 0.9))
+      q.groupBy(col("grp.rf").as("l_returnflag"))
         .agg(
-          percentile(col("l_extendedprice").cast("double"),
-            array(lit(0.5), lit(0.9))).as("pp"),
-          round(percentile(col("l_quantity").cast("double"), lit(0.5)), 6)
-            .as("med_qty"))
-        .select(col("l_returnflag"),
-          round(element_at(col("pp"), 1), 6).as("p50"),
-          round(element_at(col("pp"), 2), 6).as("p90"),
-          col("med_qty"))
+          round(min(when(col("grp.ci") === 0, col("q_0"))), 6).as("p50"),
+          round(min(when(col("grp.ci") === 0, col("q_1"))), 6).as("p90"),
+          round(min(when(col("grp.ci") === 1, col("q_0"))), 6).as("med_qty"))
         .orderBy(col("l_returnflag"))
     },
 

@@ -326,10 +326,12 @@ object RelationalQueries5 {
 
     // ---- percentile winsorization: clip each group's tail values at
     //      its own exact [p05, p95] — outlier taming before any
-    //      moment-based estimator. One percentile aggregate per group
-    //      (dimension-sized), broadcast back as a join-free lookup
-    //      would be ideal; the group frame is tiny so the equi-join
-    //      broadcasts anyway ----
+    //      moment-based estimator. The cut points ride the radix rank
+    //      search (three bounded scans, no data-sized aggregation
+    //      state) rather than the builtin `percentile` aggregate,
+    //      whose per-group value-count map over the continuous price
+    //      domain measured 71 s / 34.6x at the 100x probe; the tiny
+    //      per-group frame then broadcasts back onto the clip scan ----
     sqlChecked("p_winsor",
       """WITH b AS (SELECT l_returnflag AS flag,
         |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
@@ -346,10 +348,10 @@ object RelationalQueries5 {
         |GROUP BY flag ORDER BY flag""".stripMargin) { (s, d) =>
       val li = t(s, d, "lineitem")
       val x = col("l_extendedprice").cast("double")
-      val b = li.groupBy(col("l_returnflag").as("flag"))
-        .agg(percentile(x, array(lit(0.05), lit(0.95))).as("pp"))
-        .select(col("flag"), element_at(col("pp"), 1).as("lo"),
-          element_at(col("pp"), 2).as("hi"))
+      val b = graft.stats.WeightedQuantile.interpolatedQuantiles(
+          li, col("l_returnflag"), x, lit(1L), Seq(0.05, 0.95))
+        .select(col("grp").as("flag"), col("q_0").as("lo"),
+          col("q_1").as("hi"))
       li.join(broadcast(b), col("l_returnflag") === col("flag"))
         .groupBy(col("flag"))
         .agg(count(lit(1)).as("n"),

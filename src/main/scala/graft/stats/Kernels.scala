@@ -32,25 +32,21 @@ object Kernels {
 
   /** Silverman's rule-of-thumb bandwidth, R's `bw.nrd0`
     * (simu_fun.R:54,129-130): 0.9·min(sd, IQR/1.34)·n^(-1/5).
-    * Exact percentiles (single reduce) — fine at driver-solve scale; at
-    * 100 TB swap `percentile` for `approx_percentile` with documented
-    * tolerance (SURVEY.md §7.4.4).
+    * The quartiles ride the radix rank search (three bounded scans) —
+    * EXACT at any scale, unlike the builtin `percentile` aggregate
+    * whose single value-count map over a continuous column is
+    * data-sized state through one reducer.
     */
   def bwNrd0(df: DataFrame, x: Column): Double = {
     val r = df.agg(
       stddev_samp(x).cast("double").as("sd"),
-      expr(s"percentile(${colName(x, df)}, 0.75) - percentile(${colName(x, df)}, 0.25)")
-        .cast("double").as("iqr"),
       count(x).cast("double").as("n")).head()
-    val sd = r.getDouble(0); val iqr = r.getDouble(1); val n = r.getDouble(2)
+    val sd = r.getDouble(0); val n = r.getDouble(1)
+    val qs = graft.stats.WeightedQuantile.interpolatedQuantilesGlobal(
+      df, x.cast("double"), lit(1L), Seq(0.25, 0.75))
+    val iqr = qs(1) - qs(0)
     val spread = math.min(sd, iqr / 1.34)
     val s = if (spread > 0) spread else if (sd > 0) sd else 1.0
     0.9 * s * math.pow(n, -0.2)
-  }
-
-  private def colName(c: Column, df: DataFrame): String = {
-    val n = c.toString
-    require(df.columns.contains(n), s"bwNrd0 needs a plain column, got $n")
-    n
   }
 }

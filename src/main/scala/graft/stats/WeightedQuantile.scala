@@ -88,16 +88,11 @@ object WeightedQuantile {
         s"order-preserving; got $t")
   }
 
-  /** Per-group exact weighted quantiles at levels `ps` (given as exact
-    * rationals `(num, den)`, e.g. (1,4), (1,2), (3,4)). Returns one row
-    * per group: (grp, w_total, q_num_den...) with one column per level
-    * named q_<num>_<den>, typed as x. */
-  def weightedQuantiles(df: DataFrame, group: Column, x: Column,
-      weight: Column, ps: Seq[(Int, Int)]): DataFrame = {
-    require(ps.nonEmpty, "at least one quantile level")
-    requireNumeric(df, x)
-    val base = df.select(group.as("grp"), x.as("x"),
-        weight.cast("long").as("w"))
+  /** Prepare the (grp, x, w, sk) base frame shared by every radix
+    * entry point. */
+  private def radixBase(df: DataFrame, group: Column, x: Column,
+      weight: Column): DataFrame =
+    df.select(group.as("grp"), x.as("x"), weight.cast("long").as("w"))
       .filter(col("x").isNotNull)
       .withColumn("sk",
         graft.functions.VectorExpressions.sortableBits(col("x").cast("double")))
@@ -109,43 +104,58 @@ object WeightedQuantile {
       // ever violated.
       .filter(col("sk").isNotNull)
 
-    val lvl = levelTable(df, ps)
-
-    // ---- pass 1: 16-bit radix histogram; crossing bucket per level.
-    // The histogram is ≤ 65 536 rows per group, so the per-group window
-    // is bounded by construction (not by the data).
+  /** Pass-1 radix histogram with running and total weight: one row per
+    * (grp, 16-bit bucket), ≤ 65 536 per group, so the per-group window
+    * is bounded by construction (not by the data). */
+  private def pass1(base: DataFrame): DataFrame = {
     val h1 = base.groupBy(col("grp"), shiftright(col("sk"), 48).as("b"))
       .agg(sum(col("w")).as("bw"))
     val runW = Window.partitionBy(col("grp")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c1 = h1.withColumn("cb", sum(col("bw")).over(runW))
+    h1.withColumn("cb", sum(col("bw")).over(runW))
       .withColumn("tot", sum(col("bw")).over(Window.partitionBy(col("grp"))))
-    // crossing bucket = min b with cb·den ≥ tot·num; its exclusive
-    // prefix weight rides along via min_by (b is unique per group)
-    val cand1 = c1.crossJoin(lvl)
-      .where(col("cb") * col("den") >= col("tot") * col("num"))
-      .groupBy(col("grp"), col("qi"), col("num"), col("den"), col("tot"))
+  }
+
+  /** The shared three-pass rank search: min x with cum(w) ≥ k, exactly,
+    * for every (group × target-table row). `c1` is [[pass1]] over
+    * `base`; `lvl` is the tiny broadcast target table (one row per
+    * requested rank, arbitrary carrier columns); `ri` names the target
+    * id and `k` the LONG rank, both expressions over c1's `tot` column
+    * and lvl's columns — computed INLINE on the histogram cross-join so
+    * c1 (and with it the fact table) is consumed exactly once. The
+    * rational-level search passes k = ⌈tot·num/den⌉ (identical to
+    * cb·den ≥ tot·num on 64-bit integers); the interpolated search the
+    * two bracketing ranks of a continuous position.
+    * Returns (grp, ri, tot, q). */
+  private def rankSearch(base: DataFrame, c1: DataFrame, lvl: DataFrame,
+      ri: Column, k: Column): DataFrame = {
+    // crossing bucket = min b with cb ≥ k; its exclusive prefix weight
+    // rides along via min_by (b is unique per group)
+    val cand1 = c1.crossJoin(broadcast(lvl))
+      .withColumn("ri", ri).withColumn("k", k)
+      .where(col("cb") >= col("k"))
+      .groupBy(col("grp"), col("ri"), col("k"), col("tot"))
       .agg(min(col("b")).as("cb1"),
         min_by(col("cb") - col("bw"), col("b")).as("off"))
-      .select(col("grp").as("cgrp"), col("qi"), col("num"), col("den"),
+      .select(col("grp").as("cgrp"), col("ri"), col("k"),
         col("tot"), col("cb1"), col("off"))
 
     // ---- pass 2: same search at 32-bit prefix granularity, restricted
-    // to each level's candidate bucket (the 32-bit prefix determines the
-    // 16-bit one, so the next join can key on it alone)
+    // to each target's candidate bucket (the 32-bit prefix determines
+    // the 16-bit one, so the next join can key on it alone)
     val sel1 = base.join(broadcast(cand1),
       col("grp") === col("cgrp") && shiftright(col("sk"), 48) === col("cb1"))
-    val h2 = sel1.groupBy(col("grp"), col("qi"), col("num"), col("den"),
+    val h2 = sel1.groupBy(col("grp"), col("ri"), col("k"),
         col("tot"), col("off"), shiftright(col("sk"), 32).as("b"))
       .agg(sum(col("w")).as("bw"))
-    val runL = Window.partitionBy(col("grp"), col("qi")).orderBy(col("b"))
+    val runL = Window.partitionBy(col("grp"), col("ri")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c2 = h2.withColumn("cb", col("off") + sum(col("bw")).over(runL))
-    val cand2 = c2.where(col("cb") * col("den") >= col("tot") * col("num"))
-      .groupBy(col("grp"), col("qi"), col("num"), col("den"), col("tot"))
+    val cand2 = c2.where(col("cb") >= col("k"))
+      .groupBy(col("grp"), col("ri"), col("k"), col("tot"))
       .agg(min(col("b")).as("cb2"),
         min_by(col("cb") - col("bw"), col("b")).as("off"))
-      .select(col("grp").as("cgrp"), col("qi"), col("num"), col("den"),
+      .select(col("grp").as("cgrp"), col("ri"), col("k"),
         col("tot"), col("cb2"), col("off"))
 
     // ---- pass 3: exact resolution over the final bucket's distinct
@@ -153,18 +163,114 @@ object WeightedQuantile {
     // share a double image; the original type breaks the tie exactly)
     val sel2 = base.join(broadcast(cand2),
       col("grp") === col("cgrp") && shiftright(col("sk"), 32) === col("cb2"))
-    val dx = sel2.groupBy(col("grp"), col("qi"), col("num"), col("den"),
+    val dx = sel2.groupBy(col("grp"), col("ri"), col("k"),
         col("tot"), col("off"), col("x"))
       .agg(sum(col("w")).as("wv"))
-    val runX = Window.partitionBy(col("grp"), col("qi")).orderBy(col("x"))
+    val runX = Window.partitionBy(col("grp"), col("ri")).orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val perLevel = dx
-      .withColumn("cw", col("off") + sum(col("wv")).over(runX))
-      .where(col("cw") * col("den") >= col("tot") * col("num"))
-      .groupBy(col("grp"), col("qi"))
+    dx.withColumn("cw", col("off") + sum(col("wv")).over(runX))
+      .where(col("cw") >= col("k"))
+      .groupBy(col("grp"), col("ri"))
       .agg(max(col("tot")).as("tot"), min(col("x")).as("q"))
+  }
 
+  /** Per-group exact weighted quantiles at levels `ps` (given as exact
+    * rationals `(num, den)`, e.g. (1,4), (1,2), (3,4)). Returns one row
+    * per group: (grp, w_total, q_num_den...) with one column per level
+    * named q_<num>_<den>, typed as x. */
+  def weightedQuantiles(df: DataFrame, group: Column, x: Column,
+      weight: Column, ps: Seq[(Int, Int)]): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile level")
+    requireNumeric(df, x)
+    val base = radixBase(df, group, x, weight)
+    val c1 = pass1(base)
+    // one rank target per (group, level): cb·den ≥ tot·num on 64-bit
+    // integers ⟺ cb ≥ ⌈tot·num/den⌉ (all terms positive; `div` is
+    // integer division, keeping the whole search in exact 64-bit)
+    val perLevel = rankSearch(base, c1, levelTable(df, ps),
+        ri = col("qi"),
+        k = expr("(tot * num + den - 1) div den"))
+      .withColumnRenamed("ri", "qi")
     pivotLevels(perLevel, ps)
+  }
+
+  /** Per-group INTERPOLATED (type-7 / `quantile_cont`) quantiles: the
+    * continuous position h = (W−1)·p over the weight-expanded order
+    * statistics, linearly interpolated between the two bracketing
+    * values — the grouped twin of Spark's exact `percentile` aggregate
+    * and DuckDB's `quantile_cont`, with `weight` as frequency.
+    *
+    * Why not the built-in aggregate: `percentile` buffers a per-group
+    * value-count map — data-sized state per group that at the 100×
+    * probe meant ~20M-entry maps, 158 s and heavy GC for one query.
+    * Here each level becomes (at most) TWO exact rank targets for the
+    * shared radix [[rankSearch]] — the same three bounded scans, no
+    * data-sized aggregation state anywhere, and the interpolation is
+    * plain double arithmetic on the two resolved ranks (h and h−⌊h⌋
+    * computed exactly as the built-ins compute them, so results agree
+    * bit-for-bit where the built-in agreed).
+    *
+    * Returns one row per group: (grp, w_total, q_0, q_1, ...) with one
+    * DOUBLE column per requested level, in `ps` order. */
+  def interpolatedQuantiles(df: DataFrame, group: Column, x: Column,
+      weight: Column, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty, "at least one quantile level")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"levels must be in [0,1]: $ps")
+    requireNumeric(df, x)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = radixBase(df, group, x.cast("double"), weight)
+    val c1 = pass1(base)
+    // one target row per (level, side): h = (W−1)·p, lower rank
+    // ⌊h⌋+1, upper rank ⌊h⌋+2 — both searched unconditionally (when h
+    // is integral, or the upper rank exceeds W, the upper target
+    // simply resolves to no row / the same value and the frac-0
+    // interpolation below ignores it)
+    val lvl = broadcast(ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq((i, p, 0), (i, p, 1)) }.toDF("qi", "p", "side"))
+    val res = rankSearch(base, c1, lvl,
+      ri = col("qi") * 2 + col("side"),
+      k = floor((col("tot") - lit(1L)).cast("double") * col("p"))
+        .cast("long") + lit(1L) + col("side"))
+    // pivot sides back per level and interpolate: lo + (hi − lo)·frac
+    val pTable = broadcast(ps.zipWithIndex.map { case (p, i) => (i, p) }
+      .toDF("qi", "p"))
+    val qCols = ps.indices.map(i =>
+      min(when(col("qi") === i, col("q"))).as(s"q_$i"))
+    res
+      .withColumn("qi", ((col("ri") - col("ri") % 2) / 2).cast("int"))
+      .withColumn("side", col("ri") % 2)
+      .groupBy(col("grp"), col("qi"))
+      .agg(max(col("tot")).as("tot"),
+        min(when(col("side") === 0, col("q"))).as("xlo"),
+        max(when(col("side") === 1, col("q"))).as("xhi"))
+      .join(pTable, Seq("qi"))
+      .withColumn("h", (col("tot") - lit(1L)).cast("double") * col("p"))
+      .withColumn("frac", col("h") - floor(col("h")))
+      // frac = 0 short-circuits BEFORE touching xhi: the upper rank may
+      // not exist (p = 1) or may be a NaN whose 0-weighted term would
+      // still poison the product
+      .withColumn("q", when(col("frac") === 0.0 || col("xhi").isNull,
+          col("xlo"))
+        .otherwise(col("xlo") + (col("xhi") - col("xlo")) * col("frac")))
+      .groupBy(col("grp"))
+      .agg(max(col("tot")).as("w_total"), qCols: _*)
+  }
+
+  /** Global (single-group) interpolated quantiles, returned as driver
+    * scalars — the scalable twin of `percentile(x, array(ps)).head`.
+    * The builtin aggregate buffers ONE value-count map over every
+    * distinct x in the dataset (data-sized state merged through a
+    * single reducer — a guaranteed OOM on a continuous column at
+    * 100 TB); this costs three bounded scans instead and returns the
+    * same type-7 values in DuckDB's `lo + (hi−lo)·frac` form.
+    * Throws on an empty/all-null input, like `.head().getDouble` on
+    * the builtin's null result did at every call site this replaced. */
+  def interpolatedQuantilesGlobal(df: DataFrame, x: Column,
+      weight: Column, ps: Seq[Double]): Seq[Double] = {
+    val rows = interpolatedQuantiles(df, lit(1), x, weight, ps).collect()
+    require(rows.nonEmpty, "interpolatedQuantilesGlobal on empty input")
+    ps.indices.map(i => rows.head.getDouble(2 + i))
   }
 
   /** Bounded-DOMAIN variant: one distinct-value cumsum pass instead of

@@ -43,11 +43,11 @@ object Psas {
       sWt.cast("double").as("wt"))
 
     // exact quantile breaks on the cohort score: G−1 driver scalars
-    // (exact for oracle parity; swap to approx_percentile at 100 TB)
+    // via the radix rank search — exact AND scale-safe (no value-count
+    // map over the continuous score domain)
     val probs = (1 until g).map(_.toDouble / g)
-    val breaks = c.agg(expr(
-        s"percentile(q, array(${probs.mkString(",")}))").as("b"))
-      .head().getSeq[Double](0)
+    val breaks = graft.stats.WeightedQuantile.interpolatedQuantilesGlobal(
+      c, col("q"), lit(1L), probs)
 
     def stratum(q: Column): Column =
       breaks.zipWithIndex.foldRight(lit(g): Column) {

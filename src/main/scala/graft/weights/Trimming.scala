@@ -29,7 +29,10 @@ object Trimming {
   def trim(df: DataFrame, weight: Column, p: Double): DataFrame = {
     require(p > 0 && p < 1, s"percentile must be in (0,1), got $p")
     val keyed = df.withColumn("__tr_w", weight.cast("double"))
-    val cap = keyed.agg(expr(s"percentile(__tr_w, $p)")).head().getDouble(0)
+    // exact type-7 cap via the radix rank search — the builtin
+    // `percentile` buffers every distinct weight in one map
+    val cap = graft.stats.WeightedQuantile.interpolatedQuantilesGlobal(
+      keyed, col("__tr_w"), lit(1L), Seq(p)).head
     trimAt(keyed, col("__tr_w"), cap).drop("__tr_w")
   }
 

@@ -128,6 +128,52 @@ class QuantileRadixSpec extends SparkSpec {
     assert(r.getDouble(5).isNaN, "max must be NaN (NaN-greatest)")
   }
 
+  test("interpolatedQuantiles matches Spark's exact percentile aggregate") {
+    val rnd = new scala.util.Random(99L)
+    // duplicates, negatives, and group sizes that hit both integral and
+    // fractional interpolation positions
+    val data = (1 to 401).map { i =>
+      ("g" + i % 3, math.rint(rnd.nextGaussian() * 1000) / 4.0)
+    }
+    val df = data.toDF("grp", "x")
+    val ps = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 1.0)
+    val got = graft.stats.WeightedQuantile.interpolatedQuantiles(
+        df, col("grp"), col("x"), lit(1L), ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(2 + i))).toMap
+    val want = df.groupBy(col("grp"))
+      .agg(percentile(col("x"), array(ps.map(lit): _*)).as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, qs) =>
+      ps.indices.foreach { i =>
+        // last-ulp tolerance: Spark's builtin interpolates with the
+        // two-sided (hi−pos)·lo + (pos−lo)·hi form, ours with DuckDB's
+        // lo + (hi−lo)·frac — algebraically identical, 1-ulp apart on
+        // some inputs (the hash oracle is DuckDB, so ours is the form
+        // that must match bit-for-bit downstream)
+        val tol = math.max(math.ulp(qs(i)) * 4, 1e-300)
+        assert(math.abs(got(g)(i) - qs(i)) <= tol,
+          s"group $g p=${ps(i)}: got ${got(g)(i)}, want ${qs(i)}")
+      }
+    }
+  }
+
+  test("interpolatedQuantiles honors frequency weights like percentile") {
+    val df = Seq(("g", 1.0, 3L), ("g", 2.0, 1L), ("g", 5.0, 2L))
+      .toDF("grp", "x", "w")
+    val ps = Seq(0.5, 0.75)
+    val got = graft.stats.WeightedQuantile.interpolatedQuantiles(
+        df, col("grp"), col("x"), col("w"), ps)
+      .collect().head
+    val want = df.groupBy(col("grp"))
+      .agg(percentile(col("x"), array(ps.map(lit): _*), col("w")).as("q"))
+      .collect().head.getSeq[Double](1)
+    assert(got.getLong(1) == 6L)
+    assert(got.getDouble(2) == want(0) && got.getDouble(3) == want(1),
+      s"got (${got.getDouble(2)}, ${got.getDouble(3)}), want $want")
+  }
+
   test("non-numeric x is rejected at plan-build time") {
     val df = Seq(("g", "10", 1L)).toDF("grp", "x", "w")
     val e = intercept[IllegalArgumentException] {
