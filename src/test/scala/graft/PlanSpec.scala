@@ -375,6 +375,29 @@ class PlanSpec extends SparkSpec {
       s"passes 2-3 must prune via broadcast candidate joins:\n$p")
   }
 
+  test("interpolated quantile: same radix discipline, one extra scan only for the clip pass") {
+    // interpolatedQuantiles (type-7 / quantile_cont) rides the SAME
+    // three-pass rank search — two rank targets per level must NOT
+    // double the scan count (they ride one broadcast target table),
+    // and the builtin `percentile` aggregate (data-sized per-group
+    // value-count maps) must not appear anywhere.
+    val df = graft.stats.WeightedQuantile.interpolatedQuantiles(
+      graft.core.Tables(spark, sf, "lineitem"),
+      col("l_returnflag"), col("l_extendedprice"), lit(1L),
+      Seq(0.05, 0.5, 0.95))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 3, s"interpolated search must scan the facts exactly 3x, got $scans:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no range sampling allowed anywhere in the radix path:\n$p")
+    assert(!p.contains("InMemoryRelation"),
+      s"the radix path must not depend on a cache:\n$p")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"builtin percentile aggregate must not appear:\n$p")
+  }
+
   test("d5_embed_neardup: fixed batch broadcasts, corpus streams one equi-join pass") {
     // batch-vs-corpus admission screen: the 200-vector batch is the
     // BUILD side of a label equi-join (broadcast), the corpus the

@@ -174,6 +174,38 @@ class QuantileRadixSpec extends SparkSpec {
       s"got (${got.getDouble(2)}, ${got.getDouble(3)}), want $want")
   }
 
+  test("interpolatedQuantiles edge groups: single row, all-equal, two-point") {
+    // single row (W=1 -> h=0, upper rank beyond W), all-equal values
+    // (lo == hi regardless of frac), and the smallest fractional case
+    val df = Seq(
+      ("one", 7.25), ("eq", 3.0), ("eq", 3.0), ("eq", 3.0),
+      ("two", 1.0), ("two", 2.0)).toDF("grp", "x")
+    val ps = Seq(0.0, 0.5, 1.0)
+    val got = graft.stats.WeightedQuantile.interpolatedQuantiles(
+        df, col("grp"), col("x"), lit(1L), ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(2 + i))).toMap
+    assert(got("one") == Seq(7.25, 7.25, 7.25))
+    assert(got("eq") == Seq(3.0, 3.0, 3.0))
+    assert(got("two") == Seq(1.0, 1.5, 2.0))
+  }
+
+  test("interpolatedQuantiles: NaN-greatest and negative values interpolate like percentile") {
+    val df = Seq(("g", -5.0), ("g", -1.0), ("g", Double.NaN), ("g", 4.0))
+      .toDF("grp", "x")
+    val ps = Seq(0.25, 0.5, 1.0)
+    val got = graft.stats.WeightedQuantile.interpolatedQuantiles(
+        df, col("grp"), col("x"), lit(1L), ps).collect().head
+    val want = df.groupBy(col("grp"))
+      .agg(percentile(col("x"), array(ps.map(lit): _*)).as("q"))
+      .collect().head.getSeq[Double](1)
+    // p=0.25/0.5 interpolate among the ordered finite values; p=1.0
+    // lands ON the NaN (greatest) — both engines agree
+    assert(got.getDouble(2) == want(0) && got.getDouble(3) == want(1),
+      s"got (${got.getDouble(2)}, ${got.getDouble(3)}), want $want")
+    assert(got.getDouble(4).isNaN && want(2).isNaN)
+  }
+
   test("non-numeric x is rejected at plan-build time") {
     val df = Seq(("g", "10", 1L)).toDF("grp", "x", "w")
     val e = intercept[IllegalArgumentException] {
