@@ -107,14 +107,21 @@ object StatQueries4 {
         min(when(col("cw") * 2 >= col("b"), col("x"))).as("med"),
         min(when(col("cw") * 2 >= col("b"), col("cw"))).as("a"),
         max(col("b")).as("b"))
-      // vnum = Σ w²(I·b − a)² exactly in BIGINT (I the ≤-median
-      // indicator); SE(p̂) = √vnum / b²  — one scan over the raw rows
+      // vnum = Σ w²(I·b − a)² exactly (I the ≤-median indicator);
+      // SE(p̂) = √vnum / b² — one scan over the raw rows. Each TERM is
+      // an exact long (≤ 9·(2n)², overflows only past n ≈ 5e8 rows) but
+      // the SUM crosses 2⁶³ at ~1.5M rows (measured: sf10's 100× probe
+      // threw ARITHMETIC_OVERFLOW here), so it accumulates in
+      // decimal(38,0) — exact 128-bit, the same integer DuckDB's
+      // HUGEINT sum produces, and both engines round it to double
+      // identically under the √.
       val dev = when(col("x") <= col("med"), col("b")).otherwise(lit(0L)) -
         col("a")
       val v = c.crossJoin(broadcast(med)).agg(
         max(col("med")).as("med"), max(col("a")).as("a"),
         max(col("b")).as("b"),
-        sum(col("w") * col("w") * dev * dev).as("vnum"))
+        sum((col("w") * col("w") * dev * dev).cast("decimal(38,0)"))
+          .as("vnum"))
       val se = v.select(col("med"),
         (col("a").cast("double") / col("b")).as("p"),
         (sqrt(col("vnum").cast("double")) /

@@ -206,6 +206,39 @@ class QuantileRadixSpec extends SparkSpec {
     assert(got.getDouble(4).isNaN && want(2).isNaN)
   }
 
+  test("interpolatedQuantiles: randomized weights match a brute-force expansion oracle") {
+    // type-7 with frequency weights == type-7 over the weight-expanded
+    // multiset; brute-force that expansion directly (sizes stay small)
+    val rnd = new scala.util.Random(2026L)
+    val data = (1 to 160).map { i =>
+      ("g" + i % 4, math.rint(rnd.nextGaussian() * 50) / 8.0,
+        1L + rnd.nextInt(5).toLong)
+    }
+    val ps = Seq(0.1, 0.37, 0.5, 0.93)
+    def brute(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted
+      val h = (s.length - 1) * p
+      val lo = s(math.floor(h).toInt)
+      if (h == math.floor(h)) lo
+      else lo + (s(math.floor(h).toInt + 1) - lo) * (h - math.floor(h))
+    }
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val expanded = rows.flatMap(r => Seq.fill(r._3.toInt)(r._2))
+      g -> ps.map(p => brute(expanded, p))
+    }
+    val got = graft.stats.WeightedQuantile.interpolatedQuantiles(
+        data.toDF("grp", "x", "w"), col("grp"), col("x"), col("w"), ps)
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getDouble(2 + i))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (g, qs) =>
+      ps.indices.foreach { i =>
+        assert(got(g)(i) == qs(i),
+          s"group $g p=${ps(i)}: got ${got(g)(i)}, want ${qs(i)}")
+      }
+    }
+  }
+
   test("non-numeric x is rejected at plan-build time") {
     val df = Seq(("g", "10", 1L)).toDF("grp", "x", "w")
     val e = intercept[IllegalArgumentException] {
