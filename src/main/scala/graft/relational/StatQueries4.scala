@@ -521,8 +521,14 @@ object StatQueries4 {
       s2.agg(
         sum(when(col("pi") === 0.25, col("yq") * 4)
           .otherwise(col("yq") * 8)).as("tq"),
+        // each term is exact in long (cents² × 56 ≈ 7e13) but the SUM
+        // crosses 2⁶³ near 1.3e5 terms-per-unit-variance growth — the
+        // m46 overflow class; accumulate in decimal(38,0) (exact, the
+        // same integer DuckDB's HUGEINT sum yields, identical under
+        // the double cast)
         sum(when(col("pi") === 0.25, col("yq") * col("yq") * 12)
-          .otherwise(col("yq") * col("yq") * 56)).as("vq"),
+          .otherwise(col("yq") * col("yq") * 56).cast("decimal(38,0)"))
+          .as("vq"),
         count(lit(1)).as("n2"))
         .select(round(col("tq").cast("double") / 100.0, 2).as("total_hat"),
           round(sqrt(col("vq").cast("double")) / 100.0, 4).as("se_hat"),
@@ -576,7 +582,9 @@ object StatQueries4 {
         .select(col("c_nationkey").as("a"),
           floor(col("c_acctbal") * 100 + 0.5).cast("long").as("yq"))
       val dir = samp.groupBy(col("a")).agg(count(lit(1)).as("n"),
-          sum(col("yq")).as("sy"), sum(col("yq") * col("yq")).as("syy"))
+          sum(col("yq")).as("sy"),
+          // Σ cents² — the m46 overflow class at scale; exact 128-bit
+          sum((col("yq") * col("yq")).cast("decimal(38,0)")).as("syy"))
         .filter(col("n") >= 2)
       val cen = cust.groupBy(col("c_nationkey").as("a"))
         .agg((sum(floor(col("c_acctbal") * 100 + 0.5).cast("long"))
