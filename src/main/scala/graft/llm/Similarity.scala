@@ -103,6 +103,62 @@ object Similarity {
     array_min(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(dist2(v, c).as("d"), lit(i).as("cid")) }: _*)).getField("cid")
 
+  /** Codebooks at or below this size assign via the [[nearestCentroid]]
+    * expression (zero shuffle); larger ones would bloat the expression
+    * tree past what codegen tolerates (k dist² subtrees, each with a
+    * dims-literal array) and switch to the broadcast-join path. */
+  private val ExprAssignMaxK = 64
+
+  /** Nearest-centroid assignment that scales with the CODEBOOK, not
+    * just the corpus: returns (id, v, cell) with v cast to
+    * array<double>. Small codebooks ride the pure-expression path;
+    * large ones (corpus-derived k, e.g. SemDeDup's k ∝ n) broadcast a
+    * k-row centroid table, stream the n·k candidate pairs through one
+    * codegen'd dot product, and take the per-row argmin as a hash
+    * aggregate (map-side partials reduce the shuffle back to n rows).
+    * Both paths — and the SQL oracle replay — compute the distance as
+    * ((v·v) − 2·(v·c)) + (c·c) with identical association order, v·v
+    * hoisted out of the per-centroid work, and c·c a driver-computed
+    * scalar, so assignments agree bit-for-bit across paths and engines. */
+  def assignCells(df: DataFrame, id: Column, vec: Column,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val base = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+    if (centroids.length <= ExprAssignMaxK)
+      base.withColumn("cell", nearestCentroid(col("v"), centroids))
+    else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val spark = df.sparkSession
+      val rows = centroids.zipWithIndex.map { case (c, i) =>
+        var cc = 0.0
+        var j = 0
+        while (j < c.length) { cc += c(j) * c(j); j += 1 }
+        Row(i, c.toSeq, cc)
+      }
+      val centsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("cid", IntegerType),
+          StructField("cv", ArrayType(DoubleType)),
+          StructField("cc", DoubleType))))
+      // one parquet file = one partition; the n·k candidate stream is
+      // the dense stage and must run corpus-parallel
+      val para = spark.sparkContext.defaultParallelism
+      val wide =
+        if (base.rdd.getNumPartitions < para) base.repartition(para) else base
+      wide
+        .withColumn("vv", dot(col("v"), col("v")))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("d",
+          col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"))
+        // ties → smallest cid, the nearestCentroid/oracle order; v rides
+        // inside the struct (constant per id, never reaches comparison
+        // because (d, cid) is unique per candidate row)
+        .groupBy(col("id"))
+        .agg(min(struct(col("d"), col("cid"), col("v"))).as("m"))
+        .select(col("id"), col("m.v").as("v"), col("m.cid").as("cell"))
+    }
+  }
+
   /** Lloyd k-means with DETERMINISTIC init (the k vectors with the
     * smallest ids, in id order) and a PINNED iteration count, so a SQL
     * oracle can replay the identical fixed point. Each iteration is one
@@ -120,8 +176,7 @@ object Similarity {
     val dims = init(0).length
     var cents = init
     for (_ <- 1 to iters) {
-      val assigned = base.withColumn("cell",
-        nearestCentroid(col("v"), cents.toSeq))
+      val assigned = assignCells(base, col("id"), col("v"), cents.toSeq)
       val aggs = (0 until dims).map(i =>
         sum(floor(element_at(col("v"), i + 1) * lit(MeanQ) + lit(0.5))
           .cast("long")).as(s"s$i")) :+ count(lit(1)).as("n")
@@ -323,15 +378,16 @@ object Similarity {
     * iterative clustering of the duplicate graph.
     *
     * 100 TB shape: the pair stream is blocked by k-means cell (never
-    * all-pairs — O(Σ|cell|²) with driver-sized centroids and an
-    * expression-only assignment), and the verdict is a single
-    * aggregate over the symmetric pair stream. Skew knob = k: more
-    * centroids → smaller cells. */
+    * all-pairs — O(Σ|cell|²) with driver-sized centroids), assignment
+    * rides [[assignCells]] (expression for small codebooks, broadcast
+    * join + argmin aggregate for corpus-derived k), and the verdict is
+    * a single aggregate over the symmetric pair stream. Skew knob = k:
+    * callers should derive k ∝ n/targetCellSize so expected cell size —
+    * and with it the in-cell O(n²/k) pair work — stays bounded as the
+    * corpus grows (the d13 fixture does). */
   def semDedup(df: DataFrame, id: Column, vec: Column,
       centroids: Array[Array[Double]], minCos: Double): DataFrame = {
-    val base = df.select(id.cast("long").as("id"),
-        vec.cast("array<double>").as("v"))
-      .withColumn("cell", nearestCentroid(col("v"), centroids.toSeq))
+    val base = assignCells(df, id.cast("long"), vec, centroids.toSeq)
     val pairs = base.as("a").join(base.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

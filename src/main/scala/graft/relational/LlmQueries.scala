@@ -786,7 +786,15 @@ private[relational] object KmeansReplay {
   /** The emb → c0 → (a_i, m_i, c_i)* → cells CTE stack (no leading
     * WITH). Empty clusters keep their previous centroid (LEFT JOIN +
     * COALESCE), mirroring kmeansFit exactly. */
-  def ctes(k: Int, iters: Int, dims: Int): String = {
+  def ctes(k: Int, iters: Int, dims: Int): String =
+    ctes(k.toString, iters, dims)
+
+  /** Like [[ctes]] but k is an arbitrary SQL scalar expression
+    * (evaluated against the emb CTE), so a fixture can derive the cell
+    * count from the CORPUS — the same k ∝ n/targetCellSize rule the
+    * engine side uses — and the oracle replays the identical fixed
+    * point at any scale factor. */
+  def ctes(kSql: String, iters: Int, dims: Int): String = {
     val meanList = (1 to dims).map(i =>
       s"CAST(SUM(CAST(FLOOR(v[$i]*10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
         "/CAST(COUNT(*) AS DOUBLE)/10000000.0")
@@ -800,8 +808,9 @@ private[relational] object KmeansReplay {
     }.mkString(",\n")
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
-       |  FROM emb ORDER BY vec_id LIMIT $k),
+       |c0 AS (SELECT cid, v FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v FROM emb)
+       |  WHERE cid < ($kSql)),
        |$iterCtes,
        |cells AS (SELECT vec_id, v, cid AS cell
        |  FROM (${assignSql("emb", s"c$iters", "rn")}) WHERE rn = 1)""".stripMargin

@@ -54,10 +54,15 @@ object LlmQueries3 {
     // ---- SemDeDup: pinned-Lloyd k-means cells (the sim_ivf replay),
     //      within-cell cosine ≥ 0.45 → semantic duplicates, keep the
     //      min id of each neighborhood. The oracle replays the whole
-    //      k-means fixed point AND the in-cell pair verdicts. ----
+    //      k-means fixed point AND the in-cell pair verdicts. The cell
+    //      count is CORPUS-DERIVED on both sides — k = max(8, n/256) —
+    //      so expected cell size (and the O(n²/k) in-cell pair work)
+    //      stays bounded as the corpus grows; a pinned k would make the
+    //      fixture quadratic at scale even though the operator isn't. ----
     sqlChecked("d13_semdedup", {
-      val K = 8; val ITERS = 3
-      s"""WITH ${KmeansReplay.ctes(K, ITERS, 64)},
+      val ITERS = 3
+      val KSQL = "GREATEST(8, (SELECT COUNT(*) // 256 FROM emb))"
+      s"""WITH ${KmeansReplay.ctes(KSQL, ITERS, 64)},
          |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    list_dot_product(a.v, b.v) /
          |      (SQRT(list_dot_product(a.v, a.v))
@@ -79,8 +84,11 @@ object LlmQueries3 {
          |ORDER BY c.vec_id""".stripMargin
     }) { (s, d) =>
       val emb = t(s, d, "embeddings")
+      // k ∝ corpus/targetCellSize (mirrors the oracle's KSQL exactly:
+      // Scala Long division and DuckDB // both floor on non-negatives)
+      val k = math.max(8L, emb.count() / 256L).toInt
       val cents = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
-        k = 8, iters = 3)
+        k = k, iters = 3)
       Similarity.semDedup(emb, col("vec_id"), col("embedding"),
           cents, minCos = 0.45)
         .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),

@@ -195,10 +195,25 @@ object RelationalQueries2 {
         |FROM orders
         |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, d, "orders").select(col("o_orderkey"),
-          round(percent_rank().over(w), 8).as("pr"),
-          round(cume_dist().over(w), 8).as("cd"))
+      // Global rank via the two-phase distributed scan (Windows.scan):
+      // range-repartition on the order key, local row numbers, tiny
+      // per-partition offset table broadcast back — never the
+      // single-partition `Window.orderBy` funnel. The tiebreak key
+      // (o_orderkey) is unique, so rank == row_number == running count
+      // and cume_dist == rank/N exactly; percent_rank == (rank-1)/(N-1).
+      // Both are exact-integer double divisions — bit-identical to the
+      // window-function definitions on either engine.
+      val orders = t(s, d, "orders")
+      val ranked = graft.core.Windows.scan(orders,
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        Seq((lit(1.0), "__rnk")),
+        sizeHint = graft.core.Windows.SizeHint.Large)
+      val nTotal = broadcast(
+        ranked.agg(count(lit(1)).cast("double").as("__n")))
+      ranked.crossJoin(nTotal)
+        .select(col("o_orderkey"),
+          round((col("__rnk") - 1.0) / (col("__n") - 1.0), 8).as("pr"),
+          round(col("__rnk") / col("__n"), 8).as("cd"))
         .orderBy(col("o_orderkey"))
     },
 

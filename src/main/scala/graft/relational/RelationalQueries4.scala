@@ -199,8 +199,18 @@ object RelationalQueries4 {
     },
 
     // ---- ntile + cume_dist: equi-count bucketing and empirical CDF
-    //      within each priority partition, fully deterministic via the
-    //      (price, key) tiebreak; partitioned windows, no global sort ----
+    //      within each priority partition. o_orderpriority has ~5
+    //      distinct values, so `Window.partitionBy(priority)` is a
+    //      DATA-SIZED window (each of 5 tasks sorts a fifth of the
+    //      table — the grouped-scan skew trap). Instead: per-group rank
+    //      from the two-phase grouped scan (order stays contiguous
+    //      across range partitions, offsets from the tiny boundary
+    //      table), per-group counts broadcast back, and both NTILE and
+    //      CUME_DIST recovered in closed form from (rank, n). The
+    //      (price, key) tiebreak is unique, so rank == running count:
+    //      cume_dist = rank/n exactly, and NTILE's first (n mod k)
+    //      buckets carry ceil(n/k) rows (the SQL-standard definition
+    //      both engines implement). ----
     sqlChecked("w_ntile",
       """SELECT o_orderkey,
         |  NTILE(7) OVER (PARTITION BY o_orderpriority
@@ -208,11 +218,25 @@ object RelationalQueries4 {
         |  ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority
         |    ORDER BY o_totalprice, o_orderkey), 10) AS cd
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      t(s, d, "orders")
-        .select(col("o_orderkey"), ntile(7).over(w).as("bucket"),
-          round(cume_dist().over(w), 10).as("cd"))
+      val k = 7
+      val orders = t(s, d, "orders")
+      val ranked = graft.core.Windows.groupedScan(orders,
+        Seq(col("o_orderpriority")),
+        Seq(col("o_totalprice"), col("o_orderkey")),
+        Seq((lit(1.0), "__rnk")),
+        sizeHint = graft.core.Windows.SizeHint.Large)
+      val counts = orders.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("__gn"))
+      val r = col("__rnk").cast("long")
+      val n = col("__gn")
+      val base = expr("__gn div 7")
+      val rem = n % k
+      val big = rem * (base + 1L) // rows covered by the (base+1)-sized buckets
+      val bucket = when(r <= big, floor((r - 1L) / (base + 1L)) + 1L)
+        .otherwise(rem + floor((r - 1L - big) / base) + 1L)
+      ranked.join(broadcast(counts), Seq("o_orderpriority"))
+        .select(col("o_orderkey"), bucket.cast("int").as("bucket"),
+          round(r.cast("double") / n.cast("double"), 10).as("cd"))
         .orderBy(col("o_orderkey"))
     },
 

@@ -461,8 +461,12 @@ object RelationalQueries5 {
       // distinct values per language) → the one-pass distinct-cumsum
       // beats the three-scan radix search; see WeightedQuantile's
       // decision rule. `dev` feeds BOTH the MAD quantile and the
-      // final outlier agg — persist it once (safe: the distinct path
-      // has no cache contract; freed by the harness clearCache).
+      // final outlier agg — materialize it once via a lazy
+      // localCheckpoint rather than persist(): checkpoint blocks are
+      // released by the ContextCleaner as soon as the frame is
+      // unreachable, so a driver that does NOT clearCache between
+      // queries (persist() pins the CacheManager until one does)
+      // cannot accumulate it across a catalog run.
       import graft.stats.WeightedQuantile.weightedQuantilesDistinct
       val docs = t(s, d, "documents")
         .select(col("lang"), col("n_chars").cast("long").as("x"))
@@ -470,7 +474,8 @@ object RelationalQueries5 {
           lit(1L), Seq((1, 2)))
         .select(col("grp").as("lang"), col("q_1_2").as("med"))
       val dev = docs.join(med, Seq("lang"))
-        .withColumn("ax", abs(col("x") - col("med"))).persist()
+        .withColumn("ax", abs(col("x") - col("med")))
+        .localCheckpoint(false)
       val mad = weightedQuantilesDistinct(dev, col("lang"), col("ax"),
           lit(1L), Seq((1, 2)))
         .select(col("grp").as("lang"), col("q_1_2").as("mad"))

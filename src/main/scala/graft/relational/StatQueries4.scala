@@ -109,18 +109,19 @@ object StatQueries4 {
         max(col("b")).as("b"))
       // vnum = Σ w²(I·b − a)² exactly (I the ≤-median indicator);
       // SE(p̂) = √vnum / b² — one scan over the raw rows. Each TERM is
-      // an exact long (≤ 9·(2n)², overflows only past n ≈ 5e8 rows) but
       // the SUM crosses 2⁶³ at ~1.5M rows (measured: sf10's 100× probe
-      // threw ARITHMETIC_OVERFLOW here), so it accumulates in
-      // decimal(38,0) — exact 128-bit, the same integer DuckDB's
-      // HUGEINT sum produces, and both engines round it to double
-      // identically under the √.
+      // threw ARITHMETIC_OVERFLOW here), so the whole product chain runs
+      // in decimal(38,0) — the FIRST operand is cast before any
+      // multiplication, keeping every term (not just the sum) exact
+      // 128-bit at any row count; DuckDB's HUGEINT sum yields the same
+      // integer, and both engines round it to double identically under
+      // the √.
       val dev = when(col("x") <= col("med"), col("b")).otherwise(lit(0L)) -
         col("a")
       val v = c.crossJoin(broadcast(med)).agg(
         max(col("med")).as("med"), max(col("a")).as("a"),
         max(col("b")).as("b"),
-        sum((col("w") * col("w") * dev * dev).cast("decimal(38,0)"))
+        sum(col("w").cast("decimal(38,0)") * col("w") * dev * dev)
           .as("vnum"))
       val se = v.select(col("med"),
         (col("a").cast("double") / col("b")).as("p"),
@@ -521,13 +522,15 @@ object StatQueries4 {
       s2.agg(
         sum(when(col("pi") === 0.25, col("yq") * 4)
           .otherwise(col("yq") * 8)).as("tq"),
-        // each term is exact in long (cents² × 56 ≈ 7e13) but the SUM
-        // crosses 2⁶³ near 1.3e5 terms-per-unit-variance growth — the
-        // m46 overflow class; accumulate in decimal(38,0) (exact, the
+        // the m46 overflow class: the SUM crosses 2⁶³ long before any
+        // single term does, and at extreme balances the yq²·56 term
+        // itself could — so the first operand is cast to decimal(38,0)
+        // BEFORE multiplying, keeping term and sum exact 128-bit (the
         // same integer DuckDB's HUGEINT sum yields, identical under
         // the double cast)
-        sum(when(col("pi") === 0.25, col("yq") * col("yq") * 12)
-          .otherwise(col("yq") * col("yq") * 56).cast("decimal(38,0)"))
+        sum(when(col("pi") === 0.25,
+            col("yq").cast("decimal(38,0)") * col("yq") * 12)
+          .otherwise(col("yq").cast("decimal(38,0)") * col("yq") * 56))
           .as("vq"),
         count(lit(1)).as("n2"))
         .select(round(col("tq").cast("double") / 100.0, 2).as("total_hat"),
@@ -583,8 +586,9 @@ object StatQueries4 {
           floor(col("c_acctbal") * 100 + 0.5).cast("long").as("yq"))
       val dir = samp.groupBy(col("a")).agg(count(lit(1)).as("n"),
           sum(col("yq")).as("sy"),
-          // Σ cents² — the m46 overflow class at scale; exact 128-bit
-          sum((col("yq") * col("yq")).cast("decimal(38,0)")).as("syy"))
+          // Σ cents² — the m46 overflow class at scale; cast before the
+          // multiply so term AND sum are exact 128-bit at any balance
+          sum(col("yq").cast("decimal(38,0)") * col("yq")).as("syy"))
         .filter(col("n") >= 2)
       val cen = cust.groupBy(col("c_nationkey").as("a"))
         .agg((sum(floor(col("c_acctbal") * 100 + 0.5).cast("long"))

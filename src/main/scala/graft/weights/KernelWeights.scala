@@ -72,11 +72,16 @@ object KernelWeights {
     // probe). A skinny cohort projection read from one parquet file is
     // still 1 partition, so fan it out to the session parallelism first
     // — a no-op on any input already wider than the core count.
-    val para = cohort.sparkSession.sparkContext.defaultParallelism
-    val cWide = if (c.rdd.getNumPartitions < para) c.repartition(para) else c
+    // (the .rdd partition probe forces a plan-to-RDD conversion, so it
+    // only runs on the branch that uses it — the band join never pays it)
     val pairs =
       if (bandJoin) bandPairs(s, c, h)
-      else cWide.crossJoin(broadcast(s))
+      else {
+        val para = cohort.sparkSession.sparkContext.defaultParallelism
+        val cWide =
+          if (c.rdd.getNumPartitions < para) c.repartition(para) else c
+        cWide.crossJoin(broadcast(s))
+      }
 
     val withK = pairs.withColumn("k", kernel((col("q_s") - col("q_c")) / lit(h)))
 

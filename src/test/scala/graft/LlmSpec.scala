@@ -163,6 +163,37 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("assignCells: broadcast-join path (k > 64) matches the expression path bit-for-bit") {
+    // 200 vectors, 80 centroids — above the 64-centroid expression cap,
+    // so assignCells takes the broadcast-join + argmin-aggregate path.
+    // The distance algebra ((v·v) − 2(v·c)) + (c·c) must agree with the
+    // nearestCentroid expression exactly (same association order, same
+    // tie rule), or the k-means fixed point would drift between small-
+    // and large-codebook corpora.
+    val emb = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        math.sin(i * 2.3 + j * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = (0 until 80).map { c =>
+      Array.tabulate(8)(j => math.cos(c * 1.1 + j * 0.9))
+    }
+    val joined = Similarity.assignCells(emb, col("vec_id"),
+        col("embedding"), cents)
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expr = emb.select(col("vec_id").as("id"),
+        Similarity.nearestCentroid(col("embedding").cast("array<double>"),
+          cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(joined == expr)
+    // and the v column must survive the argmin aggregate unchanged
+    val v0 = Similarity.assignCells(emb, col("vec_id"), col("embedding"), cents)
+      .filter(col("id") === 7L).select(col("v")).head().getSeq[Double](0)
+    val want = emb.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    assert(v0 == want)
+  }
+
   test("IVF: empty clusters keep their previous centroid") {
     // 2 distinct points but k=4 → at least 2 clusters go empty
     val emb = Seq(

@@ -414,4 +414,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,200)"),
       s"batch bound must prune at the scan:\n$p")
   }
+
+  test("w_pct_rank / w_ntile: no data-sized window — every window rides the scan's pid/group keys") {
+    // percent_rank/cume_dist/ntile over a fact table must come from the
+    // two-phase distributed rank (Windows.scan/groupedScan): the only
+    // windows allowed in the plan are the scan's internal ones, always
+    // partitioned on its __graft_pid / __graft_g* keys. A bare
+    // `Window.orderBy(fact cols)` (the single-task funnel this rewrite
+    // removed) would surface as a windowspecdefinition whose first
+    // argument is a data column.
+    for (q <- Seq("w_pct_rank", "w_ntile")) {
+      val p = plan(q)
+      val bad = "windowspecdefinition\\((?!__graft)".r.findAllIn(p).toList
+      assert(bad.isEmpty,
+        s"$q: window not keyed on the scan's __graft partition cols:\n$p")
+      assert(p.contains("windowspecdefinition(__graft_pid"),
+        s"$q: expected the two-phase scan's pid-partitioned local ranks:\n$p")
+    }
+  }
+
+  test("mm_phash: rollup stays at the distinct-hash level — no id-level pair stream") {
+    // perceptualDupStats hoists pair enumeration to hash CLASSES: the
+    // band join and popcount verify key on ahash, per-image counts come
+    // back by multiplicity arithmetic. An id×id pair list (quadratic
+    // under dense duplication — ~350M rows at the 100x probe) would
+    // re-surface as media_id-keyed join columns in the verify arm.
+    val p = plan("mm_phash")
+    assert(!p.contains("ida#") && !p.contains("idb#"),
+      s"mm_phash regressed to the id-level pair list:\n$p")
+    assert("hashpartitioning\\(ahash".r.findAllIn(p).nonEmpty ||
+      p.contains("ha#") || p.contains("hb#"),
+      s"expected the distinct-hash class join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"mm_phash must never go all-pairs:\n$p")
+  }
 }

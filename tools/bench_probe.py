@@ -19,7 +19,10 @@ def main(inp, out="BENCH_sf1_probe.json", scale="10", baseline=None):
     line = [l for l in open(inp) if '"metric"' in l][-1]
     sf1 = json.loads(line)
     if baseline is None:
-        baseline = sorted(glob.glob("bench_queries_r*.json"))[-1]
+        # numeric round sort: lexicographic picks r99 over r100
+        import re
+        baseline = sorted(glob.glob("bench_queries_r*.json"),
+                          key=lambda p: int(re.search(r"r(\d+)", p).group(1)))[-1]
     base_line = [l for l in open(baseline) if '"metric"' in l][-1]
     base = json.loads(base_line)["queries"]
     rows = {}

@@ -25,7 +25,10 @@ END = "<!-- END GENERATED -->"
 
 
 def newest_bench():
-    paths = sorted(glob.glob("bench_queries_r*.json"))
+    # sort by the parsed round NUMBER — lexicographic order would pick
+    # r99 over r100 once the round counter hits three digits
+    paths = sorted(glob.glob("bench_queries_r*.json"),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     if not paths:
         sys.exit("no bench_queries_r*.json artifact found")
     path = paths[-1]
@@ -40,7 +43,9 @@ def parse_sbt_log(path):
     failed = re.findall(r"Tests: succeeded \d+, failed (\d+)", txt)
     if not tests or not suites:
         sys.exit(f"{path}: no scalatest summary found")
-    return int(suites[-1]), int(tests[-1]), int(failed[-1]) if failed else None
+    if not failed:
+        sys.exit(f"{path}: no 'Tests: succeeded N, failed M' summary found")
+    return int(suites[-1]), int(tests[-1]), int(failed[-1])
 
 
 def rewrite_readme(suites, tests):
