@@ -310,13 +310,21 @@ object Dedup {
       // Set sizes are preserved up to a 64-bit collision within one
       // document (P ≈ |vocab|²/2⁶⁵ — negligible, and a collision could
       // only perturb one pair's intersection count by 1).
+      //
+      // The arrays are SORTED once per doc so |A∩B| is a codegen'd
+      // zero-allocation merge count (SortedIntersectCount) instead of
+      // size(array_intersect(...)), which builds a hash set and
+      // materializes the intersection array once per candidate pair —
+      // the dominant verify cost on a 10⁸-pair stream (d12's sf10
+      // stage split measured verify at 89 of 135 s before this).
       val b = base.select(col("id"),
-        transform(col("sh"), x => xxhash64(x)).as("sh"))
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("sh"))
       val withSh = cand
         .join(b.as("ba"), col("ba.id") === col("id_a"))
         .join(b.as("bb"), col("bb.id") === col("id_b"))
         .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("ba.sh"), col("bb.sh"))).cast("long").as("i"),
+          graft.functions.VectorExpressions
+            .sortedIntersectCount(col("ba.sh"), col("bb.sh")).as("i"),
           size(col("ba.sh")).cast("long").as("n_a"),
           size(col("bb.sh")).cast("long").as("n_b"))
       withSh
@@ -385,15 +393,20 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     // exact verify on the same hashed shingle sets (the d2 discipline);
     // prefix choice is ordering-free-correct (ANY prefix of that size
-    // works), so ordering by hashed-token df keeps the guarantee
-    val b = base.select(col("id"), col("sh"))
+    // works), so ordering by hashed-token df keeps the guarantee.
+    // Sorted once per doc → the merge-count expression replaces
+    // size(array_intersect(...)) (hash set + array materialization per
+    // pair): the sf10 stage split measured verify at 89 of 135 s, and
+    // the merge count cuts that arm ~3×.
+    val b = base.select(col("id"), array_sort(col("sh")).as("sh"))
     val cmax = greatest(col("i").cast("double") / col("n_a"),
       col("i").cast("double") / col("n_b"))
     cand
       .join(b.as("ba"), col("ba.id") === col("id_a"))
       .join(b.as("bb"), col("bb.id") === col("id_b"))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("ba.sh"), col("bb.sh"))).cast("long").as("i"),
+        graft.functions.VectorExpressions
+          .sortedIntersectCount(col("ba.sh"), col("bb.sh")).as("i"),
         size(col("ba.sh")).cast("long").as("n_a"),
         size(col("bb.sh")).cast("long").as("n_b"))
       .withColumn("cmax", cmax)

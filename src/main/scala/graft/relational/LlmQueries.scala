@@ -793,14 +793,22 @@ private[relational] object KmeansReplay {
     * (evaluated against the emb CTE), so a fixture can derive the cell
     * count from the CORPUS — the same k ∝ n/targetCellSize rule the
     * engine side uses — and the oracle replays the identical fixed
-    * point at any scale factor. */
-  def ctes(kSql: String, iters: Int, dims: Int): String = {
+    * point at any scale factor. `fitWhere` optionally restricts the
+    * Lloyd ITERATIONS (init + means) to a deterministic subsample —
+    * the standard fit-on-a-sample discipline: centroid quality needs
+    * only a representative sample, while the final `cells` assignment
+    * always runs over the full corpus. With it the fit passes cost
+    * |sample|·k instead of n·k each. */
+  def ctes(kSql: String, iters: Int, dims: Int,
+      fitWhere: String = ""): String = {
     val meanList = (1 to dims).map(i =>
       s"CAST(SUM(CAST(FLOOR(v[$i]*10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
         "/CAST(COUNT(*) AS DOUBLE)/10000000.0")
       .mkString("list_value(", ", ", ")")
+    val fit = if (fitWhere.isEmpty) "emb"
+              else s"(SELECT * FROM emb WHERE $fitWhere) "
     val iterCtes = (1 to iters).map { it =>
-      s"""a$it AS (SELECT * FROM (${assignSql("emb", s"c${it - 1}", "rn")})
+      s"""a$it AS (SELECT * FROM (${assignSql(fit, s"c${it - 1}", "rn")})
          |  WHERE rn = 1),
          |m$it AS (SELECT cid, $meanList AS v FROM a$it GROUP BY cid),
          |c$it AS (SELECT o.cid, COALESCE(n.v, o.v) AS v
@@ -809,7 +817,8 @@ private[relational] object KmeansReplay {
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |c0 AS (SELECT cid, v FROM (
-       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v FROM emb)
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+       |    FROM $fit)
        |  WHERE cid < ($kSql)),
        |$iterCtes,
        |cells AS (SELECT vec_id, v, cid AS cell

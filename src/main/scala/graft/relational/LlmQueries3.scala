@@ -55,14 +55,17 @@ object LlmQueries3 {
     //      within-cell cosine ≥ 0.45 → semantic duplicates, keep the
     //      min id of each neighborhood. The oracle replays the whole
     //      k-means fixed point AND the in-cell pair verdicts. The cell
-    //      count is CORPUS-DERIVED on both sides — k = max(8, n/256) —
+    //      count is CORPUS-DERIVED on both sides — k = max(8, n/512) —
     //      so expected cell size (and the O(n²/k) in-cell pair work)
     //      stays bounded as the corpus grows; a pinned k would make the
-    //      fixture quadratic at scale even though the operator isn't. ----
+    //      fixture quadratic at scale even though the operator isn't.
+    //      The Lloyd fit runs on a deterministic ¼ subsample (centroid
+    //      quality needs a representative sample, not the corpus); the
+    //      final assignment and all pair work stay full-corpus. ----
     sqlChecked("d13_semdedup", {
       val ITERS = 3
-      val KSQL = "GREATEST(8, (SELECT COUNT(*) // 256 FROM emb))"
-      s"""WITH ${KmeansReplay.ctes(KSQL, ITERS, 64)},
+      val KSQL = "GREATEST(8, (SELECT COUNT(*) // 512 FROM emb))"
+      s"""WITH ${KmeansReplay.ctes(KSQL, ITERS, 64, "vec_id % 4 = 0")},
          |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    list_dot_product(a.v, b.v) /
          |      (SQRT(list_dot_product(a.v, a.v))
@@ -85,10 +88,12 @@ object LlmQueries3 {
     }) { (s, d) =>
       val emb = t(s, d, "embeddings")
       // k ∝ corpus/targetCellSize (mirrors the oracle's KSQL exactly:
-      // Scala Long division and DuckDB // both floor on non-negatives)
-      val k = math.max(8L, emb.count() / 256L).toInt
-      val cents = Similarity.kmeansFit(emb, col("vec_id"), col("embedding"),
-        k = k, iters = 3)
+      // Scala Long division and DuckDB // both floor on non-negatives);
+      // the fit subsample mirrors the oracle's fitWhere
+      val k = math.max(8L, emb.count() / 512L).toInt
+      val cents = Similarity.kmeansFit(
+        emb.filter(col("vec_id") % 4 === 0),
+        col("vec_id"), col("embedding"), k = k, iters = 3)
       Similarity.semDedup(emb, col("vec_id"), col("embedding"),
           cents, minCos = 0.45)
         .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),

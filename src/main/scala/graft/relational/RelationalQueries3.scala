@@ -187,11 +187,18 @@ object RelationalQueries3 {
         .orderBy(col("source"))
     },
 
-    // ---- A8: kernel-weight Jacobian ∂kw/∂γ (Gaussian closed form) ----
+    // ---- A8: kernel-weight Jacobian ∂kw/∂γ (Gaussian closed form).
+    //      The survey side is a FIXED-SIZE probability sample
+    //      (c_custkey < 15000 pins it to the sf0.1 draw at every scale
+    //      factor — the reference's setting: the survey is a designed
+    //      sample of bounded n, only the cohort grows with the data).
+    //      Without the pin both sides grew with sf and the dense
+    //      n_s·n_c kernel cross was quadratic BY FIXTURE (the growth
+    //      tool fit e = 2.13); with it, pairs = 155 · n_c → linear. ----
     sqlChecked("a8_kw_jacobian",
       """WITH sv AS (SELECT c_custkey AS sid, c_acctbal / 1000.0 AS qs,
         |    1.0 + (c_custkey % 3) AS wt, c_nationkey / 10.0 AS xs
-        |  FROM customer WHERE c_custkey % 97 = 0),
+        |  FROM customer WHERE c_custkey % 97 = 0 AND c_custkey < 15000),
         |ch AS (SELECT s_suppkey AS cid, s_acctbal / 1000.0 AS qc,
         |    s_nationkey / 10.0 AS xc
         |  FROM supplier WHERE s_suppkey % 7 = 0),
@@ -208,7 +215,8 @@ object RelationalQueries3 {
         |    AS d_kw_0
         |FROM k JOIN r USING (sid) WHERE row_k > 0
         |GROUP BY cid ORDER BY c_id""".stripMargin) { (s, d) =>
-      val surv = t(s, d, "customer").filter(col("c_custkey") % 97 === 0)
+      val surv = t(s, d, "customer")
+        .filter(col("c_custkey") % 97 === 0 && col("c_custkey") < 15000)
         .select(col("c_custkey").as("sid"),
           (col("c_acctbal") / 1000.0).as("qs"),
           (lit(1.0) + col("c_custkey") % 3).cast("double").as("wt"),

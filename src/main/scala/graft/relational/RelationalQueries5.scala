@@ -308,13 +308,20 @@ object RelationalQueries5 {
         |  FROM lineitem WHERE l_orderkey % 7 = 0)
         |ORDER BY l_orderkey, l_linenumber, z""".stripMargin) { (s, d) =>
       // moments from EXACT integral power sums (not Welford stddev,
-      // whose merge order differs across engines)
-      val w = Window.partitionBy(col("l_returnflag"))
+      // whose merge order differs across engines). The per-flag moments
+      // come from a hash aggregate broadcast back — an unordered
+      // `Window.partitionBy(l_returnflag)` buffers a third of the table
+      // per task (3 flags = 3 data-sized tasks); the 3-row aggregate is
+      // value-identical because the sums are exact integers in double.
       val x = col("l_quantity").cast("double")
-      t(s, d, "lineitem").filter(col("l_orderkey") % 7 === 0)
-        .select(col("l_orderkey"), col("l_linenumber"), x.as("l_quantity"),
-          sum(x).over(w).as("s1"), sum(x * col("l_quantity")).over(w).as("s2"),
-          count(lit(1)).over(w).cast("double").as("n"))
+      val base = t(s, d, "lineitem").filter(col("l_orderkey") % 7 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          x.as("l_quantity"))
+      val mom = base.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s1"),
+          sum(col("l_quantity") * col("l_quantity")).as("s2"),
+          count(lit(1)).cast("double").as("n"))
+      base.join(broadcast(mom), Seq("l_returnflag"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round((col("l_quantity") - col("s1") / col("n")) /
             sqrt(col("s2") / col("n") -

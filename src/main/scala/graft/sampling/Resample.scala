@@ -52,13 +52,31 @@ object Resample {
         weight.cast("double") * poissonMultiplier(unitKey, col("boot_r")))
 
   /** Deterministic per-stratum fixed-size sample (distributed SRSWOR):
-    * rank the RNG stream within each stratum, keep the first `n`. */
+    * rank the RNG stream within each stratum, keep the first `n`.
+    *
+    * Two-phase top-n: stratum cardinality is typically TINY (return
+    * flags, segments), so a bare `Window.partitionBy(stratum)` sorts a
+    * data-sized slice in one task per stratum — the grouped-window
+    * funnel (the growth tool fit e ≈ 2.1 on m20 at the 100× probe).
+    * Instead each (stratum, salt-bucket) keeps a local top-n — 64
+    * balanced sort tasks per stratum over n/64-sized slices — and only
+    * the ≤ 64·n survivors per stratum enter the stratum-level rank.
+    * Any stratum top-n is contained in the union of its buckets'
+    * top-ns, and (u, unitKey) is a total order, so the kept set is
+    * IDENTICAL to the single-window form at any bucket count. */
   def stratifiedFixed(df: DataFrame, stratum: Column, unitKey: Column,
-      n: Int, salt: Long = 0L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(Rng.uniform(unitKey, salt), unitKey)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n).drop("__rk")
+      n: Int, salt: Long = 0L, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.withColumn("__u", Rng.uniform(unitKey, salt))
+      .withColumn("__b", pmod(xxhash64(unitKey), lit(buckets)))
+    val wLocal = Window.partitionBy(stratum, col("__b"))
+      .orderBy(col("__u"), unitKey)
+    val wStratum = Window.partitionBy(stratum).orderBy(col("__u"), unitKey)
+    keyed.withColumn("__rk", row_number().over(wLocal))
+      .filter(col("__rk") <= n)
+      .withColumn("__rk", row_number().over(wStratum))
+      .filter(col("__rk") <= n)
+      .drop("__rk", "__u", "__b")
   }
 
   /** Cumulative split thresholds, computed ONCE here so an oracle can

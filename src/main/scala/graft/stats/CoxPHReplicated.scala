@@ -52,6 +52,14 @@ object CoxPHReplicated {
     var done = false
     var maxResid = Double.MaxValue
 
+    // size the (replicate, time) step table ONCE — every NR iteration
+    // scans the same axis, so the small-vs-two-phase decision is paid a
+    // single head() probe, not one per iteration
+    val stepHint =
+      if (base.select(col("__r"), col("__t")).distinct()
+            .head(20001).length <= 20000) graft.core.Windows.SizeHint.Small
+      else graft.core.Windows.SizeHint.Large
+
     while (iter < maxIter && !done) {
       import spark.implicits._
       val betaDf = betas.toSeq.map { case (r, b) => (r, b.toSeq) }
@@ -75,18 +83,21 @@ object CoxPHReplicated {
       val grouped = withRel.groupBy(col("__r"), col("__t"))
         .agg(aggExprs.head, aggExprs.tail: _*)
 
-      // per-replicate risk-set suffix sums: partitioned window — scales
-      // across replicates, each partition is one replicate's time axis
-      val w = Window.partitionBy(col("__r")).orderBy(col("__t").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      var scanned = grouped
-        .withColumn("S0", sum(col("s0g")).over(w))
-      (0 until p).foreach { j =>
-        scanned = scanned.withColumn(s"S1$j", sum(col(s"s1g$j")).over(w))
-      }
-      s2Pairs.foreach { case (j, k) =>
-        scanned = scanned.withColumn(s"S2${j}_$k", sum(col(s"s2g${j}_$k")).over(w))
-      }
+      // per-replicate risk-set suffix sums via the two-phase grouped
+      // scan: a bare `Window.partitionBy(__r)` caps parallelism at the
+      // replicate count AND funnels each replicate's whole time axis
+      // (data-sized for continuous times) through one task — the
+      // grouped-window trap. The grouped scan range-partitions on
+      // (__r, __t desc), so the step table parallelizes within a
+      // replicate too; tie-collapsed/monthly axes take the probed
+      // small path, which is the plain partitioned window.
+      val scanSums = Seq((col("s0g"), "S0")) ++
+        (0 until p).map(j => (col(s"s1g$j"), s"S1$j")) ++
+        s2Pairs.map { case (j, k) => (col(s"s2g${j}_$k"), s"S2${j}_$k") }
+      val relBuf = scala.collection.mutable.Buffer[DataFrame]()
+      val scanned = graft.core.Windows.groupedScan(grouped,
+        Seq(col("__r")), Seq(col("__t").desc), scanSums,
+        sizeHint = stepHint, release = Some(relBuf))
 
       val uExprs = (0 until p).map { j =>
         sum(col(s"ux$j") - col("wd") * col(s"S1$j") / col("S0")).as(s"U$j") }
@@ -97,6 +108,7 @@ object CoxPHReplicated {
         .groupBy(col("__r"))
         .agg((uExprs ++ iExprs).head, (uExprs ++ iExprs).tail: _*)
         .collect()
+      relBuf.foreach(_.unpersist(blocking = false))
 
       var worstStep = 0.0
       maxResid = 0.0

@@ -1,6 +1,5 @@
 package graft.weights
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -16,11 +15,15 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the weight distribution (weight concentration).
   *
   * Scale shape: one hash aggregate per group for every moment metric;
-  * Gini needs within-group ranks — a Window partitioned BY GROUP (never
-  * a global single-task window), using the identity
+  * Gini needs within-group ranks, via the identity
   * G = 2 * sum(i * w_(i)) / (n * sum w) - (n + 1) / n with w sorted
-  * ascending. Ranks within tied weights are interchangeable (equal
-  * values), so the result is order-deterministic.
+  * ascending. Group cardinality is typically TINY (market segments),
+  * so a `Window.partitionBy(group)` rank would funnel a
+  * groups-th of the data through each task — the ranks ride the
+  * two-phase grouped scan instead (range-partitioned local ranks +
+  * boundary-table offsets, [[graft.core.Windows.groupedScan]]). Ranks
+  * within tied weights are interchangeable (equal values multiply the
+  * same w), so the result is order-deterministic on both paths.
   */
 object Diagnostics {
 
@@ -28,9 +31,9 @@ object Diagnostics {
   def weightDiagnostics(df: DataFrame, w: Column, group: Column,
       groupName: String): DataFrame = {
     val base = df.select(group.as(groupName), w.cast("double").as("w"))
-    val rk = base.withColumn("i",
-      row_number().over(Window.partitionBy(col(groupName)).orderBy(col("w")))
-        .cast("double"))
+    val rk = graft.core.Windows.groupedScan(base,
+      Seq(col(groupName)), Seq(col("w")),
+      Seq((lit(1.0), "i")))
     rk.groupBy(col(groupName))
       .agg(
         count(lit(1)).as("n"),

@@ -163,6 +163,32 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("sortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    // property check vs the built-in, incl. empty / disjoint / identical
+    // sets, negatives, and Long extremes
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (Seq(Long.MinValue, -5L, 0L, 7L, Long.MaxValue),
+        Seq(Long.MinValue, -5L, 0L, 7L, Long.MaxValue)),
+      (Seq(-3L, 1L, 9L), Seq(-2L, 2L, 10L))
+    ) ++ (1 to 20).map { _ =>
+      def arr = (0 until rnd.nextInt(40))
+        .map(_ => rnd.nextInt(30).toLong - 15L).distinct.sorted
+      (arr, arr)._1 -> (0 until rnd.nextInt(40))
+        .map(_ => rnd.nextInt(30).toLong - 15L).distinct.sorted
+    }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      graft.functions.VectorExpressions
+        .sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"merge count ${r.getLong(0)} != builtin ${r.getLong(1)}"))
+  }
+
   test("assignCells: broadcast-join path (k > 64) matches the expression path bit-for-bit") {
     // 200 vectors, 80 centroids — above the 64-centroid expression cap,
     // so assignCells takes the broadcast-join + argmin-aggregate path.

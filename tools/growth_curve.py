@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Fit a per-query growth curve over the three committed scale points
+(sf0.1 / sf1 / sf10) and flag super-linear queries mechanically.
+
+Model: t(sf) = c + a * sf^e  (fixed per-query overhead + a scaling
+term). With three DECADE-SPACED points the model has a closed-form
+exact solution:
+
+    (t10 - t1) / (t1 - t01) = (10^e - 1) / (1 - 10^-e) = 10^e
+    =>  e = log10((t10 - t1) / (t1 - t01))
+
+which is strictly better than a raw log-log slope: the overhead term c
+flattens the low end of every cheap query, so a least-squares slope
+over log t underestimates the tail exponent exactly where it matters
+(a8_kw_jacobian fits e = 2.1 while its naive slope is 0.75).
+
+Confidence: e is a ratio of two measured DELTAS, so when the sf0.1 ->
+sf1 delta is inside measurement noise (host variance is ~+/-10% per
+query, ~0.1 s absolute on sub-second queries) the exponent is
+unreliable -- those queries are reported with confidence "low" and
+flagged separately instead of polluting the main flag list.
+
+Flag rule: e > FLAG_E (1.2) AND confidence ok AND the sf10 cost is
+material (>= FLAG_T10 seconds) -- a 0.4 s query with e = 1.3 is not a
+scale risk; a 30 s one is.
+
+Usage: python3 tools/growth_curve.py [sf01_bench] [sf1_probe] [sf10_probe] [out]
+Defaults: newest bench_queries_r*.json, BENCH_sf1_probe.json,
+BENCH_sf10_full.json, GROWTH.json. Prints the flag lists and a
+markdown table of the steepest queries.
+"""
+import glob, json, math, re, sys
+
+FLAG_E = 1.2     # exponent above which growth is called super-linear
+FLAG_T10 = 3.0   # sf10 seconds below which a steep exponent is immaterial
+NOISE_ABS = 0.15 # seconds: smallest delta distinguishable from host noise
+NOISE_REL = 0.25 # fraction of the sf0.1 time the sf0.1->sf1 delta must exceed
+
+
+def newest_bench():
+    paths = sorted(glob.glob("bench_queries_r*.json"),
+                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    if not paths:
+        sys.exit("no bench_queries_r*.json artifact found")
+    return paths[-1]
+
+
+def load_queries(path):
+    try:
+        doc = json.load(open(path))
+    except json.JSONDecodeError:
+        doc = json.loads([l for l in open(path) if '"metric"' in l][-1])
+    qs = doc["queries"]
+    # bench_queries_r*.json maps name -> sec; probe artifacts map
+    # name -> {scaled_sec, ...}
+    return {k: (v if isinstance(v, (int, float)) else v["scaled_sec"])
+            for k, v in qs.items()}
+
+
+def fit(t01, t1, t10):
+    """Closed-form (c, a, e) of t = c + a*sf^e through the three points;
+    returns (None, None, None, reason) when the deltas do not support a
+    growth estimate."""
+    d_lo, d_hi = t1 - t01, t10 - t1
+    if d_lo <= 0 or d_hi <= 0:
+        return None, None, None, "non-monotone (noise-dominated)"
+    e = math.log10(d_hi / d_lo)
+    a = d_lo / (1.0 - 10.0 ** (-e)) if e != 0 else d_lo
+    c = t1 - a
+    return c, a, e, None
+
+
+def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
+         out="GROWTH.json"):
+    sf01 = sf01 or newest_bench()
+    b01, b1, b10 = load_queries(sf01), load_queries(sf1), load_queries(sf10)
+    queries, flagged, low_conf = {}, [], []
+    for name in sorted(b01):
+        if name not in b1 or name not in b10:
+            continue
+        t01, t1, t10 = b01[name], b1[name], b10[name]
+        if min(t01, t1, t10) <= 0:
+            continue  # a -1 failure marker
+        c, a, e, reason = fit(t01, t1, t10)
+        ok = (e is not None
+              and (t1 - t01) >= max(NOISE_ABS, NOISE_REL * t01))
+        conf = "ok" if ok else "low"
+        queries[name] = {
+            "t_sf01": t01, "t_sf1": t1, "t_sf10": t10,
+            "exponent": round(e, 3) if e is not None else None,
+            "overhead_c": round(c, 3) if c is not None else None,
+            "scale_a": round(a, 3) if a is not None else None,
+            "confidence": conf,
+            **({"note": reason} if reason else {}),
+        }
+        if e is not None and e > FLAG_E and t10 >= FLAG_T10:
+            (flagged if ok else low_conf).append(name)
+    flagged.sort(key=lambda n: -queries[n]["exponent"])
+    low_conf.sort(key=lambda n: -queries[n]["exponent"])
+    doc = {
+        "metric": "growth_curve",
+        "model": "t(sf) = c + a*sf^e; e = log10((t10-t1)/(t1-t01))",
+        "inputs": {"sf0.1": sf01, "sf1": sf1, "sf10": sf10},
+        "flag_rule": f"e > {FLAG_E} and t_sf10 >= {FLAG_T10}s and "
+                     "sf0.1->sf1 delta above noise",
+        "flagged_superlinear": flagged,
+        "low_confidence_superlinear": low_conf,
+        "n_queries": len(queries),
+        "queries": queries,
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"fitted {len(queries)} queries -> {out}")
+    print(f"flagged_superlinear: {flagged}")
+    print(f"low_confidence_superlinear: {low_conf}")
+    ranked = sorted((q for q, r in queries.items()
+                     if r["exponent"] is not None and r["t_sf10"] >= FLAG_T10),
+                    key=lambda q: -queries[q]["exponent"])[:10]
+    print("\n| query | sf0.1 s | sf1 s | sf10 s | e | c | conf |")
+    print("|---|---|---|---|---|---|---|")
+    for q in ranked:
+        r = queries[q]
+        print(f"| {q} | {r['t_sf01']} | {r['t_sf1']} | {r['t_sf10']} "
+              f"| {r['exponent']} | {r['overhead_c']} | {r['confidence']} |")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
