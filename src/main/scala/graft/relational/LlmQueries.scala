@@ -269,7 +269,8 @@ object LlmQueries {
          |qset AS (SELECT vec_id, v FROM emb
          |  WHERE vec_id % 101 = 0 AND vec_id < 51712),
          |probes AS (SELECT vec_id AS q_id, v AS qv, cid AS cell
-         |  FROM (${assignSql("qset", s"c$ITERS", "pr")}) WHERE pr <= $NP),
+         |  FROM (${KmeansReplay.rankedAssignSql("qset", s"c$ITERS", "pr")})
+         |  WHERE pr <= $NP),
          |scored AS (SELECT p.q_id, s.vec_id AS c_id,
          |    list_dot_product(s.v, p.qv) /
          |      (SQRT(list_dot_product(s.v, s.v))
@@ -774,9 +775,29 @@ object LlmQueries {
 private[relational] object KmeansReplay {
 
   /** Nearest-centroid assignment of `src` rows against the `cent`
-    * centroid CTE, ranked by the same (v·v − 2 v·c) + c·c association
-    * order the engine's dist2 expression uses. */
-  def assignSql(src: String, cent: String, rnName: String): String =
+    * centroid CTE, by the same (v·v − 2 v·c) + c·c association order
+    * the engine's dist2 expression uses, ties → smallest cid. Written
+    * as a GROUP BY + struct-MIN aggregate (lexicographic (d, cid)),
+    * NOT a ROW_NUMBER window: the window form sorts the full
+    * |src|·|cent| pair stream WITH the 64-double vectors riding along —
+    * at sf10 (200k × 390 centroids) that spilled ~70 GB of DuckDB temp
+    * and killed the replay; the aggregate projects v away before any
+    * state grows, then joins v back by id. Same argmin, same ties. */
+  def assignSql(src: String, cent: String): String =
+    s"""SELECT s.vec_id, s.v, a.cid
+       |    FROM (SELECT e.vec_id,
+       |        (MIN(struct_pack(d := list_dot_product(e.v, e.v)
+       |            - 2*list_dot_product(e.v, c.v)
+       |            + list_dot_product(c.v, c.v),
+       |          cid := c.cid))).cid AS cid
+       |      FROM $src e CROSS JOIN $cent c GROUP BY e.vec_id) a
+       |    JOIN $src s ON s.vec_id = a.vec_id""".stripMargin
+
+  /** Window-ranked variant for callers that need the TOP-N nearest
+    * centroids per row (IVF probe selection), not just the argmin.
+    * Fine for QUERY-sized inputs; for corpus-sized assignment use
+    * [[assignSql]] (see its spill note). */
+  def rankedAssignSql(src: String, cent: String, rnName: String): String =
     s"""SELECT e.vec_id, e.v, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
        |        list_dot_product(e.v, e.v) - 2*list_dot_product(e.v, c.v)
@@ -808,8 +829,7 @@ private[relational] object KmeansReplay {
     val fit = if (fitWhere.isEmpty) "emb"
               else s"(SELECT * FROM emb WHERE $fitWhere) "
     val iterCtes = (1 to iters).map { it =>
-      s"""a$it AS (SELECT * FROM (${assignSql(fit, s"c${it - 1}", "rn")})
-         |  WHERE rn = 1),
+      s"""a$it AS (${assignSql(fit, s"c${it - 1}")}),
          |m$it AS (SELECT cid, $meanList AS v FROM a$it GROUP BY cid),
          |c$it AS (SELECT o.cid, COALESCE(n.v, o.v) AS v
          |  FROM c${it - 1} o LEFT JOIN m$it n USING (cid))""".stripMargin
@@ -822,6 +842,6 @@ private[relational] object KmeansReplay {
        |  WHERE cid < ($kSql)),
        |$iterCtes,
        |cells AS (SELECT vec_id, v, cid AS cell
-       |  FROM (${assignSql("emb", s"c$iters", "rn")}) WHERE rn = 1)""".stripMargin
+       |  FROM (${assignSql("emb", s"c$iters")}))""".stripMargin
   }
 }

@@ -208,12 +208,13 @@ object RelationalQueries2 {
         Seq(col("o_totalprice"), col("o_orderkey")),
         Seq((lit(1.0), "__rnk")),
         sizeHint = graft.core.Windows.SizeHint.Large)
-      val nTotal = broadcast(
-        ranked.agg(count(lit(1)).cast("double").as("__n")))
-      ranked.crossJoin(nTotal)
+      // N from the SOURCE table (a metadata-only parquet count), not
+      // from re-scanning the persisted ranked frame
+      val n = orders.count().toDouble
+      ranked
         .select(col("o_orderkey"),
-          round((col("__rnk") - 1.0) / (col("__n") - 1.0), 8).as("pr"),
-          round(col("__rnk") / col("__n"), 8).as("cd"))
+          round((col("__rnk") - 1.0) / lit(n - 1.0), 8).as("pr"),
+          round(col("__rnk") / lit(n), 8).as("cd"))
         .orderBy(col("o_orderkey"))
     },
 
