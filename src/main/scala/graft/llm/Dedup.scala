@@ -314,9 +314,8 @@ object Dedup {
       // The arrays are SORTED once per doc so |A∩B| is a codegen'd
       // zero-allocation merge count (SortedIntersectCount) instead of
       // size(array_intersect(...)), which builds a hash set and
-      // materializes the intersection array once per candidate pair —
-      // the dominant verify cost on a 10⁸-pair stream (d12's sf10
-      // stage split measured verify at 89 of 135 s before this).
+      // materializes the intersection array once per candidate pair
+      // (d2's sf10 bench: 39.7 → 26.0 s from this swap alone).
       val b = base.select(col("id"),
         array_sort(transform(col("sh"), x => xxhash64(x))).as("sh"))
       val withSh = cand
@@ -396,8 +395,13 @@ object Dedup {
     // works), so ordering by hashed-token df keeps the guarantee.
     // Sorted once per doc → the merge-count expression replaces
     // size(array_intersect(...)) (hash set + array materialization per
-    // pair): the sf10 stage split measured verify at 89 of 135 s, and
-    // the merge count cuts that arm ~3×.
+    // pair); the d12 sf10 bench moved 178.8 → 100.9 s (min-of-2,
+    // isolated) with this swap. The remaining sf10 cost is NOT pair
+    // growth (stage-probe: candidates 13.5M → 138M and true pairs
+    // 1.10M → 7.96M for 10× data — both ≤ linear) but the verify
+    // joins' pair×array shuffle crossing the in-memory → spill
+    // threshold between sf1 and sf10: a constant-factor regime shift,
+    // linear again past it.
     val b = base.select(col("id"), array_sort(col("sh")).as("sh"))
     val cmax = greatest(col("i").cast("double") / col("n_a"),
       col("i").cast("double") / col("n_b"))

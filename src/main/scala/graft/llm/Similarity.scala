@@ -106,8 +106,12 @@ object Similarity {
   /** Codebooks at or below this size assign via the [[nearestCentroid]]
     * expression (zero shuffle); larger ones would bloat the expression
     * tree past what codegen tolerates (k dist² subtrees, each with a
-    * dims-literal array) and switch to the broadcast-join path. */
-  private val ExprAssignMaxK = 64
+    * dims-literal array) and switch to the broadcast-join path. The cap
+    * is measured, not guessed: at k = 39 × 64 dims the expression tree
+    * already falls out of whole-stage codegen and interpreted eval made
+    * d13's sf1 fit 2.5× SLOWER than its sf10 join-path run — 16
+    * centroids is comfortably inside codegen at 64 dims. */
+  private val ExprAssignMaxK = 16
 
   /** Nearest-centroid assignment that scales with the CODEBOOK, not
     * just the corpus: returns (id, v, cell) with v cast to

@@ -20,9 +20,12 @@ query, ~0.1 s absolute on sub-second queries) the exponent is
 unreliable -- those queries are reported with confidence "low" and
 flagged separately instead of polluting the main flag list.
 
-Flag rule: e > FLAG_E (1.2) AND confidence ok AND the sf10 cost is
-material (>= FLAG_T10 seconds) -- a 0.4 s query with e = 1.3 is not a
-scale risk; a 30 s one is.
+Flag rule: e > FLAG_E (1.2) AND the TAIL decade itself is super-linear
+(t_sf10 / t_sf1 > 10 -- the exponent alone over-weights the noisy
+sf0.1 -> sf1 delta: a query with a 7x tail on 10x data is sub-linear
+where it matters no matter what the 3-point model says) AND confidence
+ok AND the sf10 cost is material (>= FLAG_T10 seconds) -- a 0.4 s
+query with e = 1.3 is not a scale risk; a 30 s one is.
 
 Usage: python3 tools/growth_curve.py [sf01_bench] [sf1_probe] [sf10_probe] [out]
 Defaults: newest bench_queries_r*.json, BENCH_sf1_probe.json,
@@ -87,13 +90,15 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
         conf = "ok" if ok else "low"
         queries[name] = {
             "t_sf01": t01, "t_sf1": t1, "t_sf10": t10,
+            "tail_ratio": round(t10 / t1, 2),
             "exponent": round(e, 3) if e is not None else None,
             "overhead_c": round(c, 3) if c is not None else None,
             "scale_a": round(a, 3) if a is not None else None,
             "confidence": conf,
             **({"note": reason} if reason else {}),
         }
-        if e is not None and e > FLAG_E and t10 >= FLAG_T10:
+        if (e is not None and e > FLAG_E and t10 >= FLAG_T10
+                and t10 / t1 > 10.0):
             (flagged if ok else low_conf).append(name)
     flagged.sort(key=lambda n: -queries[n]["exponent"])
     low_conf.sort(key=lambda n: -queries[n]["exponent"])
@@ -101,8 +106,9 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
         "metric": "growth_curve",
         "model": "t(sf) = c + a*sf^e; e = log10((t10-t1)/(t1-t01))",
         "inputs": {"sf0.1": sf01, "sf1": sf1, "sf10": sf10},
-        "flag_rule": f"e > {FLAG_E} and t_sf10 >= {FLAG_T10}s and "
-                     "sf0.1->sf1 delta above noise",
+        "flag_rule": f"e > {FLAG_E} and tail t_sf10/t_sf1 > 10 and "
+                     f"t_sf10 >= {FLAG_T10}s and sf0.1->sf1 delta "
+                     "above noise",
         "flagged_superlinear": flagged,
         "low_confidence_superlinear": low_conf,
         "n_queries": len(queries),
