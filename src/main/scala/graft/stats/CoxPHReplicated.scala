@@ -54,10 +54,16 @@ object CoxPHReplicated {
 
     // size the (replicate, time) step table ONCE — every NR iteration
     // scans the same axis, so the small-vs-two-phase decision is paid a
-    // single head() probe, not one per iteration
+    // single head() probe, not one per iteration. The step table is
+    // m × |distinct t|, and m is known — probing distinct t alone keeps
+    // the probe a one-column distinct (map-side partials collapse the
+    // m-fold replication before the shuffle) instead of a distinct over
+    // the exploded (r, t) pairs.
+    val tBudget = math.max(1, 20000 / math.max(1, m))
     val stepHint =
-      if (base.select(col("__r"), col("__t")).distinct()
-            .head(20001).length <= 20000) graft.core.Windows.SizeHint.Small
+      if (base.select(col("__t")).distinct()
+            .head(tBudget + 1).length <= tBudget)
+        graft.core.Windows.SizeHint.Small
       else graft.core.Windows.SizeHint.Large
 
     while (iter < maxIter && !done) {
