@@ -70,6 +70,50 @@ class WindowsSpec extends SparkSpec {
     }
   }
 
+  test("grouped distributed scan: DESC order + multiple sums (the CoxPHReplicated shape)") {
+    // risk-set suffix sums: per-replicate descending-time running sums
+    // of several columns at once, two-phase vs the plain grouped window
+    val rng = new scala.util.Random(11)
+    val df = (1 to 4000).map { i =>
+      (rng.nextInt(8), rng.nextInt(700).toDouble,
+        rng.nextGaussian(), rng.nextDouble())
+    }.toDF("r", "t", "s0", "s1")
+      .groupBy("r", "t").agg(sum("s0").as("s0"), sum("s1").as("s1"))
+    val got = Windows.groupedScan(df, Seq(col("r")), Seq(col("t").desc),
+        Seq(col("s0") -> "S0", col("s1") -> "S1"),
+        smallThreshold = 0, numParts = 16)
+      .orderBy("r", "t").select("r", "t", "S0", "S1").collect()
+    val w = Window.partitionBy(col("r")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("S0", sum(col("s0")).over(w))
+      .withColumn("S1", sum(col("s1")).over(w))
+      .orderBy("r", "t").select("r", "t", "S0", "S1").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, e) =>
+      assert(g.getInt(0) == e.getInt(0) && g.getDouble(1) == e.getDouble(1))
+      assertNear(g.getDouble(2), e.getDouble(2), 1e-9)
+      assertNear(g.getDouble(3), e.getDouble(3), 1e-9)
+    }
+  }
+
+  test("stratifiedFixed: salted two-phase top-n keeps the identical set at any bucket count") {
+    // the kept set is definitionally the n smallest (u, id) per stratum;
+    // bucket count must not change membership (any stratum top-n is
+    // contained in the union of its buckets' local top-ns)
+    val rng = new scala.util.Random(3)
+    val df = (1 to 3000).map { i =>
+      (i.toLong, s"s${rng.nextInt(3)}")
+    }.toDF("id", "stratum")
+    def ids(buckets: Int) = graft.sampling.Resample
+      .stratifiedFixed(df, col("stratum"), col("id"), n = 40,
+        salt = 9L, buckets = buckets)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val base = ids(1) // one bucket == the plain single-window semantics
+    assert(base.length == 120)
+    assert(ids(7) == base)
+    assert(ids(64) == base)
+  }
+
   test("partitioned LOCF == single-partition LOCF") {
     val rng = new scala.util.Random(13)
     val df = (1 to 3000).map { i =>
