@@ -81,13 +81,19 @@ object Windows {
     sums.zipWithIndex.foreach { case ((c, _), i) =>
       local = local.withColumn(LOCAL + i, sum(c.cast("double")).over(w))
     }
-    // The persist is CORRECTNESS-critical, not a cache: the offsets are
-    // computed against one concrete range partitioning, and
+    // Pinning `local` is CORRECTNESS-critical, not a cache: the offsets
+    // are computed against one concrete range partitioning, and
     // repartitionByRange re-samples boundaries on re-materialization.
-    // Callers that fully consume the result within one action can pass
-    // `release` and unpersist afterwards (CoxPH's NR loop does).
-    local = local.persist()
-    release.foreach(_ += local)
+    // Callers that fully consume the result within one action pass
+    // `release` and unpersist afterwards (CoxPH's NR loop does); for
+    // everyone else a LAZY localCheckpoint gives the same stability but
+    // self-releases when the plan is GC'd — no cached partitions pinned
+    // until a harness clearCache (same rationale as RelationalQueries5's
+    // p_mad_outlier).
+    local = release match {
+      case Some(buf) => val p = local.persist(); buf += p; p
+      case None => local.localCheckpoint(eager = false)
+    }
 
     // Per-partition totals: one row per partition — the collect is tiny
     // (numParts rows), independent of data size.
@@ -182,10 +188,12 @@ object Windows {
     sums.zipWithIndex.foreach { case ((c, _), i) =>
       local = local.withColumn(LOCAL + i, sum(c.cast("double")).over(w))
     }
-    // persist is CORRECTNESS-critical (see scan): offsets must see the
+    // pinning is CORRECTNESS-critical (see scan): offsets must see the
     // same concrete range partitioning as the joined-back rows
-    local = local.persist()
-    release.foreach(_ += local)
+    local = release match {
+      case Some(buf) => val p = local.persist(); buf += p; p
+      case None => local.localCheckpoint(eager = false)
+    }
 
     val aggs = sums.zipWithIndex.map { case ((c, _), i) =>
       sum(c.cast("double")).as(s"t$i")

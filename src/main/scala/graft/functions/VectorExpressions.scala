@@ -175,16 +175,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // containsNull must be false: the merge reads getLong on every slot,
+    // which is undefined for a null element — it would silently diverge
+    // from size(array_intersect) instead of failing.
     def isLongArray(t: DataType) = t match {
-      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case ArrayType(org.apache.spark.sql.types.LongType, containsNull) =>
+        !containsNull
       case _ => false
     }
     if (isLongArray(left.dataType) && isLongArray(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_count needs ARRAY<BIGINT>, got " +
-          s"${left.dataType} / ${right.dataType}")
+        s"sorted_intersect_count needs ARRAY<BIGINT> with non-null " +
+          s"elements, got ${left.dataType} / ${right.dataType}")
   }
 
   override def nullSafeEval(l: Any, r: Any): Any = {

@@ -164,7 +164,10 @@ object LlmQueries4 {
           sum(col("l_quantity")).as("qty"))
       // within one price, only max-qty rows survive (greater qty at
       // equal price dominates); across prices, a point survives iff its
-      // qty strictly beats every smaller price's best
+      // qty strictly beats every smaller price's best. The global
+      // prefix-max window runs on the per-SUPPLIER aggregate (600×
+      // smaller than lineitem; the skyline itself is inherently a
+      // total-order scan over that collapsed axis)
       val perPrice = pts.withColumn("pmax",
         max(col("qty")).over(Window.partitionBy(col("price"))))
         .filter(col("qty") === col("pmax"))

@@ -104,6 +104,8 @@ object RelationalQueries {
     sqlChecked("p7_rowid",
       """SELECT n_name, ROW_NUMBER() OVER (ORDER BY n_name) AS rid
         |FROM nation ORDER BY rid""".stripMargin) { (s, d) =>
+      // nation is a fixed 25-row dimension table: the global
+      // row_number window is bounded by the schema, not the data
       t(s, d, "nation")
         .select(col("n_name"),
           row_number().over(Window.orderBy(col("n_name"))).as("rid"))

@@ -229,7 +229,7 @@ object RelationalQueries4 {
         .agg(count(lit(1)).as("__gn"))
       val r = col("__rnk").cast("long")
       val n = col("__gn")
-      val base = expr("__gn div 7")
+      val base = expr(s"__gn div $k")
       val rem = n % k
       val big = rem * (base + 1L) // rows covered by the (base+1)-sized buckets
       val bucket = when(r <= big, floor((r - 1L) / (base + 1L)) + 1L)

@@ -315,6 +315,8 @@ object StatQueries3 {
         .agg(sum(col("pos")).cast("double").as("p"),
           (count(lit(1)) - sum(col("pos"))).cast("double").as("n"))
       val tot = g.agg(sum(col("p")).as("tp"), sum(col("n")).as("tn"))
+      // bin axis is capped at 25 rows by the least(...) clamp above —
+      // the single-partition windows run on that bounded table only
       val desc = Window.orderBy(col("bin").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val lagW = Window.orderBy(col("bin").desc)

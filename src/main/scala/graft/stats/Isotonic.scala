@@ -34,7 +34,8 @@ object Isotonic {
       .groupBy(col("bin"))
       .agg(sum(col("w") * col("y")).as("wy"), sum(col("w")).as("ww"))
 
-    // prefix sums over the collapsed bin axis (B rows)
+    // prefix sums over the collapsed bin axis: B rows, bounded by the
+    // caller's bin cardinality (≤ dozens), never by the data
     val asc = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val p = g.select(col("bin"), col("wy"), col("ww"),

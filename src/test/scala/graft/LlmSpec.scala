@@ -189,8 +189,8 @@ class LlmSpec extends SparkSpec {
       s"merge count ${r.getLong(0)} != builtin ${r.getLong(1)}"))
   }
 
-  test("assignCells: broadcast-join path (k > 64) matches the expression path bit-for-bit") {
-    // 200 vectors, 80 centroids — above the 64-centroid expression cap,
+  test("assignCells: broadcast-join path (k > ExprAssignMaxK) matches the expression path bit-for-bit") {
+    // 200 vectors, 80 centroids — above Similarity.ExprAssignMaxK (16),
     // so assignCells takes the broadcast-join + argmin-aggregate path.
     // The distance algebra ((v·v) − 2(v·c)) + (c·c) must agree with the
     // nearestCentroid expression exactly (same association order, same

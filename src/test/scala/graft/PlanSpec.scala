@@ -417,20 +417,73 @@ class PlanSpec extends SparkSpec {
 
   test("w_pct_rank / w_ntile: no data-sized window — every window rides the scan's pid/group keys") {
     // percent_rank/cume_dist/ntile over a fact table must come from the
-    // two-phase distributed rank (Windows.scan/groupedScan): the only
-    // windows allowed in the plan are the scan's internal ones, always
-    // partitioned on its __graft_pid / __graft_g* keys. A bare
-    // `Window.orderBy(fact cols)` (the single-task funnel this rewrite
-    // removed) would surface as a windowspecdefinition whose first
-    // argument is a data column.
+    // two-phase distributed rank (Windows.scan/groupedScan). The scan's
+    // internal pid-keyed window now sits BEHIND its lazy localCheckpoint
+    // (the plan shows `Scan ExistingRDD[... __graft_local_*]`) — the
+    // internal shape itself is pinned in WindowsSpec ("scan internals")
+    // against the un-truncated release-path plan. Here we pin what the
+    // final plan can still prove: no windowspecdefinition over a data
+    // column (the single-task funnel this rewrite removed), no
+    // single-partition exchange, and the two-phase signature — local
+    // ranks materialized at the checkpoint boundary with the offset
+    // table broadcast back on __graft_pid.
     for (q <- Seq("w_pct_rank", "w_ntile")) {
       val p = plan(q)
       val bad = "windowspecdefinition\\((?!__graft)".r.findAllIn(p).toList
       assert(bad.isEmpty,
         s"$q: window not keyed on the scan's __graft partition cols:\n$p")
-      assert(p.contains("windowspecdefinition(__graft_pid"),
-        s"$q: expected the two-phase scan's pid-partitioned local ranks:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: regressed to a single-partition global window:\n$p")
+      assert("Scan ExistingRDD\\[[^\\]]*__graft_local_".r.findFirstIn(p).isDefined,
+        s"$q: expected the scan's checkpointed local ranks:\n$p")
+      assert(p.contains("BroadcastHashJoin [__graft_pid"),
+        s"$q: expected the offset table broadcast back on pid:\n$p")
     }
+  }
+
+  test("m20_stratified / d16_stratified_split: salted two-phase top-n, no bare stratum window") {
+    // Resample.stratifiedFixed must keep its two-phase shape: a LOCAL
+    // row_number keyed on (stratum, __b salt bucket) whose ≤ n·buckets
+    // survivors alone feed the stratum-level rank — never one
+    // row_number over the full fact slice per stratum (the grouped-
+    // window funnel m20 fit e ≈ 2.1 on before the r10 rewrite). In the
+    // final plan the outer (stratum-only) window appears ABOVE the
+    // survivors filter, which sits ABOVE the salted local window.
+    for ((q, stratum) <- Seq("m20_stratified" -> "rf",
+        "d16_stratified_split" -> "lang")) {
+      val p = plan(q).split("== Initial Plan ==")(0)
+      val local = (s"windowspecdefinition\\($stratum#\\d+, __b#").r
+      assert(local.findFirstIn(p).isDefined,
+        s"$q: salted (stratum, __b) local top-n window missing:\n$p")
+      val outer = (s"windowspecdefinition\\($stratum#\\d+, __u#").r
+      val oPos = outer.findAllMatchIn(p).map(_.start).toList
+      val lPos = local.findAllMatchIn(p).map(_.start).toList
+      assert(oPos.size == 1 && lPos.size == 1,
+        s"$q: expected exactly one local + one stratum window, got " +
+          s"${oPos.size}/${lPos.size}:\n$p")
+      // plan text is outermost-first: the stratum window must consume
+      // the local window's filtered survivors, not the raw input
+      assert(oPos.head < lPos.head,
+        s"$q: stratum-level window is not downstream of the salted local pass:\n$p")
+      val fPos = "Filter \\(__rk#\\d+ <= \\d+\\)".r.findAllMatchIn(p).map(_.start).toList
+      assert(fPos.exists(f => oPos.head < f && f < lPos.head),
+        s"$q: no survivors filter between the two rank passes:\n$p")
+    }
+  }
+
+  test("m28_weight_diag: Gini ranks ride the grouped scan — no raw-column window") {
+    // Diagnostics.weightDiagnostics computes the in-group weight ranks
+    // via Windows.groupedScan; whichever path the probe picks (small =
+    // one window keyed on the renamed __graft_g0 group key, large =
+    // pid+group local sums behind the checkpoint), no window in the
+    // plan may key on a raw data column. The large-path internals are
+    // pinned in WindowsSpec ("scan internals").
+    val p = plan("m28_weight_diag")
+    val bad = "windowspecdefinition\\((?!__graft)".r.findAllIn(p).toList
+    assert(bad.isEmpty,
+      s"m28: rank window keyed on a raw column (bare grouped window):\n$p")
+    assert(p.contains("windowspecdefinition(__graft_"),
+      s"m28: expected the grouped scan's __graft-keyed rank window:\n$p")
   }
 
   test("mm_phash: rollup stays at the distinct-hash level — no id-level pair stream") {

@@ -48,6 +48,29 @@ class StatsBatch3Spec extends SparkSpec {
     assert(CompetingRisks.aalenJohansen(df, col("t"), col("cause")).count() == 0)
   }
 
+  test("Aalen-Johansen: distributed scan path == single-window path") {
+    // m36 harmonized onto Windows.scan (r11): a continuous-time frame
+    // whose collapsed axis exceeds nothing — force both paths via the
+    // size hint and demand agreement at the query's round-8 contract
+    val rng = new scala.util.Random(11)
+    val df = (1 to 4000).map { _ =>
+      (math.rint(rng.nextDouble() * 4000) / 4.0, rng.nextInt(3))
+    }.toDF("t", "cause")
+    def run(h: graft.core.Windows.SizeHint) =
+      CompetingRisks.aalenJohansen(df, col("t"), col("cause"), h)
+        .orderBy("t").collect()
+    val small = run(graft.core.Windows.SizeHint.Small)
+    val large = run(graft.core.Windows.SizeHint.Large)
+    assert(small.length == large.length && small.nonEmpty)
+    small.zip(large).foreach { case (s, l) =>
+      assert(s.getDouble(0) == l.getDouble(0))
+      assertNear(s.getAs[Double]("n_risk"), l.getAs[Double]("n_risk"), 1e-9)
+      assertNear(s.getAs[Double]("s_prev"), l.getAs[Double]("s_prev"), 1e-8)
+      assertNear(s.getAs[Double]("cif1"), l.getAs[Double]("cif1"), 1e-8)
+      assertNear(s.getAs[Double]("cif2"), l.getAs[Double]("cif2"), 1e-8)
+    }
+  }
+
   test("Poisson GLM intercept-only recovers ln of the weighted mean") {
     // score 0 at the fixed point: Σw(y − e^b0) = 0 ⟹ b0 = ln(Σwy/Σw)
     val df = Seq((1.0, 2.0), (3.0, 1.0), (5.0, 1.0), (0.0, 2.0))

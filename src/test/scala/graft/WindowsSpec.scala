@@ -114,6 +114,40 @@ class WindowsSpec extends SparkSpec {
     assert(ids(64) == base)
   }
 
+  test("scan internals: large-path windows are keyed on __graft_pid / __graft_g*") {
+    // The production scan self-releases behind a lazy localCheckpoint,
+    // which truncates the visible plan to a LogicalRDD — PlanSpec can
+    // only pin the post-checkpoint signature. The release path persists
+    // instead (no truncation), and shares every plan-construction step,
+    // so the INTERNAL shape is pinned here: the local running sums must
+    // be windows partitioned on the scan's own pid (plus group keys for
+    // groupedScan), never a bare data-sized window.
+    val rel = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+    try {
+      val flat = Windows.scan(data, Seq(col("t")), Seq(col("a") -> "ca"),
+        sizeHint = Windows.SizeHint.Large, release = Some(rel))
+      val pf = flat.queryExecution.executedPlan.toString
+      assert(pf.contains("windowspecdefinition(__graft_pid"),
+        s"scan: local sums not keyed on the scan pid:\n$pf")
+      assert("windowspecdefinition\\((?!__graft)".r.findAllIn(pf).isEmpty,
+        s"scan: unexpected non-graft window:\n$pf")
+
+      val grouped = Windows.groupedScan(data.withColumn("g", col("t") < 50),
+        Seq(col("g")), Seq(col("t")), Seq(col("a") -> "ca"),
+        sizeHint = Windows.SizeHint.Large, release = Some(rel))
+      val pg = grouped.queryExecution.executedPlan.toString
+      assert(pg.contains("windowspecdefinition(__graft_pid") &&
+        pg.contains("__graft_g0"),
+        s"groupedScan: local sums not keyed on (pid, group):\n$pg")
+      // the only non-pid window is the boundary-table offset pass,
+      // keyed on the __graft_g* group columns (≤ partitions+groups rows)
+      val nonPid = "windowspecdefinition\\((?!__graft_pid)[^)]{0,40}".r
+        .findAllIn(pg).toList
+      assert(nonPid.forall(_.contains("__graft_g")),
+        s"groupedScan: window keyed on a raw data column:\n$nonPid\n$pg")
+    } finally rel.foreach(_.unpersist())
+  }
+
   test("partitioned LOCF == single-partition LOCF") {
     val rng = new scala.util.Random(13)
     val df = (1 to 3000).map { i =>

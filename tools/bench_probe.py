@@ -18,6 +18,14 @@ import glob, json, sys
 def main(inp, out="BENCH_sf1_probe.json", scale="10", baseline=None):
     line = [l for l in open(inp) if '"metric"' in l][-1]
     sf1 = json.loads(line)
+    # the final metric line keeps a hard byte budget (cheapest queries
+    # dropped); the FULL map is echoed in 25-entry bench_chunk lines —
+    # merge them in so probe artifacts always carry every query
+    for l in open(inp):
+        if '"bench_chunk"' in l:
+            chunk = json.loads(l[l.index('{'):])
+            for k, v in chunk["queries"].items():
+                sf1["queries"].setdefault(k, v)
     if baseline is None:
         # numeric round sort: lexicographic picks r99 over r100
         import re

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
-"""Fit a per-query growth curve over the three committed scale points
-(sf0.1 / sf1 / sf10) and flag super-linear queries mechanically.
+"""Fit a per-query growth curve over the committed scale points
+(sf0.01 / sf0.1 / sf1 / sf10) and flag super-linear queries mechanically.
 
 Model: t(sf) = c + a * sf^e  (fixed per-query overhead + a scaling
 term). With three DECADE-SPACED points the model has a closed-form
@@ -14,6 +14,17 @@ flattens the low end of every cheap query, so a least-squares slope
 over log t underestimates the tail exponent exactly where it matters
 (a8_kw_jacobian fits e = 2.1 while its naive slope is 0.75).
 
+Error bars: a 3-point fit has none — every exponent is an exact
+interpolation, so fit noise is invisible. When a 4th (sf0.01) point is
+supplied, each query additionally gets a LEAVE-ONE-OUT exponent range:
+the model is re-fit on each of the four 3-point subsets (general
+spacing solved by bisection on the delta ratio, which is monotone in
+e), and [e_loo_min, e_loo_max] is reported. A range that spans 1.0
+(`e_spans_linear`) means the data cannot distinguish the query from
+linear — constant-dominated cheap queries land here — and such queries
+are exempt from the flag list even if the headline tail exponent is
+steep.
+
 Confidence: e is a ratio of two measured DELTAS, so when the sf0.1 ->
 sf1 delta is inside measurement noise (host variance is ~+/-10% per
 query, ~0.1 s absolute on sub-second queries) the exponent is
@@ -24,20 +35,21 @@ Flag rule: e > FLAG_E (1.2) AND the TAIL decade itself is super-linear
 (t_sf10 / t_sf1 > 10 -- the exponent alone over-weights the noisy
 sf0.1 -> sf1 delta: a query with a 7x tail on 10x data is sub-linear
 where it matters no matter what the 3-point model says) AND confidence
-ok AND the sf10 cost is material (>= FLAG_T10 seconds) -- a 0.4 s
-query with e = 1.3 is not a scale risk; a 30 s one is.
+ok AND the sf10 cost is material (>= FLAG_T10 seconds) AND (when the
+4th point exists) the leave-one-out range does not span 1.0.
 
-Usage: python3 tools/growth_curve.py [sf01_bench] [sf1_probe] [sf10_probe] [out]
+Usage: python3 tools/growth_curve.py [sf01_bench] [sf1_probe] [sf10_probe] [out] [sf001_probe]
 Defaults: newest bench_queries_r*.json, BENCH_sf1_probe.json,
-BENCH_sf10_full.json, GROWTH.json. Prints the flag lists and a
-markdown table of the steepest queries.
+BENCH_sf10_full.json, GROWTH.json, BENCH_sf001_probe.json if present.
+Prints the flag lists and a markdown table of the steepest queries.
 """
-import glob, json, math, re, sys
+import glob, json, math, os, re, sys
 
 FLAG_E = 1.2     # exponent above which growth is called super-linear
 FLAG_T10 = 3.0   # sf10 seconds below which a steep exponent is immaterial
 NOISE_ABS = 0.15 # seconds: smallest delta distinguishable from host noise
 NOISE_REL = 0.25 # fraction of the sf0.1 time the sf0.1->sf1 delta must exceed
+EPS_E = 1e-3     # |e| below this: the (1 - 10^-e) denominator is degenerate
 
 
 def newest_bench():
@@ -61,22 +73,73 @@ def load_queries(path):
 
 
 def fit(t01, t1, t10):
-    """Closed-form (c, a, e) of t = c + a*sf^e through the three points;
-    returns (None, None, None, reason) when the deltas do not support a
-    growth estimate."""
+    """Closed-form (c, a, e) of t = c + a*sf^e through the three
+    decade-spaced points; returns (None, None, None, reason) when the
+    deltas do not support a growth estimate. Near e = 0 the exponent is
+    fine but the (1 - 10^-e) denominator underflows, so c and a are
+    nulled rather than reported at meaningless magnitudes."""
     d_lo, d_hi = t1 - t01, t10 - t1
     if d_lo <= 0 or d_hi <= 0:
         return None, None, None, "non-monotone (noise-dominated)"
     e = math.log10(d_hi / d_lo)
-    a = d_lo / (1.0 - 10.0 ** (-e)) if e != 0 else d_lo
+    if abs(e) < EPS_E:
+        return None, None, e, "e ~ 0: c/a denominator degenerate"
+    a = d_lo / (1.0 - 10.0 ** (-e))
     c = t1 - a
     return c, a, e, None
 
 
+def fit_general(pts):
+    """Exponent of t = c + a*sf^e through three (sf, t) points with
+    ARBITRARY spacing: the delta ratio (t3-t2)/(t2-t1) =
+    (s3^e - s2^e)/(s2^e - s1^e) is strictly increasing in e, so solve by
+    bisection. Returns None when the deltas are non-monotone."""
+    (s1, t1), (s2, t2), (s3, t3) = sorted(pts)
+    d_lo, d_hi = t2 - t1, t3 - t2
+    if d_lo <= 0 or d_hi <= 0:
+        return None
+    target = d_hi / d_lo
+
+    def ratio(e):
+        if abs(e) < 1e-12:
+            # lim e->0: (ln s3 - ln s2)/(ln s2 - ln s1)
+            return (math.log(s3) - math.log(s2)) / (math.log(s2) - math.log(s1))
+        return (s3 ** e - s2 ** e) / (s2 ** e - s1 ** e)
+
+    lo, hi = -6.0, 6.0
+    if target <= ratio(lo) or target >= ratio(hi):
+        return None  # outside the bracketing window: not a power law
+    for _ in range(80):
+        mid = (lo + hi) / 2.0
+        if ratio(mid) < target:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
+def loo_range(points):
+    """Leave-one-out exponent range over 4 scale points: re-fit on each
+    3-point subset; returns (min, max, n_fits) over the subsets whose
+    deltas were monotone (None, None, 0 when no subset fits)."""
+    es = []
+    for drop in range(len(points)):
+        subset = [p for i, p in enumerate(points) if i != drop]
+        e = fit_general(subset)
+        if e is not None:
+            es.append(e)
+    if not es:
+        return None, None, 0
+    return min(es), max(es), len(es)
+
+
 def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
-         out="GROWTH.json"):
+         out="GROWTH.json", sf001=None):
     sf01 = sf01 or newest_bench()
+    if sf001 is None and os.path.exists("BENCH_sf001_probe.json"):
+        sf001 = "BENCH_sf001_probe.json"
     b01, b1, b10 = load_queries(sf01), load_queries(sf1), load_queries(sf10)
+    b001 = load_queries(sf001) if sf001 else {}
     queries, flagged, low_conf = {}, [], []
     for name in sorted(b01):
         if name not in b1 or name not in b10:
@@ -88,7 +151,7 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
         ok = (e is not None
               and (t1 - t01) >= max(NOISE_ABS, NOISE_REL * t01))
         conf = "ok" if ok else "low"
-        queries[name] = {
+        rec = {
             "t_sf01": t01, "t_sf1": t1, "t_sf10": t10,
             "tail_ratio": round(t10 / t1, 2),
             "exponent": round(e, 3) if e is not None else None,
@@ -97,18 +160,34 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
             "confidence": conf,
             **({"note": reason} if reason else {}),
         }
+        spans_linear = None
+        t001 = b001.get(name)
+        if t001 is not None and t001 > 0:
+            rec["t_sf001"] = t001
+            lo, hi, nf = loo_range(
+                [(0.01, t001), (0.1, t01), (1.0, t1), (10.0, t10)])
+            if nf:
+                spans_linear = lo <= 1.0 <= hi
+                rec["e_loo_min"] = round(lo, 3)
+                rec["e_loo_max"] = round(hi, 3)
+                rec["e_loo_fits"] = nf
+                rec["e_spans_linear"] = spans_linear
+        queries[name] = rec
         if (e is not None and e > FLAG_E and t10 >= FLAG_T10
-                and t10 / t1 > 10.0):
+                and t10 / t1 > 10.0 and spans_linear is not True):
             (flagged if ok else low_conf).append(name)
     flagged.sort(key=lambda n: -queries[n]["exponent"])
     low_conf.sort(key=lambda n: -queries[n]["exponent"])
     doc = {
         "metric": "growth_curve",
-        "model": "t(sf) = c + a*sf^e; e = log10((t10-t1)/(t1-t01))",
-        "inputs": {"sf0.1": sf01, "sf1": sf1, "sf10": sf10},
+        "model": "t(sf) = c + a*sf^e; e = log10((t10-t1)/(t1-t01)); "
+                 "e_loo_* = leave-one-out refits over 4 scale points",
+        "inputs": {"sf0.1": sf01, "sf1": sf1, "sf10": sf10,
+                   **({"sf0.01": sf001} if sf001 else {})},
         "flag_rule": f"e > {FLAG_E} and tail t_sf10/t_sf1 > 10 and "
                      f"t_sf10 >= {FLAG_T10}s and sf0.1->sf1 delta "
-                     "above noise",
+                     "above noise and leave-one-out range (when the "
+                     "sf0.01 point exists) does not span 1.0",
         "flagged_superlinear": flagged,
         "low_confidence_superlinear": low_conf,
         "n_queries": len(queries),
@@ -119,15 +198,21 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
     print(f"fitted {len(queries)} queries -> {out}")
     print(f"flagged_superlinear: {flagged}")
     print(f"low_confidence_superlinear: {low_conf}")
+    spanning = [q for q, r in queries.items()
+                if r.get("e_spans_linear") and (r["exponent"] or 0) > FLAG_E]
+    if spanning:
+        print(f"steep-but-spans-linear (documented noise): {sorted(spanning)}")
     ranked = sorted((q for q, r in queries.items()
                      if r["exponent"] is not None and r["t_sf10"] >= FLAG_T10),
                     key=lambda q: -queries[q]["exponent"])[:10]
-    print("\n| query | sf0.1 s | sf1 s | sf10 s | e | c | conf |")
-    print("|---|---|---|---|---|---|---|")
+    print("\n| query | sf0.1 s | sf1 s | sf10 s | e | e_loo | c | conf |")
+    print("|---|---|---|---|---|---|---|---|")
     for q in ranked:
         r = queries[q]
+        loo = (f"[{r['e_loo_min']}, {r['e_loo_max']}]"
+               if "e_loo_min" in r else "-")
         print(f"| {q} | {r['t_sf01']} | {r['t_sf1']} | {r['t_sf10']} "
-              f"| {r['exponent']} | {r['overhead_c']} | {r['confidence']} |")
+              f"| {r['exponent']} | {loo} | {r['overhead_c']} | {r['confidence']} |")
 
 
 if __name__ == "__main__":
