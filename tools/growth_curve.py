@@ -20,10 +20,18 @@ supplied, each query additionally gets a LEAVE-ONE-OUT exponent range:
 the model is re-fit on each of the four 3-point subsets (general
 spacing solved by bisection on the delta ratio, which is monotone in
 e), and [e_loo_min, e_loo_max] is reported. A range that spans 1.0
-(`e_spans_linear`) means the data cannot distinguish the query from
-linear — constant-dominated cheap queries land here — and such queries
-are exempt from the flag list even if the headline tail exponent is
-steep.
+(`e_spans_linear`) documents that the data cannot distinguish the
+query from linear — constant-dominated cheap queries land here. This
+is REPORTING only and never exempts a query from the flag list: a
+genuinely super-linear tail also produces a wide LOO range (its own
+low-end triples are constant-dominated), so exempting on the range
+would silently absolve real flags.
+
+Tail probes: the one honest way OFF the flag list is a measurement
+PAST the fitted window. TAIL_PROBES.json (committed) records isolated
+re-measurements at a higher sf for specific queries; a flag whose
+probe shows t(k·sf)/t(sf) <= 1.2·k is moved to `absolved_by_tail_probe`
+(the spill-regime-shift verdict, now measured rather than argued).
 
 Confidence: e is a ratio of two measured DELTAS, so when the sf0.1 ->
 sf1 delta is inside measurement noise (host variance is ~+/-10% per
@@ -35,8 +43,9 @@ Flag rule: e > FLAG_E (1.2) AND the TAIL decade itself is super-linear
 (t_sf10 / t_sf1 > 10 -- the exponent alone over-weights the noisy
 sf0.1 -> sf1 delta: a query with a 7x tail on 10x data is sub-linear
 where it matters no matter what the 3-point model says) AND confidence
-ok AND the sf10 cost is material (>= FLAG_T10 seconds) AND (when the
-4th point exists) the leave-one-out range does not span 1.0.
+ok AND the sf10 cost is material (>= FLAG_T10 seconds); a surviving
+flag with a committed linear tail probe moves to
+`absolved_by_tail_probe`.
 
 Usage: python3 tools/growth_curve.py [sf01_bench] [sf1_probe] [sf10_probe] [out] [sf001_probe]
 Defaults: newest bench_queries_r*.json, BENCH_sf1_probe.json,
@@ -174,8 +183,24 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
                 rec["e_spans_linear"] = spans_linear
         queries[name] = rec
         if (e is not None and e > FLAG_E and t10 >= FLAG_T10
-                and t10 / t1 > 10.0 and spans_linear is not True):
+                and t10 / t1 > 10.0):
             (flagged if ok else low_conf).append(name)
+
+    # tail probes: isolated same-session measurements past the fitted
+    # window; a flag whose probe scales <= 1.2x linearly is absolved
+    absolved = []
+    if os.path.exists("TAIL_PROBES.json"):
+        probes = json.load(open("TAIL_PROBES.json"))["probes"]
+        for name, pr in probes.items():
+            if name in flagged:
+                k = pr["sf_hi"] / pr["sf_lo"]
+                ratio = pr["t_hi"] / pr["t_lo"]
+                if ratio <= 1.2 * k:
+                    flagged.remove(name)
+                    absolved.append(name)
+                    queries[name]["tail_probe"] = {
+                        **pr, "ratio": round(ratio, 2),
+                        "linear_bound": round(1.2 * k, 2)}
     flagged.sort(key=lambda n: -queries[n]["exponent"])
     low_conf.sort(key=lambda n: -queries[n]["exponent"])
     doc = {
@@ -186,9 +211,10 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
                    **({"sf0.01": sf001} if sf001 else {})},
         "flag_rule": f"e > {FLAG_E} and tail t_sf10/t_sf1 > 10 and "
                      f"t_sf10 >= {FLAG_T10}s and sf0.1->sf1 delta "
-                     "above noise and leave-one-out range (when the "
-                     "sf0.01 point exists) does not span 1.0",
+                     "above noise; flags with a committed linear tail "
+                     "probe (TAIL_PROBES.json) are absolved",
         "flagged_superlinear": flagged,
+        "absolved_by_tail_probe": absolved,
         "low_confidence_superlinear": low_conf,
         "n_queries": len(queries),
         "queries": queries,
