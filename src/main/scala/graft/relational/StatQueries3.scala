@@ -228,10 +228,15 @@ object StatQueries3 {
         |  ROUND(s_prev, 8) AS s_prev, ROUND(cif1, 8) AS cif1,
         |  ROUND(cif2, 8) AS cif2
         |FROM c ORDER BY t""".stripMargin) { (s, d) =>
+      // l_quantity is a ≤50-value discrete grid: the collapsed time
+      // axis is schema-bounded, so skip the three scan probes (each
+      // re-pays the groupBy upstream) — the Small hint is the same
+      // single-window form the probe would pick, minus the probes
       CompetingRisks.aalenJohansen(t(s, d, "lineitem"),
           col("l_quantity"),
           when(col("l_returnflag") === "R", 1)
-            .when(col("l_returnflag") === "N", 2).otherwise(0))
+            .when(col("l_returnflag") === "N", 2).otherwise(0),
+          sizeHint = graft.core.Windows.SizeHint.Small)
         .select(col("t"), col("n_risk").cast("long").as("n_risk"),
           round(col("s_prev"), 8).as("s_prev"),
           round(col("cif1"), 8).as("cif1"),
