@@ -35,6 +35,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query spill tracking (task-metrics listener): at sf>=10 the
+    // min-of-passes variance signature (+/-30-50%) is spill-driven, and
+    // re-probing to prove it is a session of work — record disk-spill
+    // bytes per query in the artifact instead. Attribution is
+    // best-effort: the listener bus is async, so a task-end event can
+    // land after the query's collect returns; the snapshot is taken
+    // after the (job-free, driver-side) clearCache, which in practice
+    // drains the bus. A few KB of cross-talk would not matter — the
+    // signal of interest is "0 vs gigabytes".
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spillAcc.addAndGet(m.diskBytesSpilled)
+      }
+    })
+
     // untimed warmup: parquet footers + codegen pipeline init
     graft.core.Tables.names.foreach { n =>
       try {
@@ -58,7 +75,8 @@ object Bench {
     val distributedSink = sys.env.contains("SPARK_GRAFT_BENCH_DISTRIBUTED_SINK")
     val rowsAcc = spark.sparkContext.longAccumulator("graft_bench_rows")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
+        : (Double, Boolean, Long) = {
+      val spill0 = spillAcc.get()
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -78,13 +96,13 @@ object Bench {
       // residual caches from iterative queries would otherwise pile up
       // across 100+ queries × passes; cleared OUTSIDE the timed region
       spark.catalog.clearCache()
-      (dt, ok)
+      (dt, ok, spillAcc.get() - spill0)
     }
     // optional comma-separated filter for local iteration on hot queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries.toSeq
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def pass(): Seq[(String, (Double, Boolean))] =
+    def pass(): Seq[(String, (Double, Boolean, Long))] =
       queries.map { case (name, fn) => name -> timeOnce(fn) }
     val p1 = pass().toMap
     val p2 = pass().toMap
@@ -92,7 +110,7 @@ object Bench {
     // by >30% the smaller one may still carry transient load — re-time
     // just those queries so a noisy machine doesn't inflate the min
     val unstable = queries.filter { case (name, _) =>
-      val (a, aOk) = p1(name); val (b, bOk) = p2(name)
+      val (a, aOk, _) = p1(name); val (b, bOk, _) = p2(name)
       aOk && bOk && math.abs(a - b) / math.min(a, b) > 0.3
     }
     val p3 = unstable.map { case (name, fn) => name -> timeOnce(fn) }.toMap
@@ -101,14 +119,23 @@ object Bench {
         .filter(_._2).map(_._1)
       name -> (if (samples.isEmpty) -1.0 else samples.min)
     }
+    // PEAK spill per query (max over successful passes): the min-time
+    // pass is often the one that stayed in memory, so attributing spill
+    // to it would under-report exactly the threshold-straddling queries
+    // the metric exists to catch
+    val spillOf: Map[String, Long] = queries.map { case (name, _) =>
+      val s = (Seq(p1(name), p2(name)) ++ p3.get(name))
+        .filter(_._2).map(_._3)
+      name -> (if (s.isEmpty) 0L else s.max)
+    }.toMap
     // drift diagnosis: the reported min-of-passes hides WHEN a query
     // was slow. With SPARK_GRAFT_BENCH_DEBUG set, dump every raw pass
     // sample so a session-level accumulation (pass 2 systematically
     // slower than pass 1 — codegen cache churn, metaspace growth)
     // separates from plan regressions (both passes slower).
     sys.env.get("SPARK_GRAFT_BENCH_DEBUG").foreach { path =>
-      def m(p: Map[String, (Double, Boolean)]): String =
-        p.toSeq.sortBy(_._1).map { case (k, (v, ok)) =>
+      def m(p: Map[String, (Double, Boolean, Long)]): String =
+        p.toSeq.sortBy(_._1).map { case (k, (v, ok, _)) =>
           "\"" + k + "\":" + (if (ok) (math.rint(v * 1e3) / 1e3).toString else "-1")
         }.mkString("{", ",", "}")
       val w = new java.io.PrintWriter(path)
@@ -132,7 +159,13 @@ object Bench {
     // BENCH_r*.json) so each round's full per-query data survives even
     // though bench_queries.json itself is overwritten every round.
     val failedJson = failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson,"rows":$blackhole}"""
+    // spill map carries only the queries that actually spilled — at
+    // sf0.1 that is usually empty; at sf>=10 it is the regime-crossing
+    // diagnostic the growth tooling reads
+    def spillJson(names: Seq[String]): String = names
+      .flatMap(n => spillOf.get(n).filter(_ > 0).map(v => "\"" + n + "\":" + v))
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson,"rows":$blackhole,"spill_bytes":${spillJson(succeeded.map(_._1))}}"""
     // never clobber the committed artifacts from a FILTERED local
     // iteration (SPARK_GRAFT_BENCH_ONLY) — a 6-query map overwriting the
     // full catalog would corrupt round-over-round comparisons — nor
@@ -150,7 +183,7 @@ object Bench {
     } catch { case _: Throwable => () }
     succeeded.grouped(25).zipWithIndex.foreach { case (chunk, i) =>
       val m = chunk.map { case (k, v) => entry(k, v) }.mkString("{", ",", "}")
-      println(s"""{"bench_chunk":$i,"queries":$m}""")
+      println(s"""{"bench_chunk":$i,"queries":$m,"spill_bytes":${spillJson(chunk.map(_._1))}}""")
     }
     // The driver tails the log with a fixed byte window; r1-r3 all lost
     // the final line to it (r3: the whole line went unparsed). The LAST

@@ -743,7 +743,7 @@ object Dedup {
       count(lit(1)).as("n_cand_scored"),
       coalesce(sum(when(col("j_true") >= threshold, 1L).otherwise(0L)),
         lit(0L)).as("n_tp"))
-      .crossJoin(nCand)
+      .crossJoin(broadcast(nCand))
     val sampled = hh.select(col("id")).distinct()
       .withColumn("__u", graft.core.Rng.uniform(col("id"), sampleSalt))
       .orderBy(col("__u"), col("id")).limit(sampleSize)
@@ -758,7 +758,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_truth"),
         coalesce(sum(coalesce(col("__hit"), lit(0))).cast("long"), lit(0L))
           .as("n_hit"))
-    val out = prec.crossJoin(rec).select(
+    val out = prec.crossJoin(broadcast(rec)).select(
       col("n_cand"), col("n_cand_scored"),
       round(when(col("n_cand") > 0,
         col("n_cand_scored").cast("double") / col("n_cand"))

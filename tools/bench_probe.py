@@ -16,16 +16,26 @@ sf0.1 bench cannot see (hidden skew, quadratic candidate growth, ...).
 import glob, json, sys
 
 def main(inp, out="BENCH_sf1_probe.json", scale="10", baseline=None):
-    line = [l for l in open(inp) if '"metric"' in l][-1]
-    sf1 = json.loads(line)
-    # the final metric line keeps a hard byte budget (cheapest queries
-    # dropped); the FULL map is echoed in 25-entry bench_chunk lines —
-    # merge them in so probe artifacts always carry every query
+    # The final metric line keeps a hard byte budget (cheapest queries
+    # dropped); the FULL map is echoed in 25-entry bench_chunk lines
+    # printed just BEFORE their own run's metric line. A log may hold
+    # several runs, so the chunk accumulator resets at every metric
+    # line — only the block belonging to the LAST (selected) run is
+    # merged, never an older run's timings.
+    sf1, chunks = None, []
     for l in open(inp):
         if '"bench_chunk"' in l:
-            chunk = json.loads(l[l.index('{'):])
-            for k, v in chunk["queries"].items():
-                sf1["queries"].setdefault(k, v)
+            chunks.append(json.loads(l[l.index('{'):]))
+        elif '"metric"' in l:
+            sf1 = json.loads(l)
+            sf1["_chunks"], chunks = chunks, []
+    if sf1 is None:
+        sys.exit(f"no metric line in {inp}")
+    spill = dict(sf1.get("spill_bytes", {}))
+    for chunk in sf1.pop("_chunks"):
+        for k, v in chunk["queries"].items():
+            sf1["queries"].setdefault(k, v)
+        spill.update(chunk.get("spill_bytes", {}))
     if baseline is None:
         # numeric round sort: lexicographic picks r99 over r100
         import re
@@ -44,6 +54,11 @@ def main(inp, out="BENCH_sf1_probe.json", scale="10", baseline=None):
             "sf01_sec": b,
             "ratio": round(sec / b, 2) if b else None,
         }
+        # peak disk-spill bytes (max over bench passes) when the run's
+        # Bench recorded them — the spill-regime diagnostic for scale
+        # probes; absent key = ran before instrumentation, 0 = no spill
+        if name in spill:
+            rows[name]["spill_bytes"] = spill[name]
     scale = float(scale)
     # the super-linear flag only makes sense scaling UP: a DOWN-scale
     # probe (sf0.01 vs the sf0.1 baseline, scale = 0.1) has every query

@@ -47,9 +47,14 @@ ok AND the sf10 cost is material (>= FLAG_T10 seconds); a surviving
 flag with a committed linear tail probe moves to
 `absolved_by_tail_probe`.
 
-Usage: python3 tools/growth_curve.py [sf01_bench] [sf1_probe] [sf10_probe] [out] [sf001_probe]
+Usage: python3 tools/growth_curve.py [sf01_bench] [sf1_probe] [sf10_probe]
+       [out] [sf001_probe] [sf20_probe] [sf10_fresh_probe]
 Defaults: newest bench_queries_r*.json, BENCH_sf1_probe.json,
-BENCH_sf10_full.json, GROWTH.json, BENCH_sf001_probe.json if present.
+BENCH_sf10_full.json, GROWTH.json, then BENCH_sf001_probe.json /
+BENCH_sf20_heavy.json / BENCH_sf10_heavy.json if present. The sf20 +
+same-session-sf10 pair gives the heavy tier a fit window past JVM
+overhead (and the flag rule moves there for those queries); spill
+bytes from instrumented runs are passed through per query.
 Prints the flag lists and a markdown table of the steepest queries.
 """
 import glob, json, math, os, re, sys
@@ -79,6 +84,21 @@ def load_queries(path):
     # name -> {scaled_sec, ...}
     return {k: (v if isinstance(v, (int, float)) else v["scaled_sec"])
             for k, v in qs.items()}
+
+
+def load_spill(path):
+    """Per-query peak disk-spill bytes, when the artifact carries them
+    (bench detail lines: top-level "spill_bytes" map; probe artifacts:
+    per-row "spill_bytes"). Empty dict for pre-instrumentation runs."""
+    try:
+        doc = json.load(open(path))
+    except json.JSONDecodeError:
+        doc = json.loads([l for l in open(path) if '"metric"' in l][-1])
+    spill = dict(doc.get("spill_bytes", {}))
+    for k, v in doc.get("queries", {}).items():
+        if isinstance(v, dict) and "spill_bytes" in v:
+            spill[k] = v["spill_bytes"]
+    return spill
 
 
 def fit(t01, t1, t10):
@@ -143,12 +163,29 @@ def loo_range(points):
 
 
 def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
-         out="GROWTH.json", sf001=None):
+         out="GROWTH.json", sf001=None, sf20=None, sf10_fresh=None):
     sf01 = sf01 or newest_bench()
     if sf001 is None and os.path.exists("BENCH_sf001_probe.json"):
         sf001 = "BENCH_sf001_probe.json"
+    if sf20 is None and os.path.exists("BENCH_sf20_heavy.json"):
+        sf20 = "BENCH_sf20_heavy.json"
+    if sf10_fresh is None and os.path.exists("BENCH_sf10_heavy.json"):
+        sf10_fresh = "BENCH_sf10_heavy.json"
     b01, b1, b10 = load_queries(sf01), load_queries(sf1), load_queries(sf10)
     b001 = load_queries(sf001) if sf001 else {}
+    # heavy-tier extension: an sf20 point (and a SAME-SESSION sf10
+    # re-measurement to ratio it against — cross-session sf10/sf20
+    # ratios inherit the +/-30-50% spill-probe variance) gives the top
+    # queries a fit window past JVM overhead, where the default
+    # sf0.01/sf0.1 points are constant-dominated noise
+    b20 = load_queries(sf20) if sf20 else {}
+    b10f = load_queries(sf10_fresh) if sf10_fresh else {}
+    spill = {}
+    for label, path in (("sf0.1", sf01), ("sf1", sf1), ("sf10", sf10),
+                        ("sf20", sf20), ("sf10_fresh", sf10_fresh)):
+        if path:
+            for k, v in load_spill(path).items():
+                spill.setdefault(k, {})[label] = v
     queries, flagged, low_conf = {}, [], []
     for name in sorted(b01):
         if name not in b1 or name not in b10:
@@ -181,6 +218,26 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
                 rec["e_loo_max"] = round(hi, 3)
                 rec["e_loo_fits"] = nf
                 rec["e_spans_linear"] = spans_linear
+        if name in spill:
+            rec["spill_bytes"] = spill[name]
+        t20 = b20.get(name)
+        if t20 is not None and t20 > 0:
+            # high-scale window (sf1 / sf10 / sf20): for these queries
+            # the FLAG RULE evaluates here, not on the overhead-dominated
+            # low decades — e_high > FLAG_E plus a super-linear sf10->
+            # sf20 step (ratio > 1.2 * 2x data) plus material cost
+            t10h = b10f.get(name) or t10
+            rec["t_sf20"] = t20
+            if name in b10f:
+                rec["t_sf10_fresh"] = b10f[name]
+            e_high = fit_general([(1.0, t1), (10.0, t10h), (20.0, t20)])
+            rec["e_high"] = round(e_high, 3) if e_high is not None else None
+            rec["step_sf10_sf20"] = round(t20 / t10h, 2)
+            queries[name] = rec
+            if (e_high is not None and e_high > FLAG_E
+                    and t20 / t10h > 1.2 * 2.0 and t20 >= FLAG_T10):
+                flagged.append(name)
+            continue
         queries[name] = rec
         if (e is not None and e > FLAG_E and t10 >= FLAG_T10
                 and t10 / t1 > 10.0):
@@ -201,17 +258,29 @@ def main(sf01=None, sf1="BENCH_sf1_probe.json", sf10="BENCH_sf10_full.json",
                     queries[name]["tail_probe"] = {
                         **pr, "ratio": round(ratio, 2),
                         "linear_bound": round(1.2 * k, 2)}
-    flagged.sort(key=lambda n: -queries[n]["exponent"])
-    low_conf.sort(key=lambda n: -queries[n]["exponent"])
+    def esort(n):
+        r = queries[n]
+        return -(r.get("e_high") if r.get("t_sf20") is not None
+                 and r.get("e_high") is not None
+                 else (r["exponent"] if r["exponent"] is not None else -99))
+    flagged.sort(key=esort)
+    low_conf.sort(key=esort)
     doc = {
         "metric": "growth_curve",
         "model": "t(sf) = c + a*sf^e; e = log10((t10-t1)/(t1-t01)); "
-                 "e_loo_* = leave-one-out refits over 4 scale points",
+                 "e_loo_* = leave-one-out refits over 4 scale points; "
+                 "e_high = 3-point fit over sf1/sf10/sf20 where an sf20 "
+                 "heavy-tier point exists",
         "inputs": {"sf0.1": sf01, "sf1": sf1, "sf10": sf10,
-                   **({"sf0.01": sf001} if sf001 else {})},
+                   **({"sf0.01": sf001} if sf001 else {}),
+                   **({"sf20": sf20} if sf20 else {}),
+                   **({"sf10_fresh": sf10_fresh} if sf10_fresh else {})},
         "flag_rule": f"e > {FLAG_E} and tail t_sf10/t_sf1 > 10 and "
                      f"t_sf10 >= {FLAG_T10}s and sf0.1->sf1 delta "
-                     "above noise; flags with a committed linear tail "
+                     "above noise; queries WITH an sf20 point instead "
+                     f"flag on the high window: e_high > {FLAG_E} and "
+                     "t_sf20/t_sf10_fresh > 2.4 and t_sf20 >= "
+                     f"{FLAG_T10}s; flags with a committed linear tail "
                      "probe (TAIL_PROBES.json) are absolved",
         "flagged_superlinear": flagged,
         "absolved_by_tail_probe": absolved,
