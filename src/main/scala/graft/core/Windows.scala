@@ -89,7 +89,14 @@ object Windows {
     // everyone else a LAZY localCheckpoint gives the same stability but
     // self-releases when the plan is GC'd — no cached partitions pinned
     // until a harness clearCache (same rationale as RelationalQueries5's
-    // p_mad_outlier).
+    // p_mad_outlier). Cluster trade-off: localCheckpoint truncates
+    // lineage into non-reliable executor storage, so executor loss after
+    // materialization FAILS the job instead of recomputing. That
+    // fail-fast is the correct default here — a recompute would
+    // re-sample range boundaries and silently mis-align the offsets —
+    // but fault-tolerant deployments that prefer retry-with-recompute
+    // semantics should pass a `release` buffer (persist + explicit
+    // unpersist), which keeps full lineage.
     local = release match {
       case Some(buf) => val p = local.persist(); buf += p; p
       case None => local.localCheckpoint(eager = false)

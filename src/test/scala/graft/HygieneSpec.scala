@@ -7,32 +7,64 @@ import scala.jdk.CollectionConverters._
   * re-ran by hand, made CI-shaped. Each rule scans the MAIN source tree
   * (comments stripped) and fails on any site outside its documented
   * allowlist, so a regression (a new Scala UDF, a bare global window
-  * over a fact table, a driver-side collect loop) shows up as a red
-  * test in the same commit that introduces it.
+  * over a fact table, a driver-side collect loop, an unbroadcast cross
+  * join, raw RDD access) shows up as a red test in the same commit
+  * that introduces it.
   */
 class HygieneSpec extends AnyFunSuite {
 
   private val root = java.nio.file.Paths.get("src/main/scala/graft")
 
-  /** (path, comment-stripped lines). Block comments are stripped
-    * conservatively line-by-line (a line inside a scaladoc block starts
-    * with '*' once trimmed); inline `// ...` tails are dropped. */
+  // Strip comments with a small string-literal-aware state machine
+  // (comment chars become spaces, so line/column numbers survive):
+  //  - line comments to end-of-line; block comments with Scala's
+  //    NESTING — but not when the opener sits inside a string;
+  //  - "..." (with backslash escapes) and triple-quoted strings pass
+  //    through untouched, so a comment delimiter inside a literal is
+  //    still code;
+  //  - a block opener trailing real code correctly opens mid-line and
+  //    keeps only the code prefix.
+  // Char literals are not special-cased: a comment delimiter cannot
+  // appear inside one ('/' alone is no delimiter), so treating ' as
+  // ordinary code is sound for these rules.
+  private def stripComments(text: String): String = {
+    val out = new StringBuilder(text.length)
+    var i = 0
+    var block = 0          // block-comment nesting depth
+    var line = false       // inside a // comment
+    var str: String = null // open string delimiter: "\"" or "\"\"\""
+    while (i < text.length) {
+      val c = text.charAt(i)
+      def at(s: String) = text.startsWith(s, i)
+      if (line) {
+        if (c == '\n') { line = false; out += c } else out += ' '
+        i += 1
+      } else if (block > 0) {
+        if (at("/*")) { block += 1; out ++= "  "; i += 2 }
+        else if (at("*/")) { block -= 1; out ++= "  "; i += 2 }
+        else { out += (if (c == '\n') c else ' '); i += 1 }
+      } else if (str != null) {
+        if (c == '\\' && str == "\"" && i + 1 < text.length) {
+          out += c; out += text.charAt(i + 1); i += 2
+        } else if (at(str)) { out ++= str; i += str.length; str = null }
+        else { out += c; i += 1 }
+      } else if (at("\"\"\"")) { str = "\"\"\""; out ++= str; i += 3 }
+      else if (c == '"') { str = "\""; out += c; i += 1 }
+      else if (at("//")) { line = true; out ++= "  "; i += 2 }
+      else if (at("/*")) { block = 1; out ++= "  "; i += 2 }
+      else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
+  /** (path, comment-stripped lines). */
   private lazy val sources: Seq[(String, Seq[String])] = {
     val files = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala")).toSeq.sortBy(_.toString)
     files.map { p =>
-      var inBlock = false
-      val lines = java.nio.file.Files.readAllLines(p).asScala.toSeq.map { l =>
-        val t = l.trim
-        if (inBlock) {
-          if (t.contains("*/")) { inBlock = false; t.split("\\*/", 2).last }
-          else ""
-        } else if (t.startsWith("/*")) {
-          if (!t.contains("*/")) inBlock = true
-          ""
-        } else l.split("//", 2).head
-      }
-      (root.relativize(p).toString, lines)
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      (root.relativize(p).toString,
+        stripComments(text).linesIterator.toSeq)
     }
   }
 
@@ -45,6 +77,22 @@ class HygieneSpec extends AnyFunSuite {
     } yield s"$f:${i + 1}: ${l.trim.take(100)}"
   }
 
+  /** Enforce a per-file site cap: any file over its cap (or any file
+    * absent from the map with >0 sites) fails with the offending lines,
+    * and a file whose sites DISAPPEAR prompts tightening the cap. */
+  private def assertCapped(rule: String, hits: Seq[String],
+      allow: Map[String, Int]): Unit = {
+    val byFile = hits.groupBy(_.split(":").head)
+    val over = byFile.filter { case (f, s) => s.size > allow.getOrElse(f, 0) }
+    assert(over.isEmpty, s"$rule outside the per-file allowlist:\n" +
+      over.values.flatten.mkString("\n"))
+    val stale = allow.filter { case (f, n) =>
+      byFile.getOrElse(f, Nil).size < n }
+    assert(stale.isEmpty,
+      s"$rule allowlist is looser than the code — tighten these caps so " +
+        s"the next new site must justify itself: ${stale.mkString(", ")}")
+  }
+
   test("no Scala UDFs in main (functions/Expressions only)") {
     // `udf(` would leave whole-stage codegen and lose Catalyst
     // optimization on the hot path; every extension point is a native
@@ -53,28 +101,30 @@ class HygieneSpec extends AnyFunSuite {
     assert(hits.isEmpty, s"Scala udf() in main:\n${hits.mkString("\n")}")
   }
 
-  test("bare Window.orderBy only in bounded-domain files") {
+  test("bare Window.orderBy only at pinned bounded-domain sites") {
     // A global `Window.orderBy` (no partitionBy) funnels its input
     // through ONE task. Allowed only where the input is bounded by
-    // construction, each site carrying its bound comment:
+    // construction, each site carrying its bound comment, and capped
+    // per FILE so a new unbounded window added to an already-allowed
+    // catalog file fails here rather than passing silently:
     //   core/Windows.scala      — the scan's own probed small path
     //   core/AsOf.scala         — step-table LOCF (scale-safe sibling exists)
     //   stats/Isotonic.scala    — collapsed bin axis (caller-bounded)
     //   relational/RelationalQueries.scala  — p7 rowid over 25-row nation
     //   relational/RelationalQueries6.scala — month-cardinality step table
-    //   relational/StatQueries3.scala       — m38 bin axis clamped to 25
+    //   relational/StatQueries3.scala       — m38 bin axis clamped to 25 (×2)
     //   relational/StatQueries4.scala       — 5-segment stratum id table
-    //   relational/LlmQueries4.scala        — vocab / per-supplier axes
-    val allow = Set(
-      "core/Windows.scala", "core/AsOf.scala", "stats/Isotonic.scala",
-      "relational/RelationalQueries.scala",
-      "relational/RelationalQueries6.scala",
-      "relational/StatQueries3.scala", "relational/StatQueries4.scala",
-      "relational/LlmQueries4.scala")
-    val hits = sites("""Window\.orderBy""", allow.contains)
-    assert(hits.isEmpty,
-      s"bare global Window.orderBy outside the bounded-domain allowlist " +
-        s"(use Windows.scan/groupedScan):\n${hits.mkString("\n")}")
+    //   relational/LlmQueries4.scala        — vocab / per-supplier axes (×2)
+    val allow = Map(
+      "core/Windows.scala" -> 1, "core/AsOf.scala" -> 1,
+      "stats/Isotonic.scala" -> 1,
+      "relational/RelationalQueries.scala" -> 1,
+      "relational/RelationalQueries6.scala" -> 1,
+      "relational/StatQueries3.scala" -> 2,
+      "relational/StatQueries4.scala" -> 1,
+      "relational/LlmQueries4.scala" -> 2)
+    assertCapped("bare global Window.orderBy (use Windows.scan/groupedScan)",
+      sites("""Window\.orderBy"""), allow)
   }
 
   test("collect() only at known bounded driver-solve sites") {
@@ -101,11 +151,31 @@ class HygieneSpec extends AnyFunSuite {
       "weights/Raking.scala" -> 3,           // margin factor tables
       "relational/StatQueries.scala" -> 1,   // fitted p-vector echo
       "variance/HazardInfluence.scala" -> 2) // step-table hazard constants
-    val hits = sites("""\.collect\(\)""")
-    val byFile = hits.groupBy(_.split(":").head)
-    val bad = byFile.filter { case (f, s) => s.size > allow.getOrElse(f, 0) }
-    assert(bad.isEmpty,
-      s"collect() outside the bounded allowlist:\n" +
-        bad.values.flatten.mkString("\n"))
+    assertCapped("collect()", sites("""\.collect\(\)"""), allow)
+  }
+
+  test("crossJoin only with a broadcast (or broadcast-producing) right side") {
+    // An unbroadcast crossJoin of two distributed relations is a
+    // cartesian shuffle — never acceptable at 100 TB. Every site must
+    // wrap its right side in broadcast(...) ON THE SAME LINE; the one
+    // exception is pinned below because its right side is a helper
+    // whose RETURN is already broadcast-wrapped.
+    val allow = Map(
+      // levelTable(...) returns broadcast(ps.toDF) — ≤q quantile levels
+      "stats/WeightedQuantile.scala" -> 1)
+    val hits = sites("""crossJoin\(""")
+      .filterNot(_.contains("broadcast("))
+    assertCapped("crossJoin without same-line broadcast(...)", hits, allow)
+  }
+
+  test(".rdd access only for partition-count probes") {
+    // Dropping to the RDD API forfeits Catalyst; the only sanctioned
+    // use is reading getNumPartitions to decide whether a narrow input
+    // needs a repartition for parallelism. Any other .rdd access (a
+    // map/mapPartitions escape hatch, a collectAsMap) must go through
+    // DataFrame operators or a registered Expression instead.
+    val hits = sites("""\.rdd(?!\.getNumPartitions)""")
+    assert(hits.isEmpty,
+      s".rdd access beyond getNumPartitions probes:\n${hits.mkString("\n")}")
   }
 }

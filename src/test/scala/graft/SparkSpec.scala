@@ -11,6 +11,13 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // AQE + skew-join rewriting FORCED ON so every PlanSpec pin is
+      // asserted against the adaptively re-planned physical plan — a
+      // skew-join split or AQE join-strategy switch that broke a pinned
+      // shape (salted top-n, grouped scan, broadcast dims) would fail
+      // the suite here rather than surprising a cluster deployment.
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
