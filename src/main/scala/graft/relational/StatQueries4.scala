@@ -211,13 +211,26 @@ object StatQueries4 {
       // range(1, 1) is empty) and the nh/(nh−1) rescale divide by
       // zero — filter them out explicitly so both engines agree even
       // if the data ever produces one.
-      val draws = broadcast(segs.filter(col("nh") > 1))
+      // The draw frame is R·n rows exploded out of the 5-row segs
+      // aggregate, so Catalyst's size estimate for it stays tiny (a
+      // Generate's stats don't see the data-dependent fan-out) and the
+      // static planner would BROADCAST the 96M-row draw stream at 400×
+      // (13.7 GiB build > the 8 GiB broadcast cap — measured). Two
+      // counter-measures: spread the (stratum × replicate) frame
+      // across the cluster BEFORE the big per-draw explode so draw
+      // generation is embarrassingly parallel, and pin the join below
+      // to a shuffle hash join (build = the n-row ranked side, ~6M
+      // rows/32 partitions) — an equi-join on (seg, rk), where rk is
+      // near-unique within a stratum, so the composite key carries no
+      // skew.
+      val draws = segs.filter(col("nh") > 1)
         .withColumn("r", explode(sequence(lit(1L), lit(R.toLong))))
+        .repartition(col("sid"), col("r"))
         .withColumn("j", explode(sequence(lit(1L), col("nh") - 1)))
         .withColumn("rk", lit(1L) + floor(Rng.uniform(
           (col("sid") * 131 + col("r")) * 1048576L + col("j"),
           4242L) * col("nh")).cast("long"))
-      val sel = draws.join(ranked, Seq("seg", "rk"))
+      val sel = draws.join(ranked.hint("shuffle_hash"), Seq("seg", "rk"))
         .groupBy(col("r"), col("seg"), col("c_custkey"))
         .agg(max(col("nh")).as("nh"), max(col("yq")).as("yq"),
           max(col("w")).as("w"), count(lit(1)).as("s_i"))
