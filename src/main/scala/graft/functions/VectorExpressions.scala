@@ -40,6 +40,14 @@ object VectorExpressions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** One descent step of a hierarchical coarse quantizer (see
+    * [[NearestChild]]). */
+  def nearestChild(parent: Column, vec: Column,
+      children: Array[Array[Array[Double]]], branch: Int): Column =
+    GraftSqlBridge.column(NearestChild(
+      GraftSqlBridge.expression(parent), GraftSqlBridge.expression(vec),
+      children, branch))
 }
 
 trait VectorBinary extends BinaryExpression {
@@ -107,6 +115,123 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinary 
          |${ev.value} = $dot;
        """.stripMargin
     })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** One descent step of a HIERARCHICAL coarse quantizer: given a row's
+  * current tree cell (`left`, int) and its vector (`right`,
+  * array<double>), return `parent·branch + argmin_j d²(v, child_j)` —
+  * the row's cell one level deeper. `children(parent)` holds that
+  * parent's child centroids (1 to `branch` of them; a parent whose
+  * fit-time cell was empty carries its own centroid as sole child, so
+  * descent is total).
+  *
+  * This is what makes corpus-derived cell counts scale: a FLAT
+  * quantizer with k ∝ n (SemDeDup's cell-size law) must stream n·k
+  * candidate pairs through a broadcast join — O(n²/cellSize) work that
+  * measured 20.8× for 2× data once it spilled (sf20→sf40, d13). A
+  * depth-D descent does n·b·D distance evaluations with b = k^(1/D),
+  * entirely INSIDE whole-stage codegen: the centroid tree rides along
+  * as a reference object (never an expression tree, so — unlike the
+  * literal-array `nearestCentroid` path, which falls out of codegen
+  * past ~16 centroids — code size is independent of b), and assignment
+  * is a pure map: no join, no shuffle, nothing data-sized on the
+  * driver.
+  *
+  * Distance uses the same association order as the flat paths and the
+  * DuckDB oracle — `(v·v − 2·v·c) + c·c`, v·v hoisted per call, c·c
+  * precomputed per child — and ties break to the smallest j (strict
+  * `<` keeps the earliest), so a 1-level call with parent 0 is
+  * value-identical to `nearestCentroid`/`assignSql`.
+  */
+case class NearestChild(left: Expression, right: Expression,
+    tree: Array[Array[Array[Double]]], branch: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val vecOk = right.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (left.dataType == org.apache.spark.sql.types.IntegerType && vecOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tree_nearest_child needs (INT parent, ARRAY<DOUBLE> vec), " +
+          s"got ${left.dataType} / ${right.dataType}")
+  }
+  override def prettyName: String = "tree_nearest_child"
+
+  /** c·c per (parent, child), precomputed once on the driver in the
+    * same left-to-right order as the SQL replay's list_dot_product. */
+  private val cc: Array[Array[Double]] = tree.map(_.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  })
+
+  override def nullSafeEval(p: Any, v: Any): Any = {
+    val parent = p.asInstanceOf[Int]
+    val a = v.asInstanceOf[ArrayData]
+    val ch = tree(parent)
+    val cs = cc(parent)
+    val n = a.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); vv += x * x; i += 1 }
+    var best = Double.PositiveInfinity
+    var bj = 0
+    var j = 0
+    while (j < ch.length) {
+      val c = ch(j)
+      val m = math.min(n, c.length)
+      var vc = 0.0
+      var d = 0
+      while (d < m) { vc += a.getDouble(d) * c(d); d += 1 }
+      val dist = vv - 2.0 * vc + cs(j)
+      if (dist < best) { best = dist; bj = j }
+      j += 1
+    }
+    parent * branch + bj
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val chRef = ctx.addReferenceObj("treeChildren", tree, "double[][][]")
+    val ccRef = ctx.addReferenceObj("treeChildCc", cc, "double[][]")
+    nullSafeCodeGen(ctx, ev, (p, v) => {
+      val ch = ctx.freshName("ch"); val cs = ctx.freshName("cs")
+      val n = ctx.freshName("n"); val vv = ctx.freshName("vv")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val m = ctx.freshName("m")
+      val vc = ctx.freshName("vc"); val d = ctx.freshName("d")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best"); val bj = ctx.freshName("bj")
+      val x = ctx.freshName("x")
+      s"""
+         |double[][] $ch = $chRef[$p];
+         |double[] $cs = $ccRef[$p];
+         |int $n = $v.numElements();
+         |double $vv = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $v.getDouble($i); $vv += $x * $x;
+         |}
+         |double $best = Double.POSITIVE_INFINITY;
+         |int $bj = 0;
+         |for (int $j = 0; $j < $ch.length; $j++) {
+         |  double[] $c = $ch[$j];
+         |  int $m = java.lang.Math.min($n, $c.length);
+         |  double $vc = 0.0;
+         |  for (int $d = 0; $d < $m; $d++) { $vc += $v.getDouble($d) * $c[$d]; }
+         |  double $dist = $vv - 2.0 * $vc + $cs[$j];
+         |  if ($dist < $best) { $best = $dist; $bj = $j; }
+         |}
+         |${ev.value} = $p * $branch + $bj;
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

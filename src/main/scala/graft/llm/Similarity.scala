@@ -198,6 +198,137 @@ object Similarity {
     cents
   }
 
+  /** One level of a hierarchical (tree) coarse quantizer: the branch
+    * factor and the dense parent-indexed child-centroid table
+    * (`children(parent)(j)(dim)`). A `branch == 1` level is an exact
+    * identity on cells (cid = parent·1 + 0 = parent, whatever the
+    * centroid values), so it carries no table — the degenerate shape
+    * that lets a FIXED-depth fixture cover the small-k regime while
+    * staying bit-identical to the flat quantizer there. */
+  case class TreeLevel(branch: Int, children: Array[Array[Array[Double]]])
+
+  /** The d13 fixture's branch law: a fixed depth-4 tree whose branch
+    * factor is the smallest integer with b⁴ ≥ k (INTEGER search on
+    * both engines — `ceil(pow(k, .25))` could round differently across
+    * float libraries at exact fourth powers). k ≤ 16 keeps the flat
+    * quantizer bit-exactly: level 1 branches k ways and the deeper
+    * levels degenerate to identity. Depth is pinned at 4 ONLY because
+    * the DuckDB oracle is one static SQL string (its CTE count cannot
+    * vary with the data); [[kmeansTreeFit]]/[[assignTree]] take any
+    * `branches`, and a production deployment at 10⁸⁺ cells would pick
+    * depth ∝ log k instead (assignment cost n·b·depth). */
+  def treeBranches(k: Int): Seq[Int] =
+    if (k <= 16) Seq(k, 1, 1, 1)
+    else {
+      val b = (2 to 16).find(x => x.toLong * x * x * x >= k).getOrElse(
+        throw new IllegalArgumentException(
+          s"treeBranches: k = $k exceeds the fixture's 16⁴ = 65536 cell " +
+            "bound (the oracle's integer branch search scans 1..16); " +
+            "call kmeansTreeFit with a deeper branches vector instead"))
+      Seq(b, b, b, b)
+    }
+
+  /** The codegen'd descent over fitted levels: cell₀ = 0, then one
+    * [[graft.functions.NearestChild]] per non-identity level. A pure
+    * column — no join, no shuffle, plan cost n·Σb. */
+  private def descend(v: Column, levels: Seq[TreeLevel]): Column =
+    levels.foldLeft(lit(0)) { (cell, lv) =>
+      if (lv.branch == 1) cell
+      else graft.functions.VectorExpressions
+        .nearestChild(cell, v, lv.children, lv.branch)
+    }
+
+  /** Pinned-Lloyd fit of a hierarchical quantizer, level by level —
+    * the scale path for CORPUS-DERIVED cell counts (k ∝ n), where the
+    * flat [[kmeansFit]]+[[assignCells]] pair would stream n·k
+    * candidates (O(n²/cellSize) — measured 20.8× time for 2× data at
+    * d13's sf40 once it spilled 83 GB). Same determinism discipline as
+    * the flat fit, per level: init = the `branch` smallest-id members
+    * of each parent cell (a parent with no fit members keeps its own
+    * centroid as sole child, so descent stays total), `iters` Lloyd
+    * passes with quantized integer mean sums (order- and
+    * engine-independent), empty children keep their previous centroid,
+    * argmin ties to the smallest child. Every pass is one linear
+    * codegen'd job; only branch^level centroid rows reach the driver.
+    * `branch == 1` levels are skipped outright — identity on cells
+    * (see [[TreeLevel]]). */
+  def kmeansTreeFit(df: DataFrame, id: Column, vec: Column,
+      branches: Seq[Int], iters: Int): Seq[TreeLevel] = {
+    val base = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+    val done = scala.collection.mutable.ArrayBuffer[TreeLevel]()
+    var parents = 1
+    for (b <- branches) {
+      if (b == 1) done += TreeLevel(1, null)
+      else {
+        val withP = base.withColumn("p", descend(col("v"), done.toSeq))
+        // init: the b smallest-id members per parent. Level 1 (one
+        // parent) is a plain global top-b; deeper levels rank inside
+        // each parent cell — the partition count equals the CELL count
+        // (grows with the corpus), never one global task.
+        val memberInit: Map[Int, Array[Array[Double]]] =
+          if (parents == 1)
+            Map(0 -> base.orderBy(col("id")).limit(b).collect()
+              .map(_.getSeq[Double](1).toArray))
+          else {
+            val rows = withP.withColumn("rn", row_number().over(
+                Window.partitionBy(col("p")).orderBy(col("id"))))
+              .filter(col("rn") <= b)
+              .select(col("p"), col("rn"), col("v")).collect()
+            rows.groupBy(_.getInt(0)).map { case (p, rs) =>
+              p -> rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+            }
+          }
+        require(memberInit.nonEmpty, "kmeansTreeFit: empty fit corpus")
+        val dims = memberInit.valuesIterator.next()(0).length
+        // dense parent-indexed table; a fit-empty parent carries its
+        // own centroid (from the last non-identity level) as sole child
+        def parentCentroid(p: Int): Array[Double] = {
+          val lv = done.reverseIterator.find(_.branch > 1).get
+          lv.children(p / lv.branch)(p % lv.branch)
+        }
+        var children: Array[Array[Array[Double]]] =
+          (0 until parents).map(p =>
+            memberInit.getOrElse(p, Array(parentCentroid(p)))).toArray
+        for (_ <- 1 to iters) {
+          val assigned = withP.withColumn("c", graft.functions
+            .VectorExpressions.nearestChild(col("p"), col("v"), children, b))
+          val aggs = (0 until dims).map(i =>
+            sum(floor(element_at(col("v"), i + 1) * lit(MeanQ) + lit(0.5))
+              .cast("long")).as(s"s$i")) :+ count(lit(1)).as("n")
+          val rows = assigned.groupBy(col("c"))
+            .agg(aggs.head, aggs.tail: _*).collect()
+          val next = children.map(_.map(_.clone()))
+          rows.foreach { r =>
+            val cid = r.getInt(0)
+            val p = cid / b; val j = cid % b
+            if (j < next(p).length) {
+              val n = r.getLong(dims + 1).toDouble
+              next(p)(j) = (0 until dims).map(i =>
+                r.getLong(i + 1).toDouble / n / MeanQ).toArray
+            }
+          }
+          children = next
+        }
+        done += TreeLevel(b, children)
+        parents *= b
+      }
+    }
+    done.toSeq
+  }
+
+  /** Full-corpus leaf assignment under a fitted tree: (id, v, cell) —
+    * the [[assignCells]] contract, as one codegen'd map. */
+  def assignTree(df: DataFrame, id: Column, vec: Column,
+      levels: Seq[TreeLevel]): DataFrame = {
+    val base = df.select(id.as("id"), vec.cast("array<double>").as("v"))
+    // one parquet file = one partition; downstream pair work needs the
+    // corpus spread even though the descent itself is a cheap map
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val wide =
+      if (base.rdd.getNumPartitions < para) base.repartition(para) else base
+    wide.withColumn("cell", descend(col("v"), levels))
+  }
+
   /** IVF top-k: corpus vectors live in their nearest-centroid cell;
     * each query probes its `nProbe` nearest cells and ranks exact
     * cosine inside them. Probe selection is expression-only
@@ -390,8 +521,20 @@ object Similarity {
     * and with it the in-cell O(n²/k) pair work — stays bounded as the
     * corpus grows (the d13 fixture does). */
   def semDedup(df: DataFrame, id: Column, vec: Column,
-      centroids: Array[Array[Double]], minCos: Double): DataFrame = {
-    val base = assignCells(df, id.cast("long"), vec, centroids.toSeq)
+      centroids: Array[Array[Double]], minCos: Double): DataFrame =
+    semDedupAssigned(assignCells(df, id.cast("long"), vec, centroids.toSeq),
+      minCos)
+
+  /** [[semDedup]] over a TREE quantizer (see [[kmeansTreeFit]]): the
+    * scale path for corpus-derived cell counts — assignment is the
+    * codegen'd descent, never the n·k candidate stream. */
+  def semDedupTree(df: DataFrame, id: Column, vec: Column,
+      levels: Seq[TreeLevel], minCos: Double): DataFrame =
+    semDedupAssigned(assignTree(df, id.cast("long"), vec, levels), minCos)
+
+  /** The pair/verdict phase of [[semDedup]] over an already-assigned
+    * (id, v, cell) frame. */
+  def semDedupAssigned(base: DataFrame, minCos: Double): DataFrame = {
     val pairs = base.as("a").join(base.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

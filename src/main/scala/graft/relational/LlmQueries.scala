@@ -844,4 +844,100 @@ private[relational] object KmeansReplay {
        |cells AS (SELECT vec_id, v, cid AS cell
        |  FROM (${assignSql("emb", s"c$iters")}))""".stripMargin
   }
+
+  /** Keyed variant of [[assignSql]] for a TREE level: each row of
+    * `src` (which carries its current `cell`) considers only the
+    * children OF ITS OWN PARENT — `child.cid // b = row.cell` — so the
+    * candidate stream is |src|·b, never |src|·k. Same argmin, same
+    * (d, cid) tie order, same distance association. */
+  private def assignChildSql(src: String, cent: String): String =
+    s"""SELECT s.vec_id, s.v, a.cid
+       |    FROM (SELECT e.vec_id,
+       |        (MIN(struct_pack(d := list_dot_product(e.v, e.v)
+       |            - 2*list_dot_product(e.v, c.v)
+       |            + list_dot_product(c.v, c.v),
+       |          cid := c.cid))).cid AS cid
+       |      FROM $src e CROSS JOIN bb JOIN $cent c
+       |        ON (c.cid // bb.b) = e.cell
+       |      GROUP BY e.vec_id) a
+       |    JOIN $src s ON s.vec_id = a.vec_id""".stripMargin
+
+  /** The hierarchical twin of [[ctes]]: emb → fixed-DEPTH-4 tree fit →
+    * cells, mirroring [[graft.llm.Similarity.kmeansTreeFit]] +
+    * `assignTree` exactly. Structure (per level ℓ ≥ 2, prefix tℓ):
+    * init = the b smallest-id fit members of each parent cell (cid =
+    * parent·b + rank; a fit-empty parent keeps its own centroid as
+    * sole child), `iters` grouped Lloyd passes with the same quantized
+    * integer mean sums, then the fit rows' level assignment pℓ; the
+    * final f1..f4 chain assigns the FULL corpus. The branch factor is
+    * the smallest integer with b⁴ ≥ k (integer search over 1..16 —
+    * float `ceil(pow)` could round differently across engines at exact
+    * fourth powers); k ≤ 16 degenerates to b1 = k, b = 1, which keeps
+    * every cell bit-identical to the flat [[ctes]] (a 1-child level is
+    * an identity on cells regardless of centroid values). Depth is
+    * structurally pinned at 4 because this string cannot vary its CTE
+    * count with the data; the ENGINE's tree supports any depth. */
+  def treeCtes(kSql: String, iters: Int, dims: Int,
+      fitWhere: String = ""): String = {
+    val meanList = (1 to dims).map(i =>
+      s"CAST(SUM(CAST(FLOOR(v[$i]*10000000.0 + 0.5) AS BIGINT)) AS DOUBLE)" +
+        "/CAST(COUNT(*) AS DOUBLE)/10000000.0")
+      .mkString("list_value(", ", ", ")")
+    val fit = if (fitWhere.isEmpty) "emb"
+              else s"(SELECT * FROM emb WHERE $fitWhere) "
+    // level 1: flat fit with b1 centroids (b1 ≤ 16 → cross-join argmin)
+    val l1 = (1 to iters).map { it =>
+      s"""t1a$it AS MATERIALIZED (${assignSql(fit, s"t1c${it - 1}")}),
+         |t1m$it AS MATERIALIZED (SELECT cid, $meanList AS v FROM t1a$it GROUP BY cid),
+         |t1c$it AS MATERIALIZED (SELECT o.cid, COALESCE(n.v, o.v) AS v
+         |  FROM t1c${it - 1} o LEFT JOIN t1m$it n USING (cid))""".stripMargin
+    }.mkString(",\n")
+    // levels 2..4: grouped init + keyed Lloyd over the previous level's
+    // fit assignment p{ℓ-1}
+    val deep = (2 to 4).map { lv =>
+      val p = s"p${lv - 1}"; val t = s"t$lv"; val prevC = s"t${lv - 1}c$iters"
+      val iter = (1 to iters).map { it =>
+        s"""${t}a$it AS MATERIALIZED (${assignChildSql(p, s"${t}c${it - 1}")}),
+           |${t}m$it AS MATERIALIZED (SELECT cid, $meanList AS v FROM ${t}a$it GROUP BY cid),
+           |${t}c$it AS MATERIALIZED (SELECT o.cid, COALESCE(n.v, o.v) AS v
+           |  FROM ${t}c${it - 1} o LEFT JOIN ${t}m$it n USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""${t}c0 AS MATERIALIZED (
+         |  SELECT parent * bb.b + rn - 1 AS cid, v FROM (
+         |      SELECT cell AS parent, v,
+         |        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+         |      FROM $p) CROSS JOIN bb WHERE rn <= bb.b
+         |  UNION ALL
+         |  SELECT c.cid * bb.b + 0 AS cid, c.v FROM $prevC c CROSS JOIN bb
+         |  WHERE NOT EXISTS (SELECT 1 FROM $p WHERE $p.cell = c.cid)),
+         |$iter,
+         |p$lv AS MATERIALIZED (SELECT vec_id, v, cid AS cell
+         |  FROM (${assignChildSql(p, s"${t}c$iters")}))""".stripMargin
+    }.mkString(",\n")
+    // full-corpus descent over the fitted levels
+    val descent = (2 to 4).map { lv =>
+      s"""f$lv AS MATERIALIZED (SELECT vec_id, v, cid AS cell
+         |  FROM (${assignChildSql(s"f${lv - 1}", s"t${lv}c$iters")}))""".stripMargin
+    }.mkString(",\n")
+    s"""emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |kk AS MATERIALIZED (SELECT ($kSql) AS k),
+       |bb AS MATERIALIZED (SELECT CASE WHEN kk.k <= 16 THEN kk.k ELSE b4.b END AS b1,
+       |    CASE WHEN kk.k <= 16 THEN 1 ELSE b4.b END AS b
+       |  FROM kk CROSS JOIN (SELECT MIN(t.x) AS b
+       |    FROM (SELECT CAST(range AS BIGINT) + 1 AS x FROM range(16)) t,
+       |      kk WHERE t.x*t.x*t.x*t.x >= kk.k) b4),
+       |t1c0 AS MATERIALIZED (SELECT cid, v FROM (
+       |    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v
+       |    FROM $fit)
+       |  CROSS JOIN bb WHERE cid < bb.b1),
+       |$l1,
+       |p1 AS MATERIALIZED (SELECT vec_id, v, cid AS cell
+       |  FROM (${assignSql(fit, s"t1c$iters")})),
+       |$deep,
+       |f1 AS MATERIALIZED (SELECT vec_id, v, cid AS cell
+       |  FROM (${assignSql("emb", s"t1c$iters")})),
+       |$descent,
+       |cells AS MATERIALIZED (SELECT vec_id, v, cell FROM f4)""".stripMargin
+  }
 }

@@ -51,21 +51,28 @@ object LlmQueries3 {
         .orderBy(col("doc_id"))
     },
 
-    // ---- SemDeDup: pinned-Lloyd k-means cells (the sim_ivf replay),
-    //      within-cell cosine ≥ 0.45 → semantic duplicates, keep the
-    //      min id of each neighborhood. The oracle replays the whole
-    //      k-means fixed point AND the in-cell pair verdicts. The cell
-    //      count is CORPUS-DERIVED on both sides — k = max(8, n/512) —
-    //      so expected cell size (and the O(n²/k) in-cell pair work)
-    //      stays bounded as the corpus grows; a pinned k would make the
-    //      fixture quadratic at scale even though the operator isn't.
-    //      The Lloyd fit runs on a deterministic ¼ subsample (centroid
-    //      quality needs a representative sample, not the corpus); the
-    //      final assignment and all pair work stay full-corpus. ----
+    // ---- SemDeDup: hierarchical k-means cells, within-cell cosine
+    //      ≥ 0.45 → semantic duplicates, keep the min id of each
+    //      neighborhood. The oracle replays the whole tree fixed point
+    //      AND the in-cell pair verdicts. The cell count is
+    //      CORPUS-DERIVED on both sides — k = max(8, n/512) — so
+    //      expected cell size (and the O(n²/k) in-cell pair work)
+    //      stays bounded as the corpus grows; a pinned k would make
+    //      the fixture quadratic at scale even though the operator
+    //      isn't. The QUANTIZER is where the first version actually
+    //      went quadratic: flat assignment streams n·k candidates,
+    //      which with k ∝ n measured 20.8× time for 2× data at sf40
+    //      (83 GB spill). The depth-4 tree (branch = smallest b with
+    //      b⁴ ≥ k) assigns in n·4b codegen'd distance evaluations —
+    //      and degenerates bit-exactly to the flat fixed point while
+    //      k ≤ 16, so small-sf hashes are unchanged. The Lloyd fits
+    //      run on a deterministic ¼ subsample (centroid quality needs
+    //      a representative sample, not the corpus); the final descent
+    //      and all pair work stay full-corpus. ----
     sqlChecked("d13_semdedup", {
       val ITERS = 3
       val KSQL = "GREATEST(8, (SELECT COUNT(*) // 512 FROM emb))"
-      s"""WITH ${KmeansReplay.ctes(KSQL, ITERS, 64, "vec_id % 4 = 0")},
+      s"""WITH ${KmeansReplay.treeCtes(KSQL, ITERS, 64, "vec_id % 4 = 0")},
          |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    list_dot_product(a.v, b.v) /
          |      (SQRT(list_dot_product(a.v, a.v))
@@ -89,13 +96,15 @@ object LlmQueries3 {
       val emb = t(s, d, "embeddings")
       // k ∝ corpus/targetCellSize (mirrors the oracle's KSQL exactly:
       // Scala Long division and DuckDB // both floor on non-negatives);
-      // the fit subsample mirrors the oracle's fitWhere
+      // the fit subsample mirrors the oracle's fitWhere, and the
+      // depth-4 branch law mirrors bb (integer search both sides)
       val k = math.max(8L, emb.count() / 512L).toInt
-      val cents = Similarity.kmeansFit(
+      val levels = Similarity.kmeansTreeFit(
         emb.filter(col("vec_id") % 4 === 0),
-        col("vec_id"), col("embedding"), k = k, iters = 3)
-      Similarity.semDedup(emb, col("vec_id"), col("embedding"),
-          cents, minCos = 0.45)
+        col("vec_id"), col("embedding"), Similarity.treeBranches(k),
+        iters = 3)
+      Similarity.semDedupTree(emb, col("vec_id"), col("embedding"),
+          levels, minCos = 0.45)
         .select(col("id").as("vec_id"), col("cell").cast("long").as("cell"),
           col("n_near"), round(col("best_cos"), 6).as("best_cos"),
           col("kept"))

@@ -141,7 +141,7 @@ class HygieneSpec extends AnyFunSuite {
       "stats/GLMReplicated.scala" -> 1,      // p×p IRLS step per replicate batch
       "stats/WeightedQuantile.scala" -> 1,   // ≤q quantile boundaries
       "llm/HeavyHitters.scala" -> 1,         // k sketch rows
-      "llm/Similarity.scala" -> 4,           // k centroids / codebooks
+      "llm/Similarity.scala" -> 7,           // k centroids / codebooks / tree levels (≤ b^depth rows)
       "llm/Dedup.scala" -> 2,                // df caps + band constants
       "pipeline/TaylorInference.scala" -> 3, // p×p variance blocks
       "pipeline/Simulation.scala" -> 1,      // per-rep scalar results

@@ -502,4 +502,22 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"mm_phash must never go all-pairs:\n$p")
   }
+
+  test("d13_semdedup: assignment is the codegen'd tree descent, never the n·k stream") {
+    // With the corpus-derived cell count (k ∝ n), a flat broadcast-join
+    // assignment streams n·k candidates — O(n²/cellSize), measured
+    // 1715.8 s / 83 GB spill at the sf40 probe vs 19.7 s for the tree.
+    // The descent must appear as the tree_nearest_child expression in a
+    // plain project; any cid-keyed centroid join re-entering the plan
+    // (beyond the cell-keyed PAIR join, which is the operator's point)
+    // would re-surface as a cv#/cc# centroid column.
+    val p = plan("d13_semdedup")
+    assert(p.contains("tree_nearest_child"),
+      s"d13 assignment lost the tree descent expression:\n$p")
+    assert(!p.contains("cv#") && !p.contains("cc#"),
+      s"d13 re-grew a centroid-table join in the assignment path:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d13 must never go all-pairs:\n$p")
+  }
 }
