@@ -377,8 +377,28 @@ object Dedup {
     // the join is AQE skew-splittable; values are identical.
     val dfCounts = tok.groupBy(col("blk"), col("w"))
       .agg(count(lit(1)).as("df"))
-    val prefix = tok
-      .join(dfCounts, Seq("blk", "w"))
+    // per-block NEAR-dense token ranks over the VOCAB table (one row
+    // per distinct (blk, token) — never the posting stream). A single
+    // per-block window would sort a whole block's vocabulary in one
+    // task, so the vocab is split into `RidBuckets` hash buckets and
+    // the ids bit-interleaved (rank_in_bucket · B + bucket): ids stay
+    // within a skew factor of dense — w is already a hash, so bucket
+    // sizes concentrate at V/B — which is all the delta-varint payload
+    // needs (average gap ≈ V/n either way). Ranks exist purely to
+    // shrink the verify payload: token identity within a block is all
+    // the intersect needs, and small ints delta-varint encode to ~1–2
+    // bytes where the xxhash64 values took 8. Int ids wrap only past
+    // 2³¹ distinct shingles per block, where k must grow anyway.
+    val RidBuckets = 1024
+    val ridMap = dfCounts
+      .withColumn("bkt", pmod(col("w"), lit(RidBuckets.toLong)))
+      .withColumn("rid",
+        ((row_number().over(Window.partitionBy(col("blk"), col("bkt"))
+            .orderBy(col("w"))).cast("long") - 1L) * RidBuckets +
+          col("bkt")).cast("int"))
+      .drop("bkt")
+    val tokR = tok.join(ridMap, Seq("blk", "w"))
+    val prefix = tokR
       .withColumn("r", row_number().over(byDocOrd))
       .withColumn("n", count(lit(1)).over(byDocAll))
       .filter(col("r") <=
@@ -390,29 +410,33 @@ object Dedup {
       .select(least(col("pa.id"), col("pb.id")).as("id_a"),
         greatest(col("pa.id"), col("pb.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verify on the same hashed shingle sets (the d2 discipline);
-    // prefix choice is ordering-free-correct (ANY prefix of that size
-    // works), so ordering by hashed-token df keeps the guarantee.
-    // Sorted once per doc → the merge-count expression replaces
-    // size(array_intersect(...)) (hash set + array materialization per
-    // pair); the d12 sf10 bench moved 178.8 → 100.9 s (min-of-2,
-    // isolated) with this swap. The remaining sf10 cost is NOT pair
-    // growth (stage-probe: candidates 13.5M → 138M and true pairs
-    // 1.10M → 7.96M for 10× data — both ≤ linear) but the verify
-    // joins' pair×array shuffle crossing the in-memory → spill
-    // threshold between sf1 and sf10: a constant-factor regime shift,
-    // linear again past it.
-    val b = base.select(col("id"), array_sort(col("sh")).as("sh"))
+    // exact verify on compact set FINGERPRINTS (r13): each doc's token
+    // set, as sorted per-block ranks, delta-varint encoded to BINARY —
+    // values identical to intersecting the hashed arrays (ranks are a
+    // per-block bijection of the hashes), but the candidate-pair ×
+    // payload shuffle that made d12 the catalog's only multi-GB
+    // spiller (14 GB at sf10, 27.8 at sf20) ships ~1–2 bytes/token
+    // instead of 8. The count is a codegen'd zero-allocation merge
+    // over the two byte streams (VarintIntersectCount — the same
+    // discipline as the earlier SortedIntersectCount swap, which
+    // moved the sf10 bench 178.8 → 100.9 s over
+    // size(array_intersect)). Prefix choice stays ordering-free-
+    // correct (ANY prefix of that size works). n_a/n_b are carried as
+    // scalars from the same aggregation.
+    val b = tokR.groupBy(col("id")).agg(
+      graft.functions.VarintSetExpressions
+        .encode(array_sort(collect_list(col("rid")))).as("fp"),
+      count(lit(1)).as("n"))
+      .persist()
     val cmax = greatest(col("i").cast("double") / col("n_a"),
       col("i").cast("double") / col("n_b"))
     cand
       .join(b.as("ba"), col("ba.id") === col("id_a"))
       .join(b.as("bb"), col("bb.id") === col("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.VectorExpressions
-          .sortedIntersectCount(col("ba.sh"), col("bb.sh")).as("i"),
-        size(col("ba.sh")).cast("long").as("n_a"),
-        size(col("bb.sh")).cast("long").as("n_b"))
+        graft.functions.VarintSetExpressions
+          .intersectCount(col("ba.fp"), col("bb.fp")).as("i"),
+        col("ba.n").as("n_a"), col("bb.n").as("n_b"))
       .withColumn("cmax", cmax)
       .filter(col("cmax") >= threshold)
       .select(col("id_a"), col("id_b"), col("cmax"),

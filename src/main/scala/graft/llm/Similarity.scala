@@ -281,10 +281,19 @@ object Similarity {
         require(memberInit.nonEmpty, "kmeansTreeFit: empty fit corpus")
         val dims = memberInit.valuesIterator.next()(0).length
         // dense parent-indexed table; a fit-empty parent carries its
-        // own centroid (from the last non-identity level) as sole child
+        // own centroid (from the last non-identity level) as sole child.
+        // Ragged guard: the previous level's child arrays can be SHORTER
+        // than its branch factor (a parent with < b fit members, or a
+        // fit-empty parent's 1-element sole child), so the dense 0 until
+        // parents enumeration here includes PHANTOM cell ids with
+        // p % branch >= children(p / branch).length. NearestChild only
+        // emits child indices < ch.length, so no row can ever carry a
+        // phantom parent — any in-range centroid keeps descent total
+        // without touching a single assignment; arr(0) is the cheapest.
         def parentCentroid(p: Int): Array[Double] = {
           val lv = done.reverseIterator.find(_.branch > 1).get
-          lv.children(p / lv.branch)(p % lv.branch)
+          val arr = lv.children(p / lv.branch)
+          if (p % lv.branch < arr.length) arr(p % lv.branch) else arr(0)
         }
         var children: Array[Array[Array[Double]]] =
           (0 until parents).map(p =>

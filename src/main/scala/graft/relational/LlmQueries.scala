@@ -922,8 +922,10 @@ private[relational] object KmeansReplay {
     s"""emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
        |kk AS MATERIALIZED (SELECT ($kSql) AS k),
-       |bb AS MATERIALIZED (SELECT CASE WHEN kk.k <= 16 THEN kk.k ELSE b4.b END AS b1,
-       |    CASE WHEN kk.k <= 16 THEN 1 ELSE b4.b END AS b
+       |bb AS MATERIALIZED (SELECT CASE WHEN kk.k <= 16 THEN kk.k
+       |      ELSE COALESCE(b4.b, CAST('treeCtes: k exceeds 16^4 = 65536' AS BIGINT)) END AS b1,
+       |    CASE WHEN kk.k <= 16 THEN 1
+       |      ELSE COALESCE(b4.b, CAST('treeCtes: k exceeds 16^4 = 65536' AS BIGINT)) END AS b
        |  FROM kk CROSS JOIN (SELECT MIN(t.x) AS b
        |    FROM (SELECT CAST(range AS BIGINT) + 1 AS x FROM range(16)) t,
        |      kk WHERE t.x*t.x*t.x*t.x >= kk.k) b4),

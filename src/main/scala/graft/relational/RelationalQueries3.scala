@@ -253,17 +253,39 @@ object RelationalQueries3 {
     },
 
     // ---- approximate sketches: the documented scale path for exact
-    //      percentile / count-distinct (rows-only: sketch internals are
-    //      engine-specific; accuracy asserted in ApproxSpec) ----
-    rowsOnly("a_approx_sketches") { (s, d) =>
+    //      percentile / count-distinct. Sketch INTERNALS are
+    //      engine-specific, so the oracle contract is: exact-side
+    //      values (hash-comparable across engines) plus banded
+    //      verdicts the Spark side computes against its OWN sketches
+    //      and the oracle asserts as TRUE — a sketch drifting out of
+    //      band flips the boolean and fails the hash compare loudly.
+    //      Bands: HLL++ at the default rsd 0.05 (observed 2.4–2.7%
+    //      deterministic error on the fixtures, inside 1σ);
+    //      percentile_approx at accuracy 10000 on the ≤50-value
+    //      l_quantity domain is the exact DISCRETE median, banded at
+    //      4% against the continuous exact median (discrete-vs-cont
+    //      gap ≤ 0.5 absolute on a median ~25, plus zero sketch
+    //      error). ApproxSpec keeps the tighter per-sketch contract.
+    sqlChecked("a_approx_sketches",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS acd_exact,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
+        |  TRUE AS acd_ok, TRUE AS p50_ok, TRUE AS cms_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("acd_part"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_approx"),
+          count_distinct(col("l_partkey")).as("acd_exact"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_exact"),
           count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42))
             .as("cms"))
-        .select(col("l_returnflag"), col("acd_part"), col("p50_approx"),
-          length(col("cms")).cast("long").as("cms_bytes"))
+        .select(col("l_returnflag"), col("acd_exact"), col("p50_exact"),
+          (abs(col("acd_part") - col("acd_exact")) <=
+            col("acd_exact") * lit(0.05)).as("acd_ok"),
+          (abs(col("p50a") - col("p50_exact")) <=
+            abs(col("p50_exact")) * lit(0.04)).as("p50_ok"),
+          (length(col("cms")) > 0).as("cms_ok"))
         .orderBy(col("l_returnflag"))
     },
 

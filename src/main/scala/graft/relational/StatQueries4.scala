@@ -216,17 +216,31 @@ object StatQueries4 {
       // Generate's stats don't see the data-dependent fan-out) and the
       // static planner would BROADCAST the 96M-row draw stream at 400×
       // (13.7 GiB build > the 8 GiB broadcast cap — measured). Two
-      // counter-measures: spread the (stratum × replicate) frame
-      // across the cluster BEFORE the big per-draw explode so draw
-      // generation is embarrassingly parallel, and pin the join below
-      // to a shuffle hash join (build = the n-row ranked side, ~6M
-      // rows/32 partitions) — an equi-join on (seg, rk), where rk is
+      // counter-measures: spread the draw frame across the cluster
+      // BEFORE the big per-draw explode so draw generation is
+      // embarrassingly parallel, and pin the join below to a shuffle
+      // hash join (build = the n-row ranked side, ~6M rows/32
+      // partitions) — an equi-join on (seg, rk), where rk is
       // near-unique within a stratum, so the composite key carries no
-      // skew.
+      // skew. The repartition key is (sid, r, bk): stratum × replicate
+      // alone is ≤ 5·16 = 80 distinct keys — a hard parallelism cap on
+      // the 400× deployment this defends — so each (sid, r) pair is
+      // further split into `drawBlocks` residue classes (block bk
+      // explodes j ≡ bk (mod drawBlocks)); the union of blocks is
+      // exactly {1..nh−1} per (sid, r), so the emitted row set (and
+      // the oracle hash) is unchanged while occupancy scales to
+      // 80·drawBlocks tasks. Kept UNCONDITIONAL (costs +~0.4 s at
+      // sf0.1 vs the old broadcast): any size-based gate re-reads the
+      // same mis-estimated Generate stats that caused the sf40
+      // broadcast failure, so there is no safe signal to gate on.
+      val drawBlocks = 64L
       val draws = segs.filter(col("nh") > 1)
         .withColumn("r", explode(sequence(lit(1L), lit(R.toLong))))
-        .repartition(col("sid"), col("r"))
-        .withColumn("j", explode(sequence(lit(1L), col("nh") - 1)))
+        .withColumn("bk", explode(sequence(lit(0L),
+          least(lit(drawBlocks - 1), col("nh") - 2))))
+        .repartition(col("sid"), col("r"), col("bk"))
+        .withColumn("j", explode(sequence(lit(1L) + col("bk"),
+          col("nh") - 1, lit(drawBlocks))))
         .withColumn("rk", lit(1L) + floor(Rng.uniform(
           (col("sid") * 131 + col("r")) * 1048576L + col("j"),
           4242L) * col("nh")).cast("long"))

@@ -163,6 +163,44 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("delta-varint fingerprints: intersectCount == size(array_intersect), incl. multi-byte varints") {
+    // the d12 verify codec (VarintSet): encode sorted distinct int
+    // ranks, merge-count the byte streams. Cases cover empty sets,
+    // identical sets, singletons, gaps needing 1..5-byte LEB128
+    // (ranks up to Int.MaxValue), and random dense-vocab draws (the
+    // regime d12 actually runs in).
+    val rnd = new scala.util.Random(13)
+    val cases = Seq(
+      (Seq.empty[Int], Seq.empty[Int]),
+      (Seq(0, 1, 2), Seq.empty[Int]),
+      (Seq(0), Seq(0)),
+      (Seq(0, 127, 128, 16383, 16384, Int.MaxValue),
+        Seq(0, 127, 128, 16383, 16384, Int.MaxValue)),
+      (Seq(5, 300, 70000, 2000000000), Seq(6, 300, 70001, 1999999999))
+    ) ++ (1 to 25).map { _ =>
+      def arr = (0 until rnd.nextInt(60))
+        .map(_ => rnd.nextInt(500)).distinct.sorted
+      (arr, arr)._1 -> arr
+    }
+    val df = cases.toDF("a", "b")
+    val got = df.select(
+      graft.functions.VarintSetExpressions.intersectCount(
+        graft.functions.VarintSetExpressions.encode(col("a")),
+        graft.functions.VarintSetExpressions.encode(col("b"))).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"),
+      length(graft.functions.VarintSetExpressions.encode(col("a")))
+        .as("bytes"), size(col("a")).as("n"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"varint merge count ${r.getLong(0)} != builtin ${r.getLong(1)}")
+      // compactness: dense ranks (< 500) must encode ≤ 2 bytes/token
+      if (r.getInt(3) >= 10)
+        assert(r.getInt(2) <= 2 * r.getInt(3),
+          s"fingerprint ${r.getInt(2)}B for ${r.getInt(3)} dense ranks")
+    }
+  }
+
   test("sortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
     // property check vs the built-in, incl. empty / disjoint / identical
     // sets, negatives, and Long extremes

@@ -514,7 +514,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("d13_semdedup")
     assert(p.contains("tree_nearest_child"),
       s"d13 assignment lost the tree descent expression:\n$p")
-    assert(!p.contains("cv#") && !p.contains("cc#"),
+    // anchored on token boundaries: a bare substring check would
+    // false-positive on any attribute merely ENDING in cv/cc (an AQE
+    // rename, a future column) — only a whole column named cv/cc is
+    // the re-grown centroid table
+    assert("(?<![A-Za-z0-9_])(cv|cc)#\\d+".r.findFirstIn(p).isEmpty,
       s"d13 re-grew a centroid-table join in the assignment path:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),

@@ -29,17 +29,11 @@ TABLES = ["region","nation","customer","supplier","part","orders",
 # accuracy 10000 on a 50-value domain it is exactly the median); the
 # CMS byte size is a pure function of (eps, confidence) — constant
 # across groups and positive.
-APPROX = {
-    "a_approx_sketches": {
-        "oracle": """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS acd_exact,
-              quantile_disc(l_quantity, 0.5) AS p50_exact
-            FROM lineitem GROUP BY 1 ORDER BY 1""",
-        "key": "l_returnflag",
-        "bands": [("acd_part", "acd_exact", 0.05),
-                  ("p50_approx", "p50_exact", 0.02)],
-        "const_pos": ["cms_bytes"],
-    },
-}
+# (empty since r13: a_approx_sketches was recast as an ordinary
+# sqlChecked query — exact-side values plus banded booleans the oracle
+# asserts TRUE — so it goes through the standard hash compare. The
+# band mechanism stays for any future inherently-approximate query.)
+APPROX = {}
 
 def check_approx(name, spark_df, con):
     spec = APPROX[name]
