@@ -366,10 +366,13 @@ object Dedup {
     val base = spread.select(col("id"), col("blk"),
       transform(shingles(col("__text"), k), x => xxhash64(x)).as("sh"))
       .persist()
-    val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"))
+    // n (the doc's distinct-token count) rides the explode from the
+    // persisted arrays — no posting-stream count window needed, and
+    // the size-ordered candidate cut below gets it for free
+    val tok = base.select(col("blk"), col("id"), explode(col("sh")).as("w"),
+      size(col("sh")).as("n"))
     val byDocOrd = Window.partitionBy(col("blk"), col("id"))
       .orderBy(col("df"), col("w"))
-    val byDocAll = Window.partitionBy(col("blk"), col("id"))
     // per-token document frequency via groupBy + join, NOT a window: a
     // window over (blk, w) sorts the whole posting stream and lands every
     // occurrence of a hot token (stopword shingle) in ONE partition — the
@@ -400,13 +403,21 @@ object Dedup {
     val tokR = tok.join(ridMap, Seq("blk", "w"))
     val prefix = tokR
       .withColumn("r", row_number().over(byDocOrd))
-      .withColumn("n", count(lit(1)).over(byDocAll))
       .filter(col("r") <=
         col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
-      .select(col("blk"), col("w"), col("id"))
+      .select(col("blk"), col("w"), col("id"), col("n"))
+    // size-ordered candidate cut (r13, lossless): the pigeonhole
+    // guarantee is one-sided in doc SIZE — cmax ≥ t ⟹ i ≥ t·n_min ⟹
+    // the SMALLER doc's prefix intersects the larger doc's full list.
+    // Contrapositive: a pair whose only shared prefix token sits in
+    // the LARGER doc's prefix can never reach the threshold. So the
+    // join only pairs a prefix with same-or-larger docs: the pre-dedup
+    // candidate stream halves (every true pair still arrives via its
+    // smaller side) and the guaranteed-false larger-side-only
+    // candidates never reach the verify join at all.
     val cand = prefix.as("pa").join(tok.as("pb"),
         col("pa.blk") === col("pb.blk") && col("pa.w") === col("pb.w") &&
-          col("pa.id") =!= col("pb.id"))
+          col("pa.id") =!= col("pb.id") && col("pa.n") <= col("pb.n"))
       .select(least(col("pa.id"), col("pb.id")).as("id_a"),
         greatest(col("pa.id"), col("pb.id")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
