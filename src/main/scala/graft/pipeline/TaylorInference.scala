@@ -285,47 +285,49 @@ object TaylorInference {
       directScale = col("__psw") * col("trt"),
       sizeHint = sizeHint,
       passthrough = Seq(col("trt"), col("__pi"), col("__psw")),
-      preCollapsed = Some(devFull.collapsed)).persist()
-    val longFlat = org.apache.spark.sql.GraftSqlBridge.flattenPlan(long)
+      preCollapsed = Some(devFull.collapsed))
     probe.foreach(_("hazard chain declared"))
 
     // 6. contractions: Poisson Σ(1−π)Δ² over both samples; PPS
     //    n·cov per sample summed (taylor_deviate.R:109-111)
-    // one grouped aggregate per estimand family: Poisson sum + point
-    // estimate per t*, plus per-sample variance terms for the PPS form —
-    // the chain is job-count bound, so contractions batch their sums
-    // ALL estimand families contract in TWO jobs (one grouped by t*,
-    // one by (t*, sample)) — the chain is job-count bound, and a
-    // per-family contract() paid 2 jobs × up to 4 families
+    // ALL estimand families contract in ONE job grouped by
+    // (t*, sample): the Poisson sum is additive over the sample split,
+    // the point estimate is a max of maxes, and the PPS n·cov terms
+    // are per-sample already — the driver recombines. One job instead
+    // of two matters twice at scale: the chain is job-count bound, and
+    // a single consumer means the LONG frame (units × t*, the widest
+    // frame in the chain — ~200M rows at 200×) never needs a persist:
+    // it streams straight into the aggregate instead of materializing
+    // a multi-GB cache whose allocation churn dominated GC (the
+    // r13 sf20 probe measured 300 CPU-s of GC, 10× the invocation
+    // variance, in the cache-fill stage alone).
     val families = Seq("d_cum_hzd" -> "cum_hzd", "d_cum_gail" -> "cum_gail",
         "d_abs_risk" -> "abs_risk", "d_abs_risk_gail" -> "abs_risk_gail")
-      .filter { case (dc, _) => longFlat.columns.contains(dc) }
-    val peAggs = families.flatMap { case (dc, ec) => Seq(
+      .filter { case (dc, _) => long.columns.contains(dc) }
+    val famAggs = families.flatMap { case (dc, ec) => Seq(
       sum((lit(1.0) - col("__pi")) * col(dc) * col(dc)).as(s"v_$dc"),
-      max(col(ec)).as(s"e_$ec")) }
-    val peRows =
+      max(col(ec)).as(s"e_$ec"),
+      (covar_samp(col(dc), col(dc)) * count(lit(1))).as(s"pps_$dc")) }
+    val famRows =
       if (families.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else longFlat.groupBy(col("t_star"))
-        .agg(peAggs.head, peAggs.tail: _*).collect()
-    probe.foreach(_("poisson contraction"))
-    val ppsAggs = families.map { case (dc, _) =>
-      (covar_samp(col(dc), col(dc)) * count(lit(1))).as(s"v_$dc") }
-    val ppsRows =
-      if (families.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else longFlat.groupBy(col("t_star"), col("trt"))
-        .agg(ppsAggs.head, ppsAggs.tail: _*).collect()
-    probe.foreach(_("pps contraction"))
+      else long.groupBy(col("t_star"), col("trt"))
+        .agg(famAggs.head, famAggs.tail: _*).collect()
+    probe.foreach(_("poisson+pps contraction"))
     def contract(dcol: String, ecol: String): Map[Double, Estimand] = {
       if (!families.exists(_._1 == dcol)) return Map.empty
       val fi = families.indexWhere(_._1 == dcol)
-      val pe = peRows.map(r =>
-        r.getDouble(0) -> (r.getDouble(1 + 2 * fi), r.getDouble(2 + 2 * fi)))
-        .toMap
-      val pps = ppsRows
-        .groupBy(_.getDouble(0))
-        .map { case (t, rs) => t -> rs.map(r =>
-          if (r.isNullAt(2 + fi)) 0.0 else r.getDouble(2 + fi)).sum }
-      tStar.map(t => t -> Estimand(pe(t)._2, pe(t)._1, pps(t))).toMap
+      val byT = famRows.groupBy(_.getDouble(0))
+      tStar.map { t =>
+        val rs = byT(t)
+        val pois = rs.map(_.getDouble(2 + 3 * fi)).sum
+        // a sample group can be all-NULL on the estimate column (the
+        // pre-grouped max ignored those rows; the recombine must too)
+        val est = rs.filter(!_.isNullAt(3 + 3 * fi))
+          .map(_.getDouble(3 + 3 * fi)).max
+        val pps = rs.map(r =>
+          if (r.isNullAt(4 + 3 * fi)) 0.0 else r.getDouble(4 + 3 * fi)).sum
+        t -> Estimand(est, pois, pps)
+      }.toMap
     }
     val lam = contract("d_cum_hzd", "cum_hzd")
     val gail = if (lambdaStar.isDefined) contract("d_cum_gail", "cum_gail")
@@ -335,23 +337,21 @@ object TaylorInference {
     val absRG = if (risk.isDefined && lambdaStar.isDefined)
       contract("d_abs_risk_gail", "abs_risk_gail") else Map.empty[Double, Estimand]
 
-    val bPoisRow = withDb.agg(
-      (0 until p).map(j => sum((lit(1.0) - col("__pi")) *
-        col(s"dbeta_m_$j") * col(s"dbeta_m_$j")).as(s"v$j")).head,
-      (0 until p).map(j => sum((lit(1.0) - col("__pi")) *
-        col(s"dbeta_m_$j") * col(s"dbeta_m_$j")).as(s"v$j")).tail: _*).head()
-    val bPois = (0 until p).map(bPoisRow.getDouble).toArray
-    val bPpsRows = withDb.groupBy(col("trt"))
-      .agg((0 until p).map(j => (covar_samp(col(s"dbeta_m_$j"),
-          col(s"dbeta_m_$j")) * count(lit(1))).as(s"v$j")).head,
-        (0 until p).map(j => (covar_samp(col(s"dbeta_m_$j"),
-          col(s"dbeta_m_$j")) * count(lit(1))).as(s"v$j")).tail: _*)
-      .collect()
-    val bPps = (0 until p).map(j => bPpsRows.map(r =>
-      if (r.isNullAt(j + 1)) 0.0 else r.getDouble(j + 1)).sum).toArray
+    // same one-job recombine for the β contractions: Poisson partials
+    // per sample + per-sample n·cov in a single groupBy(trt) aggregate
+    val bAggs = (0 until p).flatMap(j => Seq(
+      sum((lit(1.0) - col("__pi")) *
+        col(s"dbeta_m_$j") * col(s"dbeta_m_$j")).as(s"pois$j"),
+      (covar_samp(col(s"dbeta_m_$j"), col(s"dbeta_m_$j")) *
+        count(lit(1))).as(s"pps$j")))
+    val bRows = withDb.groupBy(col("trt"))
+      .agg(bAggs.head, bAggs.tail: _*).collect()
+    val bPois = (0 until p).map(j =>
+      bRows.map(_.getDouble(1 + 2 * j)).sum).toArray
+    val bPps = (0 until p).map(j => bRows.map(r =>
+      if (r.isNullAt(2 + 2 * j)) 0.0 else r.getDouble(2 + 2 * j)).sum).toArray
     probe.foreach(_("beta contractions"))
 
-    long.unpersist(blocking = false)
     allDevCache.unpersist(blocking = false)
     IpswInference(gamma, fit.coefficients, bPois, bPps,
       lam, gail, absR, absRG)

@@ -143,7 +143,7 @@ class HygieneSpec extends AnyFunSuite {
       "llm/HeavyHitters.scala" -> 1,         // k sketch rows
       "llm/Similarity.scala" -> 7,           // k centroids / codebooks / tree levels (≤ b^depth rows)
       "llm/Dedup.scala" -> 2,                // df caps + band constants
-      "pipeline/TaylorInference.scala" -> 3, // p×p variance blocks
+      "pipeline/TaylorInference.scala" -> 2, // p×p variance blocks
       "pipeline/Simulation.scala" -> 1,      // per-rep scalar results
       "pipeline/CalibEst.scala" -> 2,        // p-vector calibration solves
       "pipeline/SurveyIntegration.scala" -> 4, // p×p chain blocks
