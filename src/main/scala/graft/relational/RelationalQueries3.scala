@@ -272,14 +272,25 @@ object RelationalQueries3 {
         |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_exact,
         |  TRUE AS acd_ok, TRUE AS p50_ok, TRUE AS cms_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-      t(s, d, "lineitem").groupBy(col("l_returnflag"))
+      val li = t(s, d, "lineitem")
+      // the exact COUNT(DISTINCT) runs as its own two-level hash
+      // aggregate: a distinct aggregate mixed into the sketch agg
+      // forces the TypedImperative sketch buffers (HLL, CMS,
+      // percentile) through the Expand + sort-fallback path — measured
+      // 15x the split plan at sf0.1. The join recombining them is
+      // 3 rows a side (one per returnflag).
+      val exact = li.select(col("l_returnflag"), col("l_partkey"))
+        .distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("acd_exact"))
+      val sk = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey")).as("acd_part"),
-          count_distinct(col("l_partkey")).as("acd_exact"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"),
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_exact"),
           count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42))
             .as("cms"))
+      sk.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("acd_exact"), col("p50_exact"),
           (abs(col("acd_part") - col("acd_exact")) <=
             col("acd_exact") * lit(0.05)).as("acd_ok"),
