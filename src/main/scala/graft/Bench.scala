@@ -128,6 +128,16 @@ object Bench {
         .filter(_._2).map(_._3)
       name -> (if (s.isEmpty) 0L else s.max)
     }.toMap
+    // per-query pass SPREAD ((max−min)/min over the successful samples):
+    // the host shows 30–60% invocation drift on unchanged queries, so a
+    // round-over-round min delta is only interpretable next to the
+    // spread the same run observed — a +25% headline move inside a 40%
+    // spread is noise; outside it, signal
+    val spreadOf: Map[String, Double] = queries.map { case (name, _) =>
+      val s = (Seq(p1(name), p2(name)) ++ p3.get(name))
+        .filter(_._2).map(_._1)
+      name -> (if (s.size < 2 || s.min <= 0) 0.0 else (s.max - s.min) / s.min)
+    }.toMap
     // drift diagnosis: the reported min-of-passes hides WHEN a query
     // was slow. With SPARK_GRAFT_BENCH_DEBUG set, dump every raw pass
     // sample so a session-level accumulation (pass 2 systematically
@@ -165,7 +175,13 @@ object Bench {
     def spillJson(names: Seq[String]): String = names
       .flatMap(n => spillOf.get(n).filter(_ > 0).map(v => "\"" + n + "\":" + v))
       .mkString("{", ",", "}")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson,"rows":$blackhole,"spill_bytes":${spillJson(succeeded.map(_._1))}}"""
+    val spreadJson = succeeded
+      .map { case (n, _) => "\"" + n + "\":" + r3(spreadOf(n)) }
+      .mkString("{", ",", "}")
+    val spreads = succeeded.map { case (n, _) => spreadOf(n) }.sorted
+    val medianSpread =
+      if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfName","failed":$failedJson,"rows":$blackhole,"spill_bytes":${spillJson(succeeded.map(_._1))},"spread":$spreadJson,"median_spread":${r3(medianSpread)},"max_spread":${r3(if (spreads.isEmpty) 0.0 else spreads.last)}}"""
     // never clobber the committed artifacts from a FILTERED local
     // iteration (SPARK_GRAFT_BENCH_ONLY) — a 6-query map overwriting the
     // full catalog would corrupt round-over-round comparisons — nor
@@ -192,7 +208,7 @@ object Bench {
     // complete map is in bench_queries.json (committed) and the chunk
     // lines above.
     val budget = 1500
-    val suffix = s""""sf":"$sfName","failed":$failedJson,"rows":$blackhole,"queries_full":"bench_queries.json"}"""
+    val suffix = s""""sf":"$sfName","failed":$failedJson,"rows":$blackhole,"median_spread":${r3(medianSpread)},"max_spread":${r3(if (spreads.isEmpty) 0.0 else spreads.last)},"queries_full":"bench_queries.json"}"""
     val prefix = s"""{"metric":"total","value":$total,"unit":"sec","queries":{"""
     val byCost = succeeded.sortBy(-_._2).map { case (k, v) => entry(k, v) }
     val room = budget - prefix.length - suffix.length - 2

@@ -348,12 +348,25 @@ object Dedup {
     * stopword has huge df in the full lists but (sorting last by df)
     * almost never enters a prefix, so the join never goes df².
     * Surviving candidates verify exactly on hashed shingle arrays.
+    *
+    * A doc id may appear under several blocks: fingerprints, candidate
+    * pairs and the verify join all key on (blk, id) — token ranks are a
+    * bijection only WITHIN a block, so rank spaces never mix — and a
+    * pair surviving in more than one block collapses to its best
+    * per-block containment (max per direction).
+    *
+    * The two scratch persists (hashed shingle arrays, fingerprints)
+    * stay cached until the session's next `clearCache` unless a
+    * `release` buffer is passed (same contract as [[duplicatedSpans]]).
+    *
     * Returns (id_a, id_b, cmax, c_ab, c_ba), id_a < id_b, where c_ab =
     * |A∩B|/|A| (how much of A sits inside B) and cmax = max(c_ab, c_ba)
     * ≥ threshold.
     */
   def ngramContainment(df: DataFrame, id: Column, text: Column,
-      block: Column, k: Int = 1, threshold: Double = 0.9): DataFrame = {
+      block: Column, k: Int = 1, threshold: Double = 0.9,
+      release: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
     require(threshold > 0.0, "containment screen needs a positive threshold")
     val raw = df.select(id.as("id"), block.as("blk"), text.as("__text"))
     val para = df.sparkSession.sparkContext.defaultParallelism
@@ -366,6 +379,7 @@ object Dedup {
     val base = spread.select(col("id"), col("blk"),
       transform(shingles(col("__text"), k), x => xxhash64(x)).as("sh"))
       .persist()
+    release.foreach(_ += base)
     // n (the doc's distinct-token count) rides the explode from the
     // persisted arrays — no posting-stream count window needed, and
     // the size-ordered candidate cut below gets it for free
@@ -418,9 +432,10 @@ object Dedup {
     val cand = prefix.as("pa").join(tok.as("pb"),
         col("pa.blk") === col("pb.blk") && col("pa.w") === col("pb.w") &&
           col("pa.id") =!= col("pb.id") && col("pa.n") <= col("pb.n"))
-      .select(least(col("pa.id"), col("pb.id")).as("id_a"),
+      .select(col("pa.blk").as("blk"),
+        least(col("pa.id"), col("pb.id")).as("id_a"),
         greatest(col("pa.id"), col("pb.id")).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("blk", "id_a", "id_b")
     // exact verify on compact set FINGERPRINTS (r13): each doc's token
     // set, as sorted per-block ranks, delta-varint encoded to BINARY —
     // values identical to intersecting the hashed arrays (ranks are a
@@ -434,25 +449,34 @@ object Dedup {
     // size(array_intersect)). Prefix choice stays ordering-free-
     // correct (ANY prefix of that size works). n_a/n_b are carried as
     // scalars from the same aggregation.
-    val b = tokR.groupBy(col("id")).agg(
+    // fingerprints are per (blk, id): rids are a bijection of token
+    // hashes only within their block, so a doc carried under two blocks
+    // gets two fingerprints in two independent rank spaces (never mixed)
+    val b = tokR.groupBy(col("blk"), col("id")).agg(
       graft.functions.VarintSetExpressions
         .encode(array_sort(collect_list(col("rid")))).as("fp"),
       count(lit(1)).as("n"))
       .persist()
+    release.foreach(_ += b)
     val cmax = greatest(col("i").cast("double") / col("n_a"),
       col("i").cast("double") / col("n_b"))
-    cand
-      .join(b.as("ba"), col("ba.id") === col("id_a"))
-      .join(b.as("bb"), col("bb.id") === col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    cand.as("c")
+      .join(b.as("ba"),
+        col("ba.blk") === col("c.blk") && col("ba.id") === col("c.id_a"))
+      .join(b.as("bb"),
+        col("bb.blk") === col("c.blk") && col("bb.id") === col("c.id_b"))
+      .select(col("c.id_a").as("id_a"), col("c.id_b").as("id_b"),
         graft.functions.VarintSetExpressions
           .intersectCount(col("ba.fp"), col("bb.fp")).as("i"),
         col("ba.n").as("n_a"), col("bb.n").as("n_b"))
       .withColumn("cmax", cmax)
       .filter(col("cmax") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cmax"),
-        (col("i").cast("double") / col("n_a")).as("c_ab"),
-        (col("i").cast("double") / col("n_b")).as("c_ba"))
+      // a pair surviving under several blocks collapses to its best
+      // per-block containment per direction (single-block ids: identity)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(cmax).as("cmax"),
+        max(col("i").cast("double") / col("n_a")).as("c_ab"),
+        max(col("i").cast("double") / col("n_b")).as("c_ba"))
   }
 
   /** 64-bit SimHash per document: explode tokens, hash each ONCE with

@@ -313,19 +313,27 @@ object TaylorInference {
       else long.groupBy(col("t_star"), col("trt"))
         .agg(famAggs.head, famAggs.tail: _*).collect()
     probe.foreach(_("poisson+pps contraction"))
+    // a whole (t*, sample) group can come back NULL on any aggregate
+    // column (sum/max over an all-NULL group): treat NULL partials as
+    // 0.0 — exactly what the pre-recombine per-group aggregates did by
+    // ignoring NULL inputs
+    def nz(r: org.apache.spark.sql.Row, i: Int): Double =
+      if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     def contract(dcol: String, ecol: String): Map[Double, Estimand] = {
       if (!families.exists(_._1 == dcol)) return Map.empty
       val fi = families.indexWhere(_._1 == dcol)
       val byT = famRows.groupBy(_.getDouble(0))
       tStar.map { t =>
         val rs = byT(t)
-        val pois = rs.map(_.getDouble(2 + 3 * fi)).sum
+        val pois = rs.map(nz(_, 2 + 3 * fi)).sum
         // a sample group can be all-NULL on the estimate column (the
-        // pre-grouped max ignored those rows; the recombine must too)
-        val est = rs.filter(!_.isNullAt(3 + 3 * fi))
-          .map(_.getDouble(3 + 3 * fi)).max
-        val pps = rs.map(r =>
-          if (r.isNullAt(4 + 3 * fi)) 0.0 else r.getDouble(4 + 3 * fi)).sum
+        // pre-grouped max ignored those rows; the recombine must too).
+        // Every sample NULL (a t* before any event / grid mass reaches
+        // either sample) ⇒ the cumulative estimand is identically 0.
+        val estVals = rs.filter(!_.isNullAt(3 + 3 * fi))
+          .map(_.getDouble(3 + 3 * fi))
+        val est = if (estVals.isEmpty) 0.0 else estVals.max
+        val pps = rs.map(nz(_, 4 + 3 * fi)).sum
         t -> Estimand(est, pois, pps)
       }.toMap
     }
@@ -347,9 +355,9 @@ object TaylorInference {
     val bRows = withDb.groupBy(col("trt"))
       .agg(bAggs.head, bAggs.tail: _*).collect()
     val bPois = (0 until p).map(j =>
-      bRows.map(_.getDouble(1 + 2 * j)).sum).toArray
-    val bPps = (0 until p).map(j => bRows.map(r =>
-      if (r.isNullAt(2 + 2 * j)) 0.0 else r.getDouble(2 + 2 * j)).sum).toArray
+      bRows.map(nz(_, 1 + 2 * j)).sum).toArray
+    val bPps = (0 until p).map(j =>
+      bRows.map(nz(_, 2 + 2 * j)).sum).toArray
     probe.foreach(_("beta contractions"))
 
     allDevCache.unpersist(blocking = false)

@@ -177,10 +177,14 @@ class LlmSpec extends SparkSpec {
       (Seq(0, 127, 128, 16383, 16384, Int.MaxValue),
         Seq(0, 127, 128, 16383, 16384, Int.MaxValue)),
       (Seq(5, 300, 70000, 2000000000), Seq(6, 300, 70001, 1999999999))
-    ) ++ (1 to 25).map { _ =>
-      def arr = (0 until rnd.nextInt(60))
+    ) ++ (1 to 25).map { i =>
+      // val (not def): identical-pair regime must use the SAME array on
+      // both sides; odd cases draw an independent partner instead
+      val a = (0 until rnd.nextInt(60))
         .map(_ => rnd.nextInt(500)).distinct.sorted
-      (arr, arr)._1 -> arr
+      val partner = (0 until rnd.nextInt(60))
+        .map(_ => rnd.nextInt(500)).distinct.sorted
+      a -> (if (i % 2 == 0) a else partner)
     }
     val df = cases.toDF("a", "b")
     val got = df.select(
@@ -211,11 +215,13 @@ class LlmSpec extends SparkSpec {
       (Seq(Long.MinValue, -5L, 0L, 7L, Long.MaxValue),
         Seq(Long.MinValue, -5L, 0L, 7L, Long.MaxValue)),
       (Seq(-3L, 1L, 9L), Seq(-2L, 2L, 10L))
-    ) ++ (1 to 20).map { _ =>
-      def arr = (0 until rnd.nextInt(40))
+    ) ++ (1 to 20).map { i =>
+      val a = (0 until rnd.nextInt(40))
         .map(_ => rnd.nextInt(30).toLong - 15L).distinct.sorted
-      (arr, arr)._1 -> (0 until rnd.nextInt(40))
+      val partner = (0 until rnd.nextInt(40))
         .map(_ => rnd.nextInt(30).toLong - 15L).distinct.sorted
+      // even cases exercise the exact-duplicate (a == b) regime
+      a -> (if (i % 2 == 0) a else partner)
     }
     val df = cases.toDF("a", "b")
     val got = df.select(

@@ -206,6 +206,33 @@ class TaylorInferenceSpec extends SparkSpec {
     }
   }
 
+  test("ipswChain tolerates a t* before the first event (degenerate estimands)") {
+    // t* = 0.25 precedes every event time (min 1.0) AND every λ* grid
+    // point (min 0.5): no step-table row satisfies __t <= t*, so every
+    // cumulative estimand and deviate is identically zero at that t*.
+    // Regression guard for the one-job recombine: the per-(t*, sample)
+    // aggregate rows must tolerate NULL/empty groups (the pre-r13
+    // grouped max returned null; an unguarded driver max/sum throws).
+    val ts = Seq(0.25, 4.0)
+    val inf = TaylorInference.ipswChain(
+      coh.toDF("t", "d", "x"), svy.toDF("t", "d", "x", "wt"), col("wt"),
+      col("t"), col("d"), Seq("x"), Seq("x"), ts,
+      lambdaStar = Some(lsGrid.toDF("t", "lambda_star")),
+      x0 = Some(x0), a = aFrac,
+      sizeHint = graft.core.Windows.SizeHint.Small)
+    for (fam <- Seq(inf.lambda, inf.gail, inf.absRisk, inf.absRiskGail)) {
+      val e = fam(0.25)
+      assert(e.estimate == 0.0, s"estimate ${e.estimate} at t*=0.25")
+      assert(e.varPoisson == 0.0, s"varPoisson ${e.varPoisson} at t*=0.25")
+      assert(e.varPps == 0.0, s"varPps ${e.varPps} at t*=0.25")
+    }
+    // the live t* on the same run still matches the driver-side chain
+    val base = chain(Array.fill(n)(1.0))
+    assertNear(inf.lambda(4.0).estimate, base(("Lambda", 4.0)), 1e-7)
+    assertNear(inf.gail(4.0).estimate, base(("Gail", 4.0)), 1e-7)
+    assertNear(inf.absRisk(4.0).estimate, base(("absR", 4.0)), 1e-7)
+  }
+
   test("composed IPSW chain variances equal FD-deviate contractions") {
     val inf = TaylorInference.ipswChain(
       coh.toDF("t", "d", "x"), svy.toDF("t", "d", "x", "wt"), col("wt"),

@@ -24,14 +24,28 @@ BEGIN = "<!-- BEGIN GENERATED: closing-numbers -->"
 END = "<!-- END GENERATED -->"
 
 
+def _round_of(p):
+    return int(re.search(r"r(\d+)", p).group(1))
+
+
 def newest_bench():
     # sort by the parsed round NUMBER — lexicographic order would pick
     # r99 over r100 once the round counter hits three digits
-    paths = sorted(glob.glob("bench_queries_r*.json"),
-                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+    paths = sorted(glob.glob("bench_queries_r*.json"), key=_round_of)
     if not paths:
         sys.exit("no bench_queries_r*.json artifact found")
     path = paths[-1]
+    # staleness guard: a driver BENCH_rN.json from a NEWER round than the
+    # per-query artifact we are about to cite means the closing block
+    # would silently publish a superseded total (the r13 block cited
+    # r12's bench while BENCH_r13.json sat untracked). Refuse, naming
+    # the fix, instead of writing a stale "machine-written" number.
+    driver = sorted(glob.glob("BENCH_r*.json"), key=_round_of)
+    if driver and _round_of(driver[-1]) > _round_of(path):
+        sys.exit(
+            f"stale bench: {driver[-1]} is newer than {path} — run "
+            "graft.Bench (writes the next bench_queries_r*.json) or cite "
+            f"{driver[-1]}'s round explicitly before regenerating docs")
     line = [l for l in open(path) if '"metric"' in l][-1]
     return path, json.loads(line)
 
