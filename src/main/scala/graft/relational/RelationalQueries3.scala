@@ -259,8 +259,11 @@ object RelationalQueries3 {
     //      verdicts the Spark side computes against its OWN sketches
     //      and the oracle asserts as TRUE — a sketch drifting out of
     //      band flips the boolean and fails the hash compare loudly.
-    //      Bands: HLL++ at the default rsd 0.05 (observed 2.4–2.7%
-    //      deterministic error on the fixtures, inside 1σ);
+    //      Bands: HLL++ at rsd 0.01 against a 5% band (5σ — the
+    //      default rsd 0.05 put the band at 1σ and the sf10 draw
+    //      landed outside it; ~16 KB of registers per group is the
+    //      honest price of a band a sketch should essentially never
+    //      cross);
     //      percentile_approx at accuracy 10000 on the ≤50-value
     //      l_quantity domain is the exact DISCRETE median, banded at
     //      4% against the continuous exact median (discrete-vs-cont
@@ -285,7 +288,7 @@ object RelationalQueries3 {
         .agg(count(lit(1)).as("acd_exact"))
       val sk = li.groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("acd_part"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("acd_part"),
           percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50a"),
           round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_exact"),
           count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42))
