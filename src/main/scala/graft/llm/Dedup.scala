@@ -355,6 +355,17 @@ object Dedup {
     * pair surviving in more than one block collapses to its best
     * per-block containment (max per direction).
     *
+    * `uniqueBlockPerId = true` is a CALLER-ASSERTED precondition that
+    * every id occurs under exactly one block (automatic whenever `id`
+    * is a key of `df` — `block` is evaluated per row, so a unique id
+    * has exactly one block row). Under it the (blk, id) compound keys
+    * are provably redundant (blk is a function of id on every joined/
+    * deduped stream) and the multi-block pair collapse is the identity,
+    * so the screen drops blk from the fingerprint/candidate/verify keys
+    * and skips the collapse exchange — one fewer shuffle and narrower
+    * keys on all three, identical rows. The DEFAULT stays the safe
+    * multi-block path.
+    *
     * The two scratch persists (hashed shingle arrays, fingerprints)
     * stay cached until the session's next `clearCache` unless a
     * `release` buffer is passed (same contract as [[duplicatedSpans]]).
@@ -365,7 +376,8 @@ object Dedup {
     */
   def ngramContainment(df: DataFrame, id: Column, text: Column,
       block: Column, k: Int = 1, threshold: Double = 0.9,
-      release: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      release: Option[scala.collection.mutable.Buffer[DataFrame]] = None,
+      uniqueBlockPerId: Boolean = false)
       : DataFrame = {
     require(threshold > 0.0, "containment screen needs a positive threshold")
     val raw = df.select(id.as("id"), block.as("blk"), text.as("__text"))
@@ -429,13 +441,18 @@ object Dedup {
     // candidate stream halves (every true pair still arrives via its
     // smaller side) and the guaranteed-false larger-side-only
     // candidates never reach the verify join at all.
+    val candNames =
+      if (uniqueBlockPerId) Seq("id_a", "id_b") else Seq("blk", "id_a", "id_b")
+    val candKeys = Seq(
+      col("pa.blk").as("blk"),
+      least(col("pa.id"), col("pb.id")).as("id_a"),
+      greatest(col("pa.id"), col("pb.id")).as("id_b"))
+      .takeRight(candNames.length)
     val cand = prefix.as("pa").join(tok.as("pb"),
         col("pa.blk") === col("pb.blk") && col("pa.w") === col("pb.w") &&
           col("pa.id") =!= col("pb.id") && col("pa.n") <= col("pb.n"))
-      .select(col("pa.blk").as("blk"),
-        least(col("pa.id"), col("pb.id")).as("id_a"),
-        greatest(col("pa.id"), col("pb.id")).as("id_b"))
-      .dropDuplicates("blk", "id_a", "id_b")
+      .select(candKeys: _*)
+      .dropDuplicates(candNames)
     // exact verify on compact set FINGERPRINTS (r13): each doc's token
     // set, as sorted per-block ranks, delta-varint encoded to BINARY —
     // values identical to intersecting the hashed arrays (ranks are a
@@ -451,8 +468,12 @@ object Dedup {
     // scalars from the same aggregation.
     // fingerprints are per (blk, id): rids are a bijection of token
     // hashes only within their block, so a doc carried under two blocks
-    // gets two fingerprints in two independent rank spaces (never mixed)
-    val b = tokR.groupBy(col("blk"), col("id")).agg(
+    // gets two fingerprints in two independent rank spaces (never
+    // mixed). Under the uniqueBlockPerId precondition blk is a function
+    // of id, so the blk key is redundant and dropped.
+    val fpKeys = if (uniqueBlockPerId) Seq(col("id")) else
+      Seq(col("blk"), col("id"))
+    val b = tokR.groupBy(fpKeys: _*).agg(
       graft.functions.VarintSetExpressions
         .encode(array_sort(collect_list(col("rid")))).as("fp"),
       count(lit(1)).as("n"))
@@ -460,17 +481,25 @@ object Dedup {
     release.foreach(_ += b)
     val cmax = greatest(col("i").cast("double") / col("n_a"),
       col("i").cast("double") / col("n_b"))
-    cand.as("c")
-      .join(b.as("ba"),
-        col("ba.blk") === col("c.blk") && col("ba.id") === col("c.id_a"))
-      .join(b.as("bb"),
-        col("bb.blk") === col("c.blk") && col("bb.id") === col("c.id_b"))
+    def sameBlk(side: String): Column =
+      if (uniqueBlockPerId) lit(true)
+      else col(s"$side.blk") === col("c.blk")
+    val verified = cand.as("c")
+      .join(b.as("ba"), sameBlk("ba") && col("ba.id") === col("c.id_a"))
+      .join(b.as("bb"), sameBlk("bb") && col("bb.id") === col("c.id_b"))
       .select(col("c.id_a").as("id_a"), col("c.id_b").as("id_b"),
         graft.functions.VarintSetExpressions
           .intersectCount(col("ba.fp"), col("bb.fp")).as("i"),
         col("ba.n").as("n_a"), col("bb.n").as("n_b"))
       .withColumn("cmax", cmax)
       .filter(col("cmax") >= threshold)
+    if (uniqueBlockPerId)
+      // one block per id ⇒ one verify row per pair: the multi-block
+      // collapse below would be an identity exchange — skip it
+      verified.select(col("id_a"), col("id_b"), col("cmax"),
+        (col("i").cast("double") / col("n_a")).as("c_ab"),
+        (col("i").cast("double") / col("n_b")).as("c_ba"))
+    else verified
       // a pair surviving under several blocks collapses to its best
       // per-block containment per direction (single-block ids: identity)
       .groupBy(col("id_a"), col("id_b"))

@@ -101,15 +101,25 @@ object LlmQueries2 {
          |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_containers,
          |  ROUND(MAX(c), 8) AS best
          |FROM sym WHERE c >= 0.9 GROUP BY id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // doc_id is the table key and blk is computed per row, so every
+      // id has exactly one block: assert the precondition and take the
+      // narrow-key / no-collapse path
       val pairs = Dedup.ngramContainment(t(s, d, "documents"), col("doc_id"),
         col("text"),
         concat_ws("|", col("lang"), floor(col("n_chars") / 100).cast("string")),
-        k = 1, threshold = 0.9)
+        k = 1, threshold = 0.9, uniqueBlockPerId = true)
       // per-doc rollup: how often (and how fully) each doc is contained
       // in a same-block partner — the actionable dedup signal, and the
-      // compact output (pairs stay an engine-internal stream)
-      pairs.select(col("id_a").as("id"), col("c_ab").as("c"))
-        .unionByName(pairs.select(col("id_b").as("id"), col("c_ba").as("c")))
+      // compact output (pairs stay an engine-internal stream).
+      // SINGLE traversal: each pair explodes to its two directed (id, c)
+      // rows. The previous self-union planned the verify-join subtree
+      // twice (column pruning makes the two branches' exchanges differ,
+      // so ReuseExchange never fires) — the whole candidate+verify
+      // pipeline ran twice per run at every scale.
+      pairs.select(explode(array(
+          struct(col("id_a").as("id"), col("c_ab").as("c")),
+          struct(col("id_b").as("id"), col("c_ba").as("c")))).as("e"))
+        .select(col("e.id").as("id"), col("e.c").as("c"))
         .filter(col("c") >= 0.9)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_containers"), round(max(col("c")), 8).as("best"))

@@ -430,6 +430,19 @@ class LlmSpec extends SparkSpec {
         col("text"), col("lang"), k = 1, threshold = 0.9)
       .filter(col("id_a") === 10 && col("id_b") === 11).count()
     assert(jac == 0L)
+    // the uniqueBlockPerId fast path (narrow keys, no collapse exchange)
+    // must be row-identical to the default multi-block path whenever its
+    // precondition holds — this corpus has one block per id
+    val fast = graft.llm.Dedup.ngramContainment(corpus, col("doc_id"),
+        col("text"), col("lang"), k = 1, threshold = 0.9,
+        uniqueBlockPerId = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val slow = graft.llm.Dedup.ngramContainment(corpus, col("doc_id"),
+        col("text"), col("lang"), k = 1, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(fast == slow, s"fast-path mismatch: $fast vs $slow")
   }
 
   test("triangleCounts: K4 closed form; stars and paths have none") {
