@@ -32,6 +32,17 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The default 100-entry whole-stage-codegen cache thrashes on this
+      // catalog: 244 queries × several codegen units each evict every
+      // entry long before a query re-runs, so EVERY pass re-Janino-
+      // compiles every pipeline (measured: pass-1 304 s vs pass-2 185 s
+      // with the cache sized; pass-2 ≈ pass-1 without). Sized to hold
+      // the catalog's generated classes (bounded metaspace, a few MB of
+      // bytecode); core-count independent — any driver running this
+      // many distinct queries per session needs it. Env-overridable for
+      // probes.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
