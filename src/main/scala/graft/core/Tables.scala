@@ -15,8 +15,45 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Relation memo (per live session × path): re-creating a parquet
+  // relation costs ~55-65 ms of DRIVER time (directory listing +
+  // footer schema inference), and a 244-query harness pass re-reads
+  // each table per query per pass — ~40 s of pure metadata work per
+  // bench run (measured, see OPTIMIZATION_r14.md). A catalog/metastore
+  // resolves a table once per session; this memo gives the bare-path
+  // reads the same behavior. It caches the LAZY relation only (the
+  // immutable logical plan): every action still scans the parquet
+  // files — no rows, results, or intermediates are retained, and
+  // `spark.catalog.clearCache()` is unaffected because nothing is
+  // persisted. Keys are weak on the session so stopped sessions drop
+  // their entries; the driver test tables are written once per sf dir
+  // and never mutated in-session (writers in the catalog all target
+  // their own scratch dirs), so a cached file listing cannot go stale.
+  // SPARK_GRAFT_NO_RELATION_MEMO=1 restores the per-call read for A/B.
+  private val memoOff = sys.env.contains("SPARK_GRAFT_NO_RELATION_MEMO")
+  private val memo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  private def memoized(spark: SparkSession, key: String)
+      (make: => DataFrame): DataFrame =
+    if (memoOff) make
+    else {
+      val m = memo.synchronized {
+        var t = memo.get(spark)
+        if (t == null) {
+          t = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+          memo.put(spark, t)
+        }
+        t
+      }
+      m.getOrElseUpdate(key, make)
+    }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    memoized(spark, s"$sfDir/$name.parquet") {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
@@ -35,7 +72,10 @@ object Tables {
     *    which cannot represent it exactly (53-bit mantissa) and lands
     *    ±1 µs off DuckDB's exact epoch_us truncation.
     *  - micros: already a Timestamp/TimestampNTZ column — pass through. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    memoized(s, s"$d/events.parquet#normalized")(eventsUncached(s, d))
+
+  private def eventsUncached(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
