@@ -23,21 +23,31 @@ object RelationalQueries7 {
   val all: Seq[QueryDef] = Seq(
 
     // ---- market-basket pair mining: top co-occurring part pairs
-    //      within an order. The self-join is an equi-join on the order
-    //      key, so candidate pairs are generated per order (bounded by
-    //      the per-order line count, ~4–7 in TPC-H shape), never
-    //      across orders — at 100 TB this shuffles each side once on
-    //      l_orderkey and AQE handles any hot order. ----
+    //      within an order. r14: the self-join (two scans of lineitem;
+    //      a 600k-row broadcast build locally, TWO full shuffles at
+    //      scale once the table outgrows the broadcast threshold) is
+    //      replaced by the classic basket expansion — ONE shuffle of
+    //      (orderkey, partkey) into per-order baskets, then a codegen'd
+    //      double Generate expands position pairs with p1 < p2. Pair
+    //      multiplicity is identical to the row self-join
+    //      (cnt(p1)·cnt(p2) per order; the strict < drops equal-part
+    //      pairs exactly as the join condition did), per-order state is
+    //      bounded by the basket size (~4–7 lines in TPC-H shape), and
+    //      the not-null filters replicate the join's key semantics. ----
     sqlChecked("a_basket_pairs",
       """SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cnt
         |FROM lineitem a JOIN lineitem b
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 ORDER BY cnt DESC, p1, p2 LIMIT 20""".stripMargin) { (s, d) =>
-      val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.groupBy(col("l_orderkey"))
+        .agg(collect_list(col("l_partkey")).as("ps"))
+        .select(explode(col("ps")).as("p1"), col("ps"))
+        .select(col("p1"), explode(col("ps")).as("p2"))
+        .filter(col("p1") < col("p2"))
+        .groupBy(col("p1"), col("p2"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("p1"), col("p2"))
         .limit(20)
