@@ -313,21 +313,8 @@ object Multimodal {
     */
   def perceptualDupStats(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 7, "banded search over 8 bands is exact only to radius 7")
-    // r14: pin the fingerprint frame and the hash-class table. The
-    // rollup references them 6× across subtrees whose projections
-    // differ, so ReuseExchange never fires and every reference
-    // re-ran the WHOLE upstream — synthesize + BMP decode + aHash over
-    // the corpus scan (12 parquet scans in the before-plan,
-    // plans/r14/mm_phash_before.txt). The cached rows are ~100 B/image
-    // (id, 8 hash longs, 16-char hex) — far cheaper at any scale than
-    // re-decoding payloads per reference; both caches are released by
-    // the harness's per-query clearCache like the other scratch pins.
-    val h2raw = hashes.persist()
-    val h2 = org.apache.spark.sql.GraftSqlBridge.flattenPlan(h2raw)
-    val dhRaw = h2.groupBy(col("ahash"))
+    val dh = hashes.groupBy(col("ahash"))
       .agg(first(col("bytes")).as("bytes"), count(lit(1)).as("cnt"))
-      .persist()
-    val dh = org.apache.spark.sql.GraftSqlBridge.flattenPlan(dhRaw)
     val long = dh.select(col("ahash"), posexplode(col("bytes")).as(Seq("band", "byte")))
     // symmetric candidate classes (a ≠ b, both directions — the rollup
     // needs each class's full neighbor set)
@@ -349,7 +336,7 @@ object Multimodal {
     // no broadcast hint: the class table is tiny when duplication is
     // dense but can approach |corpus| when images are unique — let AQE
     // pick the strategy from the measured size
-    h2.select(col("media_id"), col("ahash"))
+    hashes.select(col("media_id"), col("ahash"))
       .join(dh.select(col("ahash"), col("cnt"))
         .join(neigh, Seq("ahash"), "left"), "ahash")
       .withColumn("n_near",

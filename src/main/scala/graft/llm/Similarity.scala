@@ -543,15 +543,7 @@ object Similarity {
 
   /** The pair/verdict phase of [[semDedup]] over an already-assigned
     * (id, v, cell) frame. */
-  def semDedupAssigned(baseRaw: DataFrame, minCos: Double): DataFrame = {
-    // r14: pin the assigned frame — it feeds the two pair-join sides
-    // and the final verdict join, and the verdict side's narrower
-    // projection defeats ReuseExchange, so the quantizer descent (and
-    // its embeddings scan) re-ran per reference. Cache cost is the
-    // (id, v, cell) frame itself; released by the harness's per-query
-    // clearCache.
-    val baseCache = baseRaw.persist()
-    val base = org.apache.spark.sql.GraftSqlBridge.flattenPlan(baseCache)
+  def semDedupAssigned(base: DataFrame, minCos: Double): DataFrame = {
     val pairs = base.as("a").join(base.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
