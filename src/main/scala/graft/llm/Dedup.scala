@@ -803,21 +803,13 @@ object Dedup {
     val hh = shingleHashStream(df, id, text, shingleK, hasher)
       .dropDuplicates("id", "h").persist()
     val sz = hh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // r14: the precision and recall arms share ONE exact-Jaccard pass —
-    // the pair sets ride an arm tag through the (hh ⋈ hh) intersection
-    // joins, so the shingle stream is traversed once instead of per
-    // arm. The intersection groups/joins on (__arm, id_a, id_b): a pair
-    // drawn by BOTH arms would otherwise double its match rows. The
-    // joined frame is tiny (maxScore + sampleSize² rows) and persisted
-    // only until the eager collect below.
     def trueJaccard(pairs: DataFrame): DataFrame = {
       val inter = pairs
         .join(hh.select(col("id").as("id_a"), col("h")), Seq("id_a"))
         .join(hh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
-        .groupBy(col("__arm"), col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("inter"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
       pairs
-        .join(inter, Seq("__arm", "id_a", "id_b"), "left")
+        .join(inter, Seq("id_a", "id_b"), "left")
         .join(sz.select(col("id").as("id_a"), col("sz").as("sza")), Seq("id_a"))
         .join(sz.select(col("id").as("id_b"), col("sz").as("szb")), Seq("id_b"))
         .withColumn("j_true",
@@ -835,6 +827,11 @@ object Dedup {
       .orderBy(col("__u"), col("id_a"), col("id_b")).limit(maxScore)
       .select(col("id_a"), col("id_b"))
     val nCand = cands.groupBy().agg(count(lit(1)).as("n_cand"))
+    val prec = trueJaccard(scored).agg(
+      count(lit(1)).as("n_cand_scored"),
+      coalesce(sum(when(col("j_true") >= threshold, 1L).otherwise(0L)),
+        lit(0L)).as("n_tp"))
+      .crossJoin(broadcast(nCand))
     val sampled = hh.select(col("id")).distinct()
       .withColumn("__u", graft.core.Rng.uniform(col("id"), sampleSalt))
       .orderBy(col("__u"), col("id")).limit(sampleSize)
@@ -842,16 +839,7 @@ object Dedup {
     val sp = sampled.select(col("id").as("id_a"))
       .crossJoin(broadcast(sampled.select(col("id").as("id_b"))))
       .filter(col("id_a") < col("id_b"))
-    val tj = trueJaccard(
-        scored.withColumn("__arm", lit(0))
-          .unionByName(sp.withColumn("__arm", lit(1))))
-      .persist()
-    val prec = tj.filter(col("__arm") === 0).agg(
-      count(lit(1)).as("n_cand_scored"),
-      coalesce(sum(when(col("j_true") >= threshold, 1L).otherwise(0L)),
-        lit(0L)).as("n_tp"))
-      .crossJoin(broadcast(nCand))
-    val struth = tj.filter(col("__arm") === 1 && col("j_true") >= threshold)
+    val struth = trueJaccard(sp).filter(col("j_true") >= threshold)
       .select(col("id_a"), col("id_b"))
     val rec = struth.join(cands.withColumn("__hit", lit(1)),
         Seq("id_a", "id_b"), "left")
@@ -876,7 +864,6 @@ object Dedup {
     val row = out.collect()
     hh.unpersist(blocking = false)
     cands.unpersist(blocking = false)
-    tj.unpersist(blocking = false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(row.toIndexedSeq, 1), out.schema)
   }
