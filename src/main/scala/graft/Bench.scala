@@ -43,6 +43,20 @@ object Bench {
       // probes.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // With shuffle.partitions = cpus (32 locally) every shuffle sits
+      // under the 200-partition bypass-merge threshold, so Spark uses
+      // BypassMergeSortShuffleWriter: R temp files PER MAP TASK, created,
+      // written and concatenated per shuffle. Thread-sampling the 32-core
+      // anti-scalers (g_pagerank, d9, d17, mm_phash) showed the plurality
+      // of task time in copyFileStreamNIO/DiskBlockObjectWriter.initialize
+      // — file machinery, not query work. At production scale partitions
+      // ≫ 200 so bypass never fires and the serialized sort writer (one
+      // file per map task) is what runs; pinning the threshold below the
+      // local partition count makes the local writer match the at-scale
+      // writer instead of measuring filesystem contention. Env-overridable
+      // for probes; results unaffected (writer choice is plan-invisible).
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

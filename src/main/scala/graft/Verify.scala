@@ -22,6 +22,12 @@ object Verify {
       // harness wall-clock, results are unaffected
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // match the at-scale shuffle writer locally (see Bench.scala): with
+      // partitions = cpus < 200 the bypass-merge writer's per-map-task
+      // file fan-out dominates small stages at 32 cores; harness
+      // wall-clock only, results unaffected
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

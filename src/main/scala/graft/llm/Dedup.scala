@@ -381,6 +381,17 @@ object Dedup {
       : DataFrame = {
     require(threshold > 0.0, "containment screen needs a positive threshold")
     val raw = df.select(id.as("id"), block.as("blk"), text.as("__text"))
+    // uniqueBlockPerId is caller-asserted and silently result-changing
+    // if wrong (dropping blk from the join keys merges rank spaces).
+    // Behind the debug flag, verify it with one extra job; never runs
+    // in a timed path.
+    if (uniqueBlockPerId && graft.core.DebugChecks.enabled) {
+      val bad = raw.groupBy(col("id"))
+        .agg(countDistinct(col("blk")).as("nb"))
+        .filter(col("nb") > 1).limit(1).collect()
+      require(bad.isEmpty, "uniqueBlockPerId asserted but id " +
+        s"${bad.head.get(0)} occurs under ${bad.head.get(1)} blocks")
+    }
     val para = df.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (raw.rdd.getNumPartitions < para) raw.repartition(para) else raw

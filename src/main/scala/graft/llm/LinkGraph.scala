@@ -28,9 +28,20 @@ object LinkGraph {
     */
   def pageRank(edges: DataFrame, src: Column, dst: Column, weight: Column,
       damping: Double, iters: Int): DataFrame = {
+    // The aggregated edge list persists PARTITIONED BY src: every
+    // iteration's inflow join keys on src, and hashpartitioning(src,dst)
+    // from the groupBy does NOT satisfy a src-clustered distribution —
+    // without the repartition each iteration would re-exchange the
+    // (data-sized) edge side once the rank frame outgrows the broadcast
+    // threshold. One extra exchange of the already-aggregated edges at
+    // build buys edge-exchange-free iterations; only the node-sized
+    // rank frame moves per step (locally the broadcast hides this, so
+    // the claim is checked at sf20 with the broadcast threshold pinned
+    // low — see plans/r15/g_pagerank_*).
     val e = edges.select(src.cast("long").as("src"),
         dst.cast("long").as("dst"), weight.cast("double").as("wt"))
       .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
+      .repartition(col("src"))
       .persist()
     val out = e.groupBy(col("src")).agg(sum(col("wt")).as("outw"))
     val nodes = e.select(col("src").as("node"))

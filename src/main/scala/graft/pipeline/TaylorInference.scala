@@ -308,11 +308,31 @@ object TaylorInference {
       sum((lit(1.0) - col("__pi")) * col(dc) * col(dc)).as(s"v_$dc"),
       max(col(ec)).as(s"e_$ec"),
       (covar_samp(col(dc), col(dc)) * count(lit(1))).as(s"pps_$dc")) }
-    val famRows =
+    // The family contraction (reads `long`) and the β contraction below
+    // (reads `withDb`) are INDEPENDENT jobs over the same cached deviate
+    // frame — the chain is job-count bound, so the β job runs from a
+    // second driver thread and back-fills the tail of the family job's
+    // stage instead of waiting for it. Each job's plan, partitioning
+    // and per-partition arithmetic are untouched — only the submission
+    // overlaps.
+    val famRowsF = scala.concurrent.Future {
       if (families.isEmpty) Array.empty[org.apache.spark.sql.Row]
       else long.groupBy(col("t_star"), col("trt"))
         .agg(famAggs.head, famAggs.tail: _*).collect()
-    probe.foreach(_("poisson+pps contraction"))
+    }(scala.concurrent.ExecutionContext.global)
+    // same one-job recombine for the β contractions: Poisson partials
+    // per sample + per-sample n·cov in a single groupBy(trt) aggregate,
+    // submitted from THIS thread while the family job runs on the future
+    val bAggs = (0 until p).flatMap(j => Seq(
+      sum((lit(1.0) - col("__pi")) *
+        col(s"dbeta_m_$j") * col(s"dbeta_m_$j")).as(s"pois$j"),
+      (covar_samp(col(s"dbeta_m_$j"), col(s"dbeta_m_$j")) *
+        count(lit(1))).as(s"pps$j")))
+    val bRows = withDb.groupBy(col("trt"))
+      .agg(bAggs.head, bAggs.tail: _*).collect()
+    val famRows = scala.concurrent.Await.result(famRowsF,
+      scala.concurrent.duration.Duration.Inf)
+    probe.foreach(_("poisson+pps + beta contractions (overlapped)"))
     // a whole (t*, sample) group can come back NULL on any aggregate
     // column (sum/max over an all-NULL group): treat NULL partials as
     // 0.0 — exactly what the pre-recombine per-group aggregates did by
@@ -345,20 +365,10 @@ object TaylorInference {
     val absRG = if (risk.isDefined && lambdaStar.isDefined)
       contract("d_abs_risk_gail", "abs_risk_gail") else Map.empty[Double, Estimand]
 
-    // same one-job recombine for the β contractions: Poisson partials
-    // per sample + per-sample n·cov in a single groupBy(trt) aggregate
-    val bAggs = (0 until p).flatMap(j => Seq(
-      sum((lit(1.0) - col("__pi")) *
-        col(s"dbeta_m_$j") * col(s"dbeta_m_$j")).as(s"pois$j"),
-      (covar_samp(col(s"dbeta_m_$j"), col(s"dbeta_m_$j")) *
-        count(lit(1))).as(s"pps$j")))
-    val bRows = withDb.groupBy(col("trt"))
-      .agg(bAggs.head, bAggs.tail: _*).collect()
     val bPois = (0 until p).map(j =>
       bRows.map(nz(_, 1 + 2 * j)).sum).toArray
     val bPps = (0 until p).map(j =>
       bRows.map(nz(_, 2 + 2 * j)).sum).toArray
-    probe.foreach(_("beta contractions"))
 
     allDevCache.unpersist(blocking = false)
     IpswInference(gamma, fit.coefficients, bPois, bPps,

@@ -33,7 +33,14 @@ object RelationalQueries7 {
     //      (cnt(p1)·cnt(p2) per order; the strict < drops equal-part
     //      pairs exactly as the join condition did), per-order state is
     //      bounded by the basket size (~4–7 lines in TPC-H shape), and
-    //      the not-null filters replicate the join's key semantics. ----
+    //      the not-null filters replicate the join's key semantics.
+    //      DATA-SHAPE ASSUMPTION (r15): a collect_list group cannot be
+    //      split by AQE skew handling, so this trades the self-join's
+    //      skew-splittability for the one-shuffle plan — safe ONLY
+    //      while per-order line counts stay bounded (TPC-H shape: ≤ 7;
+    //      a pathological hot order key would concentrate its whole
+    //      quadratic expansion in one task). The debug-flag guard below
+    //      makes a violated assumption loud instead of a straggler. ----
     sqlChecked("a_basket_pairs",
       """SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cnt
         |FROM lineitem a JOIN lineitem b
@@ -42,6 +49,13 @@ object RelationalQueries7 {
       val li = t(s, d, "lineitem")
         .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
         .select(col("l_orderkey"), col("l_partkey"))
+      if (graft.core.DebugChecks.enabled) {
+        val mx = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n"))).head().getLong(0)
+        require(mx <= 1000, s"a_basket_pairs assumes bounded baskets but " +
+          s"one order has $mx lines — its quadratic pair expansion would " +
+          "land in a single unsplittable task")
+      }
       li.groupBy(col("l_orderkey"))
         .agg(collect_list(col("l_partkey")).as("ps"))
         .select(explode(col("ps")).as("p1"), col("ps"))

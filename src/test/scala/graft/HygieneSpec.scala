@@ -142,7 +142,7 @@ class HygieneSpec extends AnyFunSuite {
       "stats/WeightedQuantile.scala" -> 1,   // ≤q quantile boundaries
       "llm/HeavyHitters.scala" -> 1,         // k sketch rows
       "llm/Similarity.scala" -> 7,           // k centroids / codebooks / tree levels (≤ b^depth rows)
-      "llm/Dedup.scala" -> 2,                // df caps + band constants
+      "llm/Dedup.scala" -> 3,                // df caps + band constants + debug-flag precondition probe (limit(1))
       "pipeline/TaylorInference.scala" -> 2, // p×p variance blocks
       "pipeline/Simulation.scala" -> 1,      // per-rep scalar results
       "pipeline/CalibEst.scala" -> 2,        // p-vector calibration solves

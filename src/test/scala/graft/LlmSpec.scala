@@ -445,6 +445,30 @@ class LlmSpec extends SparkSpec {
     assert(fast == slow, s"fast-path mismatch: $fast vs $slow")
   }
 
+  test("uniqueBlockPerId debug guard trips on a multi-block id") {
+    // the fast path is caller-asserted; behind the debug flag a wrong
+    // assertion must fail loudly instead of silently changing results
+    val multi = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (1L, "alpha beta gamma", "de"), // same id, second block
+      (2L, "unrelated words here", "en")
+    ).toDF("doc_id", "text", "lang")
+    sys.props("graft.check.preconditions") = "1"
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.llm.Dedup.ngramContainment(multi, col("doc_id"), col("text"),
+          col("lang"), k = 1, threshold = 0.9, uniqueBlockPerId = true)
+      }
+      assert(ex.getMessage.contains("uniqueBlockPerId"))
+      // a corpus that satisfies the precondition passes under the flag
+      val ok = Seq((1L, "alpha beta gamma", "en"),
+        (2L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")
+      graft.llm.Dedup.ngramContainment(ok, col("doc_id"), col("text"),
+        col("lang"), k = 1, threshold = 0.9, uniqueBlockPerId = true)
+        .collect()
+    } finally sys.props.remove("graft.check.preconditions")
+  }
+
   test("triangleCounts: K4 closed form; stars and paths have none") {
     // complete graph on 4 vertices: C(4,3)=4 triangles, each vertex in 3
     val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
