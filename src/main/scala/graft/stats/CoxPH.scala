@@ -64,15 +64,13 @@ object CoxPH {
       beta: Array[Double],
       sizeHint: Windows.SizeHint = Windows.SizeHint.Auto): (Array[Double], Array[Double]) = {
 
-    // β as a one-row broadcast column, not literals: identical generated
+    // β as referenced values, not inlined literals: identical generated
     // code every NR iteration → codegen-cache hit after iteration 1
-    // (core.CoefCol; bit-identical arithmetic)
-    val withBeta =
-      if (p == 0) base else graft.core.CoefCol.attach(base, "__beta", beta)
+    // (functions.Coef.at; bit-identical arithmetic)
     val eta = beta.indices.map(j =>
-        col(s"__x$j") * element_at(col("__beta"), j + 1))
+        col(s"__x$j") * graft.functions.Coef.at(beta, j))
       .foldLeft(lit(0.0): Column)(_ + _)
-    val withRel = withBeta.withColumn("__rel", exp(eta))
+    val withRel = base.withColumn("__rel", exp(eta))
 
     // tie-collapse partial aggregation per unique event time
     val s2Names = for (j <- 0 until p; k <- j until p) yield (j, k)

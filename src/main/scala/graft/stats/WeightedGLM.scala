@@ -100,14 +100,13 @@ object WeightedGLM {
     var converged = false
     var lastHessian = new Array[Double](tri)
     while (iter < maxIter && !converged) {
-      // β enters via a one-row broadcast column, not literals: the
-      // generated code is then identical every iteration (and across
-      // same-p fits), so only iteration 1 ever pays a Janino compile
-      // (see core.CoefCol). element_at returns the same double the
-      // literal held — the fixed point is bit-identical.
-      val withB = graft.core.CoefCol.attach(flat, "__beta", beta)
+      // β enters as referenced values (functions.Coef.at), not inlined
+      // literals: the generated code is identical every iteration (and
+      // across same-p fits), so only iteration 1 ever pays a Janino
+      // compile. Reads the same double the literal held — the fixed
+      // point is bit-identical.
       val eta = (0 until p).map(i =>
-          element_at(col("__beta"), i + 1) * col(s"__f$i"))
+          graft.functions.Coef.at(beta, i) * col(s"__f$i"))
         .foldLeft(lit(0.0): Column)(_ + _)
       val (mu, varFn) = family(eta)
       val sWgt = col("__w") * varFn
@@ -115,7 +114,7 @@ object WeightedGLM {
       val aggs = pairs.map { case (i, j) =>
         sum(sWgt * col(s"__f$i") * col(s"__f$j")).as(s"h${i}_$j") } ++
         (0 until p).map(i => sum(resid * col(s"__f$i")).as(s"g$i"))
-      val row = withB.agg(aggs.head, aggs.tail: _*).head()
+      val row = flat.agg(aggs.head, aggs.tail: _*).head()
       lastHessian = (0 until tri).map(row.getDouble).toArray
       val grad = (0 until p).map(i => row.getDouble(tri + i)).toArray
       val step = LinAlg.solvePacked(p, lastHessian, grad)

@@ -36,18 +36,17 @@ object BoundedCalib {
     try {
       var lambda = Array.fill(p)(0.0)
       for (_ <- 1 to iters) {
-        // λ via a one-row broadcast column, not literals: identical
+        // λ as referenced values, not inlined literals: identical
         // generated code every Newton step → codegen-cache hit after
-        // step 1 (core.CoefCol; bit-identical arithmetic)
-        val withL = graft.core.CoefCol.attach(base, "__lam", lambda)
+        // step 1 (functions.Coef.at; bit-identical arithmetic)
         val (fExpr, fpExpr) = distance(
           (0 until p).map(j =>
-            col(s"x$j") * element_at(col("__lam"), j + 1)).reduce(_ + _), l, u)
+            col(s"x$j") * graft.functions.Coef.at(lambda, j)).reduce(_ + _), l, u)
         val aggs =
           (0 until p).map(j => sum(col("d") * fExpr * col(s"x$j")).as(s"r$j")) ++
           (for (j <- 0 until p; k <- j until p) yield
             sum(col("d") * fpExpr * col(s"x$j") * col(s"x$k")).as(s"j${j}_$k"))
-        val row = withL.agg(aggs.head, aggs.tail: _*).head()
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
         val r = Array.tabulate(p)(j => targets(j) - row.getDouble(j))
         if (p == 2) {
           // closed-form 2×2 step in the EXACT operation order a SQL
