@@ -256,14 +256,6 @@ object LlmQueries2 {
       val tmp = java.nio.file.Files.createTempDirectory("graft-d14")
       val inDir = tmp.resolve("in").toString
       val outDir = tmp.resolve("out").toString
-      // offset/commit log on tmpfs when available: the log is a few KB
-      // but create+fsync+rename per trigger — synchronous-metadata
-      // latency the replayed bounded stream does not need durability
-      // for (data in/out dirs stay on the normal temp filesystem)
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val ckpt = java.nio.file.Files.createTempDirectory(
-        if (java.nio.file.Files.isWritable(shm)) shm else tmp,
-        "graft-d14-ck").toString
       docs.filter(col("doc_id") % 4 === 3)
         .repartition(2).write.mode("overwrite").parquet(inDir)
       val stream = s.readStream.schema(docs.schema)
@@ -272,8 +264,7 @@ object LlmQueries2 {
         stream, col("doc_id"), col("text"), cSig,
         shingleK = 3, numHashes = 32, bands = 8, threshold = 0.30,
         hasher = Dedup.md5Hash60,
-        sink = v => v.write.mode("append").parquet(outDir),
-        checkpointDir = Some(ckpt))
+        sink = v => v.write.mode("append").parquet(outDir))
       q.awaitTermination()
       cSig.unpersist(blocking = false)
       s.read.parquet(outDir)

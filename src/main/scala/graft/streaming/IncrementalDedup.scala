@@ -26,21 +26,12 @@ object IncrementalDedup {
 
   /** Start the screen on a streaming `newDocs` frame. Each micro-batch's
     * per-document verdict frame — (id, n_matches, best), one row per
-    * new doc in the batch — is handed to `sink`.
-    *
-    * `checkpointDir`: offset/commit log location. The log is tiny (a few
-    * KB per trigger) but every entry is create+fsync+rename — on a slow
-    * or contended filesystem that synchronous metadata I/O is pure
-    * per-trigger latency. Callers that only replay a bounded stream
-    * (tests, the bench) can point it at fast local storage; production
-    * callers needing recovery pass durable storage. Default (None) keeps
-    * Spark's own temp-dir behavior. */
+    * new doc in the batch — is handed to `sink`. */
   def start(newDocs: DataFrame, id: Column, text: Column,
       corpusSigs: DataFrame, shingleK: Int, numHashes: Int, bands: Int,
       threshold: Double, hasher: Column => Column,
-      sink: DataFrame => Unit,
-      checkpointDir: Option[String] = None): StreamingQuery = {
-    val w = newDocs.writeStream
+      sink: DataFrame => Unit): StreamingQuery =
+    newDocs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val bSig = Dedup.minhashSignatures(batch, id, text,
           shingleK, numHashes, hasher)
@@ -48,7 +39,5 @@ object IncrementalDedup {
           numHashes, bands, threshold))
       }
       .trigger(Trigger.AvailableNow())
-    checkpointDir.foreach(d => w.option("checkpointLocation", d))
-    w.start()
-  }
+      .start()
 }
