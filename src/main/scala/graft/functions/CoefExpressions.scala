@@ -41,8 +41,35 @@ case class CoefAt(coef: Array[Double], index: Int) extends LeafExpression {
   }
 }
 
+/** A driver-side double[] as an ARRAY<DOUBLE> column, generated as a
+  * reference — the array sibling of [[CoefAt]], for operators that hand
+  * whole vectors to array expressions (dot products against k-means /
+  * PQ centroids re-planned every Lloyd iteration). Same contract:
+  * value-independent generated source, bit-identical values,
+  * `foldable = false` so ConstantFolding cannot inline it back. */
+case class CoefArray(values: Array[Double]) extends LeafExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "coef_array"
+  @transient private lazy val arr =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(values)
+  override def eval(input: InternalRow): Any = arr
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("coefArr", arr,
+      "org.apache.spark.sql.catalyst.util.ArrayData")
+    ExprCode.forNonNullValue(JavaCode.expression(ref, dataType))
+  }
+}
+
 object Coef {
   /** `values(i)` as a Column whose generated code is value-independent. */
   def at(values: Array[Double], i: Int): Column =
     GraftSqlBridge.column(CoefAt(values, i))
+
+  /** `values` as an ARRAY<DOUBLE> Column, generated as a reference. */
+  def array(values: Array[Double]): Column =
+    GraftSqlBridge.column(CoefArray(values))
 }

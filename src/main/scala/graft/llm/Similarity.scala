@@ -89,11 +89,17 @@ object Similarity {
     * replay (`list_dot_product(v,v) - 2*list_dot_product(v,c) +
     * list_dot_product(c,c)`). */
   private def dist2(v: Column, c: Array[Double]): Column = {
-    val cl = array(c.map(lit): _*)
+    // centroid vector and its c·c enter as REFERENCED values
+    // (functions.Coef), not literals: Lloyd iterations re-plan this
+    // expression with fresh centroids, and literal doubles would make
+    // every iteration's generated code unique (a fresh Janino compile
+    // per iteration — see CoefExpressions). Same doubles, same
+    // association order, bit-identical distances.
+    val cl = graft.functions.Coef.array(c)
     var cc = 0.0
     var i = 0
     while (i < c.length) { cc += c(i) * c(i); i += 1 }
-    dot(v, v) - lit(2.0) * dot(v, cl) + lit(cc)
+    dot(v, v) - lit(2.0) * dot(v, cl) + graft.functions.Coef.at(Array(cc), 0)
   }
 
   /** Index of the nearest centroid (ties → smallest index), as a pure
